@@ -1,0 +1,172 @@
+"""Host-side document model: Canvas (layer stack) and Layer.
+
+Behavioral contract: `CanvasState` / `Layer` (src/canvas/canvas_state.rs:9-139,
+src/canvas/layers.rs:366-421) minus the GUI caches.  This is deliberately a
+thin Python object graph over dense device arrays: the reference's 64x64 COW
+tile store exists to make clones/undo cheap on a CPU heap, but on TPU the
+whole image lives in HBM as one dense array and XLA fuses whole-image ops, so
+"transparent tiles are free" is replaced by "dense arrays are fused".
+Sparse-canvas economics come back later via dirty-rect windows
+(`lax.dynamic_update_slice`) rather than an Option<Arc<chunk>> store.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import numpy as np
+
+from paintfe_tpu.core.blend import BlendMode
+from paintfe_tpu.core.composite import composite_stack
+
+MAX_DIMENSION = 65535  # reference clamps dims to 256 Mpix (tiled_image.rs:14-26)
+TILE = 64  # reference chunk size (canvas/defs.rs:7)
+
+
+def _empty(h: int, w: int) -> np.ndarray:
+    return np.zeros((h, w, 4), np.uint8)
+
+
+def canonicalize_tiles(img: np.ndarray, tile: int = TILE) -> np.ndarray:
+    """Zero out RGB of fully-transparent 64x64 tiles.
+
+    The reference's sparse tile store drops fully-transparent chunks
+    (TiledImage::from_rgba_image), so their color data reads back as zeros.
+    Any layer-commit path must apply this for storage parity.
+    """
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    out = img.copy()
+    for ty in range(0, h, tile):
+        for tx in range(0, w, tile):
+            blk = out[ty : ty + tile, tx : tx + tile]
+            if not blk[..., 3].any():
+                blk[...] = 0
+    return out
+
+
+@dataclasses.dataclass
+class Layer:
+    """One raster layer: straight-alpha RGBA u8 pixels + blend state."""
+
+    name: str
+    pixels: np.ndarray  # u8 [H, W, 4]
+    visible: bool = True
+    opacity: float = 1.0
+    blend_mode: BlendMode = BlendMode.NORMAL
+    mask: Optional[np.ndarray] = None  # u8 [H, W] conceal (0 = show)
+    mask_enabled: bool = True
+    folder_id: Optional[int] = None
+
+    @classmethod
+    def new(cls, name: str, w: int, h: int, fill=(0, 0, 0, 0)) -> "Layer":
+        px = np.empty((h, w, 4), np.uint8)
+        px[...] = np.asarray(fill, np.uint8)
+        return cls(name=name, pixels=px)
+
+    @property
+    def height(self) -> int:
+        return self.pixels.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.pixels.shape[1]
+
+    def clone(self) -> "Layer":
+        return dataclasses.replace(
+            self,
+            pixels=self.pixels.copy(),
+            mask=None if self.mask is None else self.mask.copy(),
+        )
+
+
+@dataclasses.dataclass
+class LayerFolder:
+    id: int
+    name: str
+    visible: bool = True
+    expanded: bool = True
+
+
+@dataclasses.dataclass
+class Canvas:
+    """The document: an ordered layer stack (bottom first) + selection mask."""
+
+    width: int
+    height: int
+    layers: List[Layer] = dataclasses.field(default_factory=list)
+    folders: List[LayerFolder] = dataclasses.field(default_factory=list)
+    active_layer_index: int = 0
+    # Selection: None = everything selected; else u8 [H, W], 0 or 255.
+    selection: Optional[np.ndarray] = None
+
+    @classmethod
+    def new(cls, width: int, height: int, background=(0, 0, 0, 0)) -> "Canvas":
+        c = cls(width=width, height=height)
+        c.layers.append(Layer.new("Background", width, height, background))
+        return c
+
+    @classmethod
+    def from_image(cls, img: np.ndarray) -> "Canvas":
+        img = np.asarray(img, np.uint8)
+        h, w = img.shape[:2]
+        c = cls(width=w, height=h)
+        c.layers.append(Layer(name="Background", pixels=img.copy()))
+        return c
+
+    # -- layer queries ------------------------------------------------------
+
+    def folder_visible(self, folder_id: Optional[int]) -> bool:
+        if folder_id is None:
+            return True
+        for f in self.folders:
+            if f.id == folder_id:
+                return f.visible
+        return True
+
+    def layer_effectively_visible(self, idx: int) -> bool:
+        layer = self.layers[idx]
+        return layer.visible and self.folder_visible(layer.folder_id)
+
+    @property
+    def active_layer(self) -> Layer:
+        return self.layers[self.active_layer_index]
+
+    # -- compositing --------------------------------------------------------
+
+    def composite(self) -> np.ndarray:
+        """Flatten the visible stack to a single RGBA u8 [H, W, 4] image."""
+        vis = [
+            (i, l)
+            for i, l in enumerate(self.layers)
+            if self.layer_effectively_visible(i)
+        ]
+        if not vis:
+            return _empty(self.height, self.width)
+        stack = np.stack([l.pixels for _, l in vis])
+        modes = np.array([int(l.blend_mode) for _, l in vis], np.int32)
+        opacities = np.array([l.opacity for _, l in vis], np.float32)
+        visibles = np.ones(len(vis), bool)
+        conceal = None
+        if any(l.mask is not None and l.mask_enabled for _, l in vis):
+            conceal = np.stack(
+                [
+                    l.mask
+                    if (l.mask is not None and l.mask_enabled)
+                    else np.zeros((self.height, self.width), np.uint8)
+                    for _, l in vis
+                ]
+            )
+        return np.asarray(composite_stack(stack, modes, opacities, visibles, conceal))
+
+    # -- selection ----------------------------------------------------------
+
+    def selection_mask_f32(self) -> Optional[np.ndarray]:
+        """Selection as f32 [H, W] in {0, 1}, or None when all selected."""
+        if self.selection is None:
+            return None
+        return (self.selection > 0).astype(np.float32)
+
+    def has_selection(self) -> bool:
+        return self.selection is not None

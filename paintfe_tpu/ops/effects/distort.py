@@ -1,0 +1,273 @@
+"""Inverse-mapped distortion effects: crystallize, pixelate, bulge, twist, dents.
+
+Behavioral contract: src/ops/effects/distort.rs — jittered-grid Voronoi
+crystallize (:26-169), block-center pixelate (:333-373), radial bulge
+(:396-437), falloff-rotation twist (:460-500), turbulence-displacement dents
+(:248-310).  All samplers are inverse maps: dst(x,y) = src(f(x,y)) with
+edge-clamped bilinear gathers, which on TPU become vectorized gathers over
+the whole image.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paintfe_tpu.utils.hashing import hash_f32, turbulence_2d
+from paintfe_tpu.utils.quant import round_u8
+
+f32 = np.float32
+
+
+def _masked(img, out, mask):
+    if mask is None:
+        return out
+    return jnp.where((mask > 0)[..., None], out, img)
+
+
+def sample_bilinear(img_u8, fx, fy):
+    """Edge-clamped bilinear sample; weight order matches effects.rs:118-140."""
+    h, w = img_u8.shape[:2]
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    dx = (fx - x0.astype(jnp.float32))[..., None]
+    dy = (fy - y0.astype(jnp.float32))[..., None]
+
+    def at(xi, yi):
+        cx = jnp.clip(xi, 0, w - 1)
+        cy = jnp.clip(yi, 0, h - 1)
+        return img_u8[cy, cx].astype(jnp.float32)
+
+    p00 = at(x0, y0)
+    p10 = at(x0 + 1, y0)
+    p01 = at(x0, y0 + 1)
+    p11 = at(x0 + 1, y0 + 1)
+    return (
+        p00 * (1.0 - dx) * (1.0 - dy)
+        + p10 * dx * (1.0 - dy)
+        + p01 * (1.0 - dx) * dy
+        + p11 * dx * dy
+    )
+
+
+def _coord_grids(h, w):
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+    return xs, ys
+
+
+# ---------------------------------------------------------------------------
+# Pixelate
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _pixelate_fn(bs: int, h: int, w: int):
+    sx = np.minimum((np.arange(w) // bs) * bs + bs // 2, w - 1)
+    sy = np.minimum((np.arange(h) // bs) * bs + bs // 2, h - 1)
+
+    @jax.jit
+    def run(img):
+        return img[sy][:, sx]
+
+    return run
+
+
+def pixelate(img, block_size: int, mask=None):
+    """Sample each block's center pixel (distort.rs:333-373)."""
+    bs = max(int(block_size), 2)
+    h, w = img.shape[:2]
+    out = _pixelate_fn(bs, h, w)(img)
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Crystallize (jittered-grid Voronoi)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=32)
+def _crystallize_fn(cs: float, seed: int, h: int, w: int):
+    cs = f32(max(cs, 2.0))
+    cells_x = max(int(np.ceil(f32(w) / cs)), 1)
+    cells_y = max(int(np.ceil(f32(h) / cs)), 1)
+    n_cells = cells_x * cells_y
+
+    @jax.jit
+    def run(img):
+        # Jittered seed point per grid cell.
+        cxs = jnp.arange(cells_x, dtype=jnp.uint32)[None, :]
+        cys = jnp.arange(cells_y, dtype=jnp.uint32)[:, None]
+        jx = hash_f32(cxs + jnp.zeros_like(cys), cys + jnp.zeros_like(cxs), seed)
+        jy = hash_f32(cxs + jnp.zeros_like(cys), cys + jnp.zeros_like(cxs), seed + 77)
+        seed_x = (cxs.astype(jnp.float32) * cs + jx * cs).reshape(-1)  # [n_cells]
+        seed_y = (cys.astype(jnp.float32) * cs + jy * cs).reshape(-1)
+
+        xs, ys = _coord_grids(h, w)
+        gcx = (xs / cs).astype(jnp.int32)
+        gcy = (ys / cs).astype(jnp.int32)
+        px = xs + 0.5
+        py = ys + 0.5
+
+        best_dist = jnp.full((h, w), jnp.inf, jnp.float32)
+        best_idx = jnp.zeros((h, w), jnp.int32)
+        # 3x3 neighbor search in the reference's scan order so distance ties
+        # resolve identically (strict < keeps the first-seen minimum).
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                nx = gcx + dx
+                ny = gcy + dy
+                valid = (nx >= 0) & (ny >= 0) & (nx < cells_x) & (ny < cells_y)
+                idx = jnp.clip(ny, 0, cells_y - 1) * cells_x + jnp.clip(nx, 0, cells_x - 1)
+                sx = seed_x[idx]
+                sy = seed_y[idx]
+                d = (px - sx) * (px - sx) + (py - sy) * (py - sy)
+                d = jnp.where(valid, d, jnp.inf)
+                take = d < best_dist
+                best_dist = jnp.where(take, d, best_dist)
+                best_idx = jnp.where(take, idx, best_idx)
+
+        # Per-cell integer sums -> exact round-half-away average:
+        # round(s/c) == (2s + c) // (2c) for non-negative integers.
+        flat_idx = best_idx.reshape(-1)
+        counts = jnp.zeros(n_cells, jnp.uint32).at[flat_idx].add(1)
+        sums = jnp.zeros((n_cells, 4), jnp.uint32).at[flat_idx].add(
+            img.reshape(-1, 4).astype(jnp.uint32)
+        )
+        safe_c = jnp.maximum(counts, 1)[:, None]
+        avg = ((2 * sums + safe_c) // (2 * safe_c)).astype(jnp.uint8)
+        avg = jnp.where((counts > 0)[:, None], avg, 0)
+        return avg[best_idx]
+
+    return run
+
+
+def crystallize(img, cell_size: float, seed: int = 42, mask=None):
+    """Jittered-grid Voronoi cell averaging (distort.rs:26-169)."""
+    h, w = img.shape[:2]
+    out = _crystallize_fn(float(cell_size), int(seed), h, w)(img)
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Bulge / Twist / Dents
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _bulge_fn(amount: float, ox: float, oy: float, h: int, w: int):
+    wf, hf = f32(w), f32(h)
+    cx = f32(np.clip(ox, 0.0, 1.0)) * max(wf - 1.0, 0.0)
+    cy = f32(np.clip(oy, 0.0, 1.0)) * max(hf - 1.0, 0.0)
+    max_r = f32(max(max(cx, wf - cx), max(cy, hf - cy), 1.0))
+    strength = f32(max(abs(amount), 0.0001))
+
+    @jax.jit
+    def run(img):
+        xs, ys = _coord_grids(h, w)
+        dx = xs - cx
+        dy = ys - cy
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        norm = jnp.minimum(dist / max_r, 1.0)
+        falloff = 1.0 - norm
+        if amount > 0.0:
+            factor = 1.0 - falloff * strength * f32(0.5)
+        elif amount < 0.0:
+            factor = 1.0 + falloff * strength * f32(0.5)
+        else:
+            factor = jnp.ones_like(falloff)
+        src_x = cx + dx * factor
+        src_y = cy + dy * factor
+        warped = round_u8(sample_bilinear(img, src_x, src_y))
+        return jnp.where((norm >= 1.0)[..., None], img, warped)
+
+    return run
+
+
+def bulge(img, amount: float, origin=(0.5, 0.5), mask=None):
+    """Radial scale about origin, inverse-mapped bilinear (distort.rs:396-458)."""
+    h, w = img.shape[:2]
+    out = _bulge_fn(float(amount), float(origin[0]), float(origin[1]), h, w)(img)
+    return _masked(img, out, mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _twist_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
+    wf, hf = f32(w), f32(h)
+    cx = f32(np.clip(ox, 0.0, 1.0)) * max(wf - 1.0, 0.0)
+    cy = f32(np.clip(oy, 0.0, 1.0)) * max(hf - 1.0, 0.0)
+    mx = max(cx, wf - cx)
+    my = max(cy, hf - cy)
+    max_r = f32(max(np.sqrt(f32(mx * mx + my * my)), 1.0))
+    twist_amount = f32(f32(angle_deg) * (f32(np.pi) / f32(180.0)))
+
+    @jax.jit
+    def run(img):
+        xs, ys = _coord_grids(h, w)
+        dx = xs - cx
+        dy = ys - cy
+        dist = jnp.sqrt(dx * dx + dy * dy)
+        rotation = twist_amount * (1.0 - dist / max_r)
+        cos_r = jnp.cos(rotation)
+        sin_r = jnp.sin(rotation)
+        src_x = cx + dx * cos_r - dy * sin_r
+        src_y = cy + dx * sin_r + dy * cos_r
+        return round_u8(sample_bilinear(img, src_x, src_y))
+
+    return run
+
+
+def twist(img, angle_deg: float, origin=(0.5, 0.5), mask=None):
+    """Rotation by angle*(1-dist/max_r) about center (distort.rs:460-500)."""
+    h, w = img.shape[:2]
+    out = _twist_fn(float(angle_deg), float(origin[0]), float(origin[1]), h, w)(img)
+    return _masked(img, out, mask)
+
+
+@functools.lru_cache(maxsize=32)
+def _dents_fn(scale, amount, seed, octaves, roughness, pinch, wrap, h, w):
+    inv_scale = f32(1.0) / f32(max(scale, 0.5))
+    oct_n = int(np.clip(octaves, 1, 8))
+
+    @jax.jit
+    def run(img):
+        xs, ys = _coord_grids(h, w)
+        nx_raw = turbulence_2d(xs * inv_scale, ys * inv_scale, seed, oct_n, roughness) * 2.0 - 1.0
+        ny_raw = (
+            turbulence_2d(xs * inv_scale, ys * inv_scale, (seed + 9999) & 0xFFFFFFFF, oct_n, roughness)
+            * 2.0
+            - 1.0
+        )
+        if pinch:
+            cx = f32(w) * f32(0.5)
+            cy = f32(h) * f32(0.5)
+            dx = xs - cx
+            dy = ys - cy
+            dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1.0)
+            factor = (1.0 - dist / f32(max(cx, cy))) * 0.5
+            nx = nx_raw + dx / dist * factor
+            ny = ny_raw + dy / dist * factor
+        else:
+            nx, ny = nx_raw, ny_raw
+        src_x = xs + nx * f32(amount) * f32(scale)
+        src_y = ys + ny * f32(amount) * f32(scale)
+        if wrap:
+            src_x = src_x - jnp.floor(src_x / f32(w)) * f32(w)
+            src_y = src_y - jnp.floor(src_y / f32(h)) * f32(h)
+        return round_u8(sample_bilinear(img, src_x, src_y))
+
+    return run
+
+
+def dents(img, scale, amount, seed=42, octaves=2, roughness=0.5, pinch=False,
+          wrap=False, mask=None):
+    """Turbulence-field displacement warp (distort.rs:248-310)."""
+    h, w = img.shape[:2]
+    out = _dents_fn(
+        float(scale), float(amount), int(seed), int(octaves), float(roughness),
+        bool(pinch), bool(wrap), h, w
+    )(img)
+    return _masked(img, out, mask)

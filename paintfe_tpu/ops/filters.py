@@ -1,0 +1,399 @@
+"""Convolution / neighborhood filters: the blur family, sharpen, median.
+
+Behavioral contract: src/ops/filters.rs (separable Gaussian, kernel
+truncated at ceil(3*sigma), H pass u8->f32, V pass f32->u8 round-half-up)
+and src/ops/effects/{blur,noise,stylize}.rs (box / motion / bokeh / zoom
+blur, median window sort, bilateral reduce-noise, unsharp mask, glow).
+
+TPU shape: each separable pass unrolls the tap loop into a chain of fused
+shift+multiply+adds over the whole [H, W, 4] image — XLA fuses them into one
+elementwise kernel; edge clamping becomes precomputed gather indices.
+Integer-exact ops (box, bokeh, motion, zoom, median) are order-insensitive;
+the Gaussian accumulates f32 in reference tap order for golden parity.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paintfe_tpu.utils.quant import round_u8
+
+f32 = np.float32
+
+
+def _masked(img, out, mask):
+    if mask is None:
+        return out
+    return jnp.where((mask > 0)[..., None], out, img)
+
+
+def _round_half_away(x):
+    """Rust f32::round — half away from zero (for coordinate rounding)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def to_radians_f32(deg) -> np.float32:
+    """f32 deg->rad exactly like Rust f32::to_radians (mul by f32 PI/180)."""
+    return f32(f32(deg) * (f32(np.pi) / f32(180.0)))
+
+
+def _shift_x(img, d, w):
+    idx = np.clip(np.arange(w) + d, 0, w - 1)
+    return img[:, idx]
+
+
+def _shift_y(img, d, h):
+    idx = np.clip(np.arange(h) + d, 0, h - 1)
+    return img[idx, :]
+
+
+# ---------------------------------------------------------------------------
+# Gaussian
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kernel(sigma: float) -> np.ndarray:
+    """1-D kernel truncated at ceil(3*sigma), normalized (f32 exact)."""
+    radius = int(math.ceil(sigma * 3.0))
+    if radius == 0:
+        return np.ones(1, f32)
+    xs = np.arange(2 * radius + 1, dtype=f32) - f32(radius)
+    s2 = f32(2.0) * f32(sigma) * f32(sigma)
+    k = np.exp(-xs * xs / s2).astype(f32)
+    inv = f32(1.0) / f32(k.sum(dtype=f32))
+    return (k * inv).astype(f32)
+
+
+@functools.lru_cache(maxsize=128)
+def _gaussian_fn(sigma: float, h: int, w: int):
+    taps = gaussian_kernel(sigma)
+    r = len(taps) // 2
+
+    @jax.jit
+    def run(img):
+        src = img.astype(jnp.float32)
+        acc = jnp.zeros_like(src)
+        for ki, kv in enumerate(taps):  # H pass, reference tap order
+            acc = acc + _shift_x(src, ki - r, w) * f32(kv)
+        out = jnp.zeros_like(acc)
+        for ki, kv in enumerate(taps):  # V pass
+            out = out + _shift_y(acc, ki - r, h) * f32(kv)
+        return round_u8(out)
+
+    return run
+
+
+def gaussian_blur(img, sigma: float, mask=None):
+    """Full-image separable Gaussian blur (filters.rs:242-316)."""
+    h, w = img.shape[:2]
+    out = _gaussian_fn(float(sigma), h, w)(img)
+    return _masked(img, out, mask)
+
+
+def gaussian_blur_with_selection(img, sigma: float, mask=None):
+    """Selection-aware Gaussian: blur only the padded selection bbox, then
+    copy selected pixels back (filters.rs:130-207).  Bbox extraction is a
+    host-side decision (data-dependent shape), matching the reference's
+    region cutout semantics: clamping happens at the *cutout* edges.
+    """
+    if mask is None or not np.asarray(mask).any():
+        if mask is not None and not np.asarray(mask).any():
+            return img  # nothing selected
+        return gaussian_blur(img, sigma)
+    img_np = np.asarray(img)
+    m = np.asarray(mask)
+    ys, xs = np.nonzero(m)
+    pad = int(math.ceil(sigma * 3.0))
+    h, w = img_np.shape[:2]
+    y0 = max(int(ys.min()) - pad, 0)
+    y1 = min(int(ys.max()) + pad + 1, h)
+    x0 = max(int(xs.min()) - pad, 0)
+    x1 = min(int(xs.max()) + pad + 1, w)
+    region = img_np[y0:y1, x0:x1]
+    blurred = np.asarray(gaussian_blur(region, sigma))
+    out = img_np.copy()
+    sel = m[y0:y1, x0:x1] > 0
+    out[y0:y1, x0:x1][sel] = blurred[sel]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Box
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _box_fn(r: int, h: int, w: int):
+    k = 2 * r + 1
+    div = np.uint32(k)
+    half = np.uint32(k // 2)
+
+    @jax.jit
+    def run(img):
+        src = img.astype(jnp.uint32)
+        sums = jnp.zeros_like(src)
+        for d in range(-r, r + 1):
+            sums = sums + _shift_x(src, d, w)
+        hbuf = ((sums + half) // div).astype(jnp.uint8).astype(jnp.uint32)
+        sums = jnp.zeros_like(hbuf)
+        for d in range(-r, r + 1):
+            sums = sums + _shift_y(hbuf, d, h)
+        return ((sums + half) // div).astype(jnp.uint8)
+
+    return run
+
+
+def box_blur(img, radius: float, mask=None):
+    """Separable box blur, u8 intermediate, integer round-half-up
+    (effects/blur.rs:233-318)."""
+    if radius < 0.5:
+        return img
+    h, w = img.shape[:2]
+    out = _box_fn(int(math.ceil(radius)), h, w)(img)
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Motion
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=128)
+def _motion_fn(angle_deg: float, distance: float, h: int, w: int):
+    angle = to_radians_f32(angle_deg)
+    steps = int(math.ceil(distance))
+    dx = f32(np.cos(angle))
+    dy = f32(np.sin(angle))
+    inv = f32(1.0) / f32(steps * 2 + 1)
+
+    @jax.jit
+    def run(img):
+        src = img.astype(jnp.uint32)
+        acc = jnp.zeros((h, w, 4), jnp.uint32)
+        xs = jnp.arange(w, dtype=jnp.float32)
+        ys = jnp.arange(h, dtype=jnp.float32)
+        for i in range(-steps, steps + 1):
+            sx = jnp.clip(
+                _round_half_away(xs + f32(i) * dx).astype(jnp.int32), 0, w - 1
+            )
+            sy = jnp.clip(
+                _round_half_away(ys + f32(i) * dy).astype(jnp.int32), 0, h - 1
+            )
+            acc = acc + src[sy][:, sx]
+        return round_u8(acc.astype(jnp.float32) * inv)
+
+    return run
+
+
+def motion_blur(img, angle_deg: float, distance: float, mask=None):
+    """Directional line-sample average (effects/blur.rs:144-210).  Sample
+    sums are integers, so accumulation in u32 is exact."""
+    if distance < 1.0:
+        return img
+    h, w = img.shape[:2]
+    out = _motion_fn(float(angle_deg), float(distance), h, w)(img)
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Bokeh (equal-weight disc)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _bokeh_fn(radius: float, h: int, w: int):
+    r = int(math.ceil(radius))
+    r2 = f32(radius) * f32(radius)
+    spans = []
+    count = 0
+    for dyy in range(-r, r + 1):
+        remaining = r2 - f32(dyy * dyy)
+        if remaining >= 0.0:
+            span = int(np.floor(np.sqrt(remaining)))
+            spans.append((dyy, span))
+            count += span * 2 + 1
+    inv = f32(1.0) / f32(count)
+
+    @jax.jit
+    def run(img):
+        src = img.astype(jnp.uint32)
+        acc = jnp.zeros_like(src)
+        for dyy, span in spans:
+            row = _shift_y(src, dyy, h)
+            for dxx in range(-span, span + 1):
+                acc = acc + _shift_x(row, dxx, w)
+        return round_u8(acc.astype(jnp.float32) * inv)
+
+    return run
+
+
+def bokeh_blur(img, radius: float, mask=None):
+    """Exact equal-weight disc average (effects/blur.rs:22-115)."""
+    if radius < 0.5:
+        return img
+    h, w = img.shape[:2]
+    out = _bokeh_fn(float(radius), h, w)(img)
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Zoom (radial)
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _zoom_fn(cx_n, cy_n, strength, samples, tint, tint_strength, h, w):
+    cx = f32(cx_n) * f32(w)
+    cy = f32(cy_n) * f32(h)
+    s = f32(np.clip(strength, 0.0, 0.99))
+    n = max(int(samples), 2)
+    inv_n = f32(1.0) / f32(n)
+    corners = [(cx, cy), (f32(w) - cx, cy), (cx, f32(h) - cy), (f32(w) - cx, f32(h) - cy)]
+    max_dist = max(max(float(np.sqrt(a * a + b * b)) for a, b in corners), 1.0)
+
+    @jax.jit
+    def run(img):
+        src = img.astype(jnp.uint32)
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
+        dx = xs - cx
+        dy = ys - cy
+        acc = jnp.zeros((h, w, 4), jnp.uint32)
+        for i in range(n):
+            t = f32(1.0) - s * (f32(i) / f32(n - 1))
+            sx = jnp.clip(_round_half_away(cx + dx * t).astype(jnp.int32), 0, w - 1)
+            sy = jnp.clip(_round_half_away(cy + dy * t).astype(jnp.int32), 0, h - 1)
+            acc = acc + src[sy, sx]
+        out = acc.astype(jnp.float32) * inv_n
+        if tint_strength > 0.001:
+            dist = jnp.sqrt(dx * dx + dy * dy)
+            tt = jnp.maximum(1.0 - dist / f32(max_dist), 0.0) * f32(tint_strength)
+            tint_v = jnp.asarray(tint, jnp.float32) * 255.0
+            out = out + (tint_v[None, None, :] - out) * tt[..., None]
+        return round_u8(out)
+
+    return run
+
+
+def zoom_blur(img, center_x=0.5, center_y=0.5, strength=0.3, samples=8,
+              tint_color=(0.0, 0.0, 0.0, 0.0), tint_strength=0.0, mask=None):
+    """Radial zoom streaks toward a normalized center (effects/blur.rs:322-427)."""
+    if strength < 0.001:
+        return img
+    h, w = img.shape[:2]
+    out = _zoom_fn(
+        float(center_x), float(center_y), float(strength), int(samples),
+        tuple(float(c) for c in tint_color), float(tint_strength), h, w
+    )(img)
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Unsharp mask / glow
+# ---------------------------------------------------------------------------
+
+
+def sharpen(img, amount: float, radius: float, mask=None):
+    """Unsharp mask: out = src + amount*(src - gaussian(src, radius)); RGB
+    only, alpha preserved (effects/stylize.rs:96-141)."""
+    h, w = img.shape[:2]
+    blurred = _gaussian_fn(float(radius), h, w)(img)
+
+    @jax.jit
+    def mix(src_u8, blur_u8, amt):
+        s = src_u8.astype(jnp.float32)
+        b = blur_u8.astype(jnp.float32)
+        rgb = round_u8(s[..., 0:3] + amt * (s[..., 0:3] - b[..., 0:3]))
+        return jnp.concatenate([rgb, src_u8[..., 3:4]], axis=-1)
+
+    out = mix(img, blurred, jnp.float32(float(amount)))
+    return _masked(img, out, mask)
+
+
+def glow(img, radius: float, intensity: float, mask=None):
+    """Screen-blend of source with its blur scaled by intensity
+    (effects/stylize.rs:26-72): 1-(1-s)(1-b*i) per RGB channel in [0,1]."""
+    h, w = img.shape[:2]
+    blurred = _gaussian_fn(float(radius), h, w)(img)
+
+    @jax.jit
+    def mix(src_u8, blur_u8, inten):
+        s = src_u8.astype(jnp.float32) / 255.0
+        b = blur_u8.astype(jnp.float32) / 255.0
+        res = 1.0 - (1.0 - s[..., 0:3]) * (1.0 - b[..., 0:3] * inten)
+        rgb = round_u8(res * 255.0)
+        return jnp.concatenate([rgb, src_u8[..., 3:4]], axis=-1)
+
+    out = mix(img, blurred, jnp.float32(float(intensity)))
+    return _masked(img, out, mask)
+
+
+# ---------------------------------------------------------------------------
+# Median / reduce-noise
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _median_fn(r: int, h: int, w: int):
+    @jax.jit
+    def run(img):
+        stack = []
+        for dyy in range(-r, r + 1):
+            row = _shift_y(img, dyy, h)
+            for dxx in range(-r, r + 1):
+                stack.append(_shift_x(row, dxx, w))
+        window = jnp.stack(stack)  # [k^2, H, W, 4]
+        srt = jnp.sort(window, axis=0)
+        return srt[window.shape[0] // 2]
+
+    return run
+
+
+def median(img, radius: int, mask=None):
+    """Per-channel window-sort median (effects/noise.rs:357-411)."""
+    h, w = img.shape[:2]
+    out = _median_fn(max(int(radius), 1), h, w)(img)
+    return _masked(img, out, mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _reduce_noise_fn(strength: float, r: int, h: int, w: int):
+    sigma_s = f32(r)
+    sigma_r = f32(strength) * f32(2.55)
+    spatial_div = f32(2.0) * sigma_s * sigma_s
+    range_div = f32(2.0) * sigma_r * sigma_r + f32(0.001)
+
+    @jax.jit
+    def run(img):
+        src = img.astype(jnp.float32)
+        c = src[..., 0:3]
+        sums = jnp.zeros_like(src)
+        wsum = jnp.zeros((h, w), jnp.float32)
+        for dyy in range(-r, r + 1):  # reference accumulation order
+            row = _shift_y(src, dyy, h)
+            for dxx in range(-r, r + 1):
+                p = _shift_x(row, dxx, w)
+                diff = c - p[..., 0:3]
+                spatial = f32(dxx * dxx + dyy * dyy) / spatial_div
+                rng = jnp.sum(diff * diff, axis=-1) / range_div
+                weight = jnp.exp(-spatial - rng)
+                sums = sums + p * weight[..., None]
+                wsum = wsum + weight
+        inv = 1.0 / jnp.where(wsum > 0.0, wsum, 1.0)
+        out = round_u8(sums * inv[..., None])
+        return jnp.where((wsum > 0.0)[..., None], out, img)
+
+    return run
+
+
+def reduce_noise(img, strength: float, radius: int, mask=None):
+    """Bilateral filter: spatial sigma = radius, range sigma = strength*2.55
+    (effects/noise.rs:172-261)."""
+    h, w = img.shape[:2]
+    out = _reduce_noise_fn(float(strength), max(int(radius), 1), h, w)(img)
+    return _masked(img, out, mask)
