@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from paintfe_tpu.utils.hashing import hash_f32, turbulence_2d
-from paintfe_tpu.utils.quant import round_u8
+from paintfe_tpu.utils.quant import exact_div, round_u8
 
 f32 = np.float32
 
@@ -107,8 +107,8 @@ def _crystallize_fn(cs: float, seed: int, h: int, w: int):
         seed_y = (cys.astype(jnp.float32) * cs + jy * cs).reshape(-1)
 
         xs, ys = _coord_grids(h, w)
-        gcx = (xs / cs).astype(jnp.int32)
-        gcy = (ys / cs).astype(jnp.int32)
+        gcx = exact_div(xs, cs).astype(jnp.int32)
+        gcy = exact_div(ys, cs).astype(jnp.int32)
         px = xs + 0.5
         py = ys + 0.5
 
@@ -171,7 +171,7 @@ def _bulge_fn(amount: float, ox: float, oy: float, h: int, w: int):
         dx = xs - cx
         dy = ys - cy
         dist = jnp.sqrt(dx * dx + dy * dy)
-        norm = jnp.minimum(dist / max_r, 1.0)
+        norm = jnp.minimum(exact_div(dist, max_r), 1.0)
         falloff = 1.0 - norm
         if amount > 0.0:
             factor = 1.0 - falloff * strength * f32(0.5)
@@ -210,7 +210,7 @@ def _twist_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
         dx = xs - cx
         dy = ys - cy
         dist = jnp.sqrt(dx * dx + dy * dy)
-        rotation = twist_amount * (1.0 - dist / max_r)
+        rotation = twist_amount * (1.0 - exact_div(dist, max_r))
         cos_r = jnp.cos(rotation)
         sin_r = jnp.sin(rotation)
         src_x = cx + dx * cos_r - dy * sin_r
@@ -247,7 +247,7 @@ def _dents_fn(scale, amount, seed, octaves, roughness, pinch, wrap, h, w):
             dx = xs - cx
             dy = ys - cy
             dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1.0)
-            factor = (1.0 - dist / f32(max(cx, cy))) * 0.5
+            factor = (1.0 - exact_div(dist, f32(max(cx, cy)))) * 0.5
             nx = nx_raw + dx / dist * factor
             ny = ny_raw + dy / dist * factor
         else:
@@ -255,8 +255,8 @@ def _dents_fn(scale, amount, seed, octaves, roughness, pinch, wrap, h, w):
         src_x = xs + nx * f32(amount) * f32(scale)
         src_y = ys + ny * f32(amount) * f32(scale)
         if wrap:
-            src_x = src_x - jnp.floor(src_x / f32(w)) * f32(w)
-            src_y = src_y - jnp.floor(src_y / f32(h)) * f32(h)
+            src_x = src_x - jnp.floor(exact_div(src_x, f32(w))) * f32(w)
+            src_y = src_y - jnp.floor(exact_div(src_y, f32(h))) * f32(h)
         return round_u8(sample_bilinear(img, src_x, src_y))
 
     return run

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paintfe_tpu.utils.quant import round_u8
+from paintfe_tpu.utils.quant import exact_div, round_u8
 
 f32 = np.float32
 
@@ -272,7 +272,7 @@ def _zoom_fn(cx_n, cy_n, strength, samples, tint, tint_strength, h, w):
         out = acc.astype(jnp.float32) * inv_n
         if tint_strength > 0.001:
             dist = jnp.sqrt(dx * dx + dy * dy)
-            tt = jnp.maximum(1.0 - dist / f32(max_dist), 0.0) * f32(tint_strength)
+            tt = jnp.maximum(1.0 - exact_div(dist, f32(max_dist)), 0.0) * f32(tint_strength)
             tint_v = jnp.asarray(tint, jnp.float32) * 255.0
             out = out + (tint_v[None, None, :] - out) * tt[..., None]
         return round_u8(out)
@@ -379,8 +379,8 @@ def _reduce_noise_fn(strength: float, r: int, h: int, w: int):
             for dxx in range(-r, r + 1):
                 p = _shift_x(row, dxx, w)
                 diff = c - p[..., 0:3]
-                spatial = f32(dxx * dxx + dyy * dyy) / spatial_div
-                rng = jnp.sum(diff * diff, axis=-1) / range_div
+                spatial = exact_div(f32(dxx * dxx + dyy * dyy), spatial_div)
+                rng = exact_div(jnp.sum(diff * diff, axis=-1), range_div)
                 weight = jnp.exp(-spatial - rng)
                 sums = sums + p * weight[..., None]
                 wsum = wsum + weight
