@@ -1,0 +1,97 @@
+"""Public script-execution API.
+
+Behavioral contract: scripting.rs:1489-1821 — `compile_script`,
+`execute_script_sync(source, pixels, w, h, mask) -> (pixels, w, h, console,
+canvas_ops)`; ScriptError carries a message plus best-effort line/column.
+`apply_canvas_ops` replays canvas-wide requests on the other layers
+(scripting.rs:1640-1723).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from paintfe_tpu.ops import transform as tfm
+from paintfe_tpu.scripting.api import CanvasOpRequest, ScriptContext, build_host_fns
+from paintfe_tpu.scripting.interp import Interpreter, RhaiRuntimeError
+from paintfe_tpu.scripting.rhai_ast import RhaiSyntaxError, parse
+
+
+@dataclasses.dataclass
+class ScriptError(Exception):
+    message: str
+    line: Optional[int] = None
+    column: Optional[int] = None
+
+    def __str__(self):
+        loc = f" (line {self.line}, position {self.column})" if self.line else ""
+        return self.message + loc
+
+
+def compile_script(source: str):
+    """Parse-check a script; raises ScriptError on syntax errors."""
+    try:
+        return parse(source)
+    except RhaiSyntaxError as e:
+        raise ScriptError(e.message, e.line, e.column)
+
+
+def execute_script_sync(
+    source: str,
+    pixels: np.ndarray,
+    width: int,
+    height: int,
+    mask: Optional[np.ndarray] = None,
+    rng_seed: Optional[int] = None,
+) -> Tuple[np.ndarray, int, int, List[str], List[CanvasOpRequest]]:
+    """Run a script synchronously on one layer buffer.
+
+    `pixels` may be flat RGBA bytes or [H, W, 4]; returns the possibly
+    resized buffer plus console output and queued canvas ops.
+    """
+    compile_script(source)  # surface syntax errors first, like engine.compile
+    ctx = ScriptContext(np.asarray(pixels, np.uint8), width, height, mask, rng_seed)
+    interp_ref = {}
+    fns = build_host_fns(ctx, interp_ref)
+    interp = Interpreter(fns)
+    interp_ref["interp"] = interp
+    try:
+        interp.run(source)
+    except RhaiSyntaxError as e:
+        raise ScriptError(e.message, e.line, e.column)
+    except RhaiRuntimeError as e:
+        raise ScriptError(e.message)
+    return ctx.pixels, ctx.width, ctx.height, ctx.console, ctx.canvas_ops
+
+
+def apply_canvas_ops(canvas, ops: List[CanvasOpRequest], skip_layer: int):
+    """Replay canvas-wide ops on every layer except `skip_layer` (which
+    already received them inside the script), then fix canvas dims
+    (scripting.rs:1640-1723)."""
+    for op in ops:
+        for idx, layer in enumerate(canvas.layers):
+            if idx == skip_layer:
+                continue
+            if op.kind == "flip_h":
+                layer.pixels = tfm.flip_horizontal(layer.pixels)
+            elif op.kind == "flip_v":
+                layer.pixels = tfm.flip_vertical(layer.pixels)
+            elif op.kind == "rot90cw":
+                layer.pixels = tfm.rotate_90cw(layer.pixels)
+            elif op.kind == "rot90ccw":
+                layer.pixels = tfm.rotate_90ccw(layer.pixels)
+            elif op.kind == "rot180":
+                layer.pixels = tfm.rotate_180(layer.pixels)
+            elif op.kind == "resize_image":
+                layer.pixels = tfm.resize(layer.pixels, op.w, op.h, op.filter)
+            elif op.kind == "resize_canvas":
+                layer.pixels = tfm.resize_canvas(layer.pixels, op.w, op.h, op.anchor)
+        if op.kind in ("rot90cw", "rot90ccw"):
+            canvas.width, canvas.height = canvas.height, canvas.width
+        elif op.kind in ("resize_image", "resize_canvas"):
+            canvas.width, canvas.height = op.w, op.h
+        if canvas.selection is not None and op.kind != "flip_h":
+            canvas.selection = None

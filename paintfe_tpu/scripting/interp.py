@@ -1,0 +1,392 @@
+"""Tree-walking evaluator with Rhai value semantics.
+
+Matches the engine limits and numeric behavior the reference configures
+(src/ops/scripting.rs:284-317): 50M-operation budget, i64/f64 arithmetic,
+integer division truncates toward zero, division by zero is a runtime error.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from paintfe_tpu.scripting.rhai_ast import parse
+
+MAX_OPERATIONS = 50_000_000
+MAX_CALL_DEPTH = 64
+
+UNIT = object()  # Rhai's ()
+
+
+class RhaiRuntimeError(Exception):
+    def __init__(self, message):
+        super().__init__(message)
+        self.message = message
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class Closure:
+    def __init__(self, params, body, scope_chain):
+        self.params = params
+        self.body = body
+        self.scope_chain = scope_chain
+
+
+class RhaiRange:
+    def __init__(self, lo, hi, inclusive):
+        self.lo = lo
+        self.hi = hi
+        self.inclusive = inclusive
+
+    def __iter__(self):
+        hi = self.hi + 1 if self.inclusive else self.hi
+        return iter(range(self.lo, hi))
+
+
+def to_display(v) -> str:
+    """Rhai value -> string (for print/template interpolation)."""
+    if v is UNIT or v is None:
+        return ""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ", ".join(to_display(x) for x in v) + "]"
+    return str(v)
+
+
+def _truthy(v):
+    if isinstance(v, bool):
+        return v
+    raise RhaiRuntimeError(f"expected bool condition, got {type(v).__name__}")
+
+
+class Interpreter:
+    """One script run.  `host_fns` maps name -> (python callable taking
+    evaluated args; may also accept Closure values)."""
+
+    def __init__(self, host_fns: Dict[str, Any], max_operations: int = MAX_OPERATIONS):
+        self.host_fns = host_fns
+        self.ops = 0
+        self.max_operations = max_operations
+        self.globals: Dict[str, Any] = {}
+        self.user_fns: Dict[str, Any] = {}
+        self.depth = 0
+
+    # -- operation budget ----------------------------------------------------
+
+    def tick(self):
+        self.ops += 1
+        if self.ops > self.max_operations:
+            raise RhaiRuntimeError(
+                f"script exceeded the operation limit ({self.max_operations})"
+            )
+
+    # -- execution -----------------------------------------------------------
+
+    def run(self, source: str):
+        ast = parse(source)
+        # hoist fn declarations
+        for stmt in ast[1]:
+            if stmt[0] == "fn":
+                self.user_fns[stmt[1]] = (stmt[2], stmt[3])
+        self.exec_block(ast, [self.globals])
+        return None
+
+    def exec_block(self, block, scopes: List[dict]):
+        value = UNIT
+        for stmt in block[1]:
+            value = self.exec_stmt(stmt, scopes)
+        return value
+
+    def exec_stmt(self, stmt, scopes):
+        self.tick()
+        kind = stmt[0]
+        if kind in ("let", "const"):
+            scopes[-1][stmt[1]] = self.eval(stmt[2], scopes)
+            return UNIT
+        if kind == "fn":
+            self.user_fns[stmt[1]] = (stmt[2], stmt[3])
+            return UNIT
+        if kind == "assign":
+            self._assign(stmt[1], stmt[2], self.eval(stmt[3], scopes), scopes)
+            return UNIT
+        if kind == "expr":
+            v = self.eval(stmt[1], scopes)
+            return UNIT if stmt[2] else v  # semicolon discards the value
+        if kind == "while":
+            while _truthy(self.eval(stmt[1], scopes)):
+                self.tick()
+                try:
+                    self.exec_block(stmt[2], scopes + [{}])
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNIT
+        if kind == "loop":
+            while True:
+                self.tick()
+                try:
+                    self.exec_block(stmt[1], scopes + [{}])
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNIT
+        if kind == "for":
+            iterable = self.eval(stmt[2], scopes)
+            if isinstance(iterable, RhaiRange):
+                it = iterable
+            elif isinstance(iterable, list):
+                it = iterable
+            else:
+                raise RhaiRuntimeError("for loop needs a range or array")
+            for v in it:
+                self.tick()
+                try:
+                    self.exec_block(stmt[3], scopes + [{stmt[1]: v}])
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            return UNIT
+        if kind == "break":
+            raise _Break()
+        if kind == "continue":
+            raise _Continue()
+        if kind == "return":
+            raise _Return(UNIT if stmt[1] is None else self.eval(stmt[1], scopes))
+        raise RhaiRuntimeError(f"unknown statement {kind}")
+
+    def _assign(self, target, op, value, scopes):
+        if target[0] == "var":
+            name = target[1]
+            for scope in reversed(scopes):
+                if name in scope:
+                    if op != "=":
+                        value = self._binop(op[0], scope[name], value)
+                    scope[name] = value
+                    return
+            raise RhaiRuntimeError(f"variable '{name}' not found")
+        if target[0] == "index":
+            obj = self.eval(target[1], scopes)
+            idx = self.eval(target[2], scopes)
+            if not isinstance(obj, list):
+                raise RhaiRuntimeError("indexed assignment needs an array")
+            if op != "=":
+                value = self._binop(op[0], obj[idx], value)
+            obj[idx] = value
+            return
+        raise RhaiRuntimeError("invalid assignment target")
+
+    # -- expressions ---------------------------------------------------------
+
+    def eval(self, e, scopes):
+        self.tick()
+        kind = e[0]
+        if kind == "int" or kind == "float" or kind == "str" or kind == "bool":
+            return e[1]
+        if kind == "unit":
+            return UNIT
+        if kind == "tstr":
+            out = []
+            for pk, payload in e[1]:
+                out.append(payload if pk == "lit" else to_display(self.eval(payload, scopes)))
+            return "".join(out)
+        if kind == "var":
+            name = e[1]
+            for scope in reversed(scopes):
+                if name in scope:
+                    return scope[name]
+            raise RhaiRuntimeError(f"variable '{name}' not found")
+        if kind == "array":
+            return [self.eval(x, scopes) for x in e[1]]
+        if kind == "index":
+            obj = self.eval(e[1], scopes)
+            idx = self.eval(e[2], scopes)
+            try:
+                return obj[idx]
+            except (IndexError, TypeError, KeyError) as exc:
+                raise RhaiRuntimeError(f"index error: {exc}")
+        if kind == "bin":
+            return self._binop(e[1], self.eval(e[2], scopes), self.eval(e[3], scopes))
+        if kind == "un":
+            v = self.eval(e[2], scopes)
+            if e[1] == "-":
+                return -v
+            if e[1] == "!":
+                return not _truthy(v)
+        if kind == "and":
+            return _truthy(self.eval(e[1], scopes)) and _truthy(self.eval(e[2], scopes))
+        if kind == "or":
+            return _truthy(self.eval(e[1], scopes)) or _truthy(self.eval(e[2], scopes))
+        if kind == "range":
+            lo = self.eval(e[1], scopes)
+            hi = self.eval(e[2], scopes)
+            return RhaiRange(int(lo), int(hi), e[3])
+        if kind == "if":
+            if _truthy(self.eval(e[1], scopes)):
+                return self.exec_block(e[2], scopes + [{}])
+            if e[3] is not None:
+                return self.exec_block(e[3], scopes + [{}])
+            return UNIT
+        if kind == "block":
+            return self.exec_block(e, scopes + [{}])
+        if kind == "closure":
+            return Closure(e[1], e[2], scopes)
+        if kind == "call":
+            args = [self.eval(a, scopes) for a in e[2]]
+            return self.call_function(e[1], args, scopes)
+        if kind == "method":
+            obj = self.eval(e[1], scopes)
+            args = None if e[3] is None else [self.eval(a, scopes) for a in e[3]]
+            return self._method(obj, e[2], args)
+        raise RhaiRuntimeError(f"unknown expression {kind}")
+
+    def call_function(self, name, args, scopes):
+        if name in self.user_fns:
+            params, body = self.user_fns[name]
+            if len(params) != len(args):
+                raise RhaiRuntimeError(f"function '{name}' expects {len(params)} args")
+            self.depth += 1
+            if self.depth > MAX_CALL_DEPTH:
+                self.depth -= 1
+                raise RhaiRuntimeError("maximum call depth exceeded")
+            try:
+                local = dict(zip(params, args))
+                try:
+                    return self.exec_block(body, [self.globals, local])
+                except _Return as r:
+                    return r.value
+            finally:
+                self.depth -= 1
+        fn = self.host_fns.get(name)
+        if fn is None:
+            raise RhaiRuntimeError(f"function not found: {name} ({len(args)} args)")
+        return fn(*args)
+
+    def call_closure(self, closure: Closure, args):
+        if len(closure.params) != len(args):
+            raise RhaiRuntimeError(
+                f"closure expects {len(closure.params)} args, got {len(args)}"
+            )
+        local = dict(zip(closure.params, args))
+        try:
+            return self.exec_block(closure.body, list(closure.scope_chain) + [local])
+        except _Return as r:
+            return r.value
+
+    # -- operators -----------------------------------------------------------
+
+    def _binop(self, op, l, r):
+        import numpy as np
+
+        is_arr = isinstance(l, np.ndarray) or isinstance(r, np.ndarray)
+        both_int = (isinstance(l, int) and not isinstance(l, bool)) and (
+            isinstance(r, int) and not isinstance(r, bool)
+        )
+        if op == "+":
+            if isinstance(l, str) or isinstance(r, str):
+                return to_display(l) + to_display(r) if not (isinstance(l, str) and isinstance(r, str)) else l + r
+            return l + r
+        if op == "-":
+            return l - r
+        if op == "*":
+            return l * r
+        if op == "/":
+            if both_int:
+                if r == 0:
+                    raise RhaiRuntimeError("division by zero")
+                q = abs(l) // abs(r)
+                return q if (l >= 0) == (r >= 0) else -q
+            if is_arr:
+                return l / r  # vectorized float semantics
+            if isinstance(r, (int, float)) and r == 0 and both_int:
+                raise RhaiRuntimeError("division by zero")
+            return l / r
+        if op == "%":
+            if both_int:
+                if r == 0:
+                    raise RhaiRuntimeError("modulo by zero")
+                return int(float(np.fmod(l, r)))  # Rust % truncates toward zero
+            return np.fmod(l, r) if is_arr else float(np.fmod(l, r))
+        if op == "**":
+            return l**r
+        if op == "==":
+            return l == r
+        if op == "!=":
+            return l != r
+        if op == "<":
+            return l < r
+        if op == "<=":
+            return l <= r
+        if op == ">":
+            return l > r
+        if op == ">=":
+            return l >= r
+        raise RhaiRuntimeError(f"unknown operator {op}")
+
+    def _method(self, obj, name, args):
+        import math
+
+        if args is None:  # property access
+            if name == "len" and isinstance(obj, (list, str)):
+                return len(obj)
+            raise RhaiRuntimeError(f"unknown property '{name}'")
+        if isinstance(obj, list):
+            if name == "len":
+                return len(obj)
+            if name == "push":
+                obj.append(args[0])
+                return UNIT
+            if name == "pop":
+                return obj.pop() if obj else UNIT
+            if name == "clear":
+                obj.clear()
+                return UNIT
+            if name == "contains":
+                return args[0] in obj
+        if isinstance(obj, str):
+            if name == "len":
+                return len(obj)
+            if name == "to_upper":
+                return obj.upper()
+            if name == "to_lower":
+                return obj.lower()
+            if name == "contains":
+                return args[0] in obj
+        if isinstance(obj, float) or isinstance(obj, int):
+            if name == "abs":
+                return abs(obj)
+            if name == "floor":
+                return math.floor(obj)
+            if name == "ceil":
+                return math.ceil(obj)
+            if name == "round":
+                return float(math.floor(obj + 0.5)) if obj >= 0 else float(math.ceil(obj - 0.5))
+            if name == "sqrt":
+                return math.sqrt(obj)
+            if name == "to_int":
+                return int(obj)
+            if name == "to_float":
+                return float(obj)
+            if name == "to_string":
+                return to_display(obj)
+        if name == "to_string":
+            return to_display(obj)
+        raise RhaiRuntimeError(f"unknown method '{name}' on {type(obj).__name__}")
