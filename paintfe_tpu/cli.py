@@ -1,0 +1,213 @@
+"""Headless CLI batch mode.
+
+Behavioral contract: src/cli.rs — flags (-i/--input globs, -s/--script,
+-o/--output, --output-dir, -f/--format, -q/--quality, --webp-lossy,
+--tiff-compression, --flatten, -v/--verbose), glob resolve/dedup
+(cli.rs:315-350), per-file pipeline load -> script on active layer ->
+canvas-op replay -> flatten -> encode (cli.rs:222-303), format inference
+(cli.rs:354-390), collision-safe `_out` suffix (cli.rs:399-427), exit code
+0 all-ok / 1 any-failure with keep-going semantics (cli.rs:155-216).
+
+TPU addition over the reference: `--shard` distributes the batch loop over
+the device mesh via paintfe_tpu.parallel (the reference loops serially).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob as globlib
+import pathlib
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from paintfe_tpu.core.canvas import Canvas, Layer, canonicalize_tiles
+from paintfe_tpu.io import codecs, pfe
+from paintfe_tpu.scripting import ScriptError, apply_canvas_ops, execute_script_sync
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="paintfe-tpu",
+        description="PaintFE-compatible headless batch processor (TPU-native)",
+    )
+    p.add_argument("-i", "--input", nargs="+", required=True,
+                   help="input file(s); glob patterns accepted")
+    p.add_argument("-s", "--script", metavar="SCRIPT.rhai",
+                   help="script to execute on each input image")
+    p.add_argument("-o", "--output", metavar="FILE",
+                   help="output path (single-file input only)")
+    p.add_argument("--output-dir", metavar="DIR",
+                   help="output directory for batch processing")
+    p.add_argument("-f", "--format",
+                   help="png, jpeg, webp, bmp, tga, ico, tiff, gif, pfe")
+    p.add_argument("-q", "--quality", type=int, default=90, metavar="1-100")
+    p.add_argument("--webp-lossy", action="store_true",
+                   help="write WebP lossily using --quality")
+    p.add_argument("--tiff-compression", default="none",
+                   choices=["none", "lzw", "deflate"])
+    p.add_argument("--flatten", action=argparse.BooleanOptionalAction, default=True,
+                   help="flatten visible layers before saving")
+    p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the batch across available accelerator devices")
+    return p
+
+
+def resolve_inputs(patterns: List[str]) -> List[pathlib.Path]:
+    """Literal paths first, else glob expansion; ordered, deduplicated."""
+    result: List[pathlib.Path] = []
+    for pattern in patterns:
+        as_path = pathlib.Path(pattern)
+        if as_path.exists():
+            if as_path not in result:
+                result.append(as_path)
+            continue
+        matches = sorted(globlib.glob(pattern))
+        if not matches:
+            print(f"warning: pattern '{pattern}' matched no files.", file=sys.stderr)
+        for m in matches:
+            mp = pathlib.Path(m)
+            if mp not in result:
+                result.append(mp)
+    return result
+
+
+_EXT_FORMATS = {
+    "jpg": "jpeg", "jpeg": "jpeg", "webp": "webp", "bmp": "bmp", "tga": "tga",
+    "ico": "ico", "tiff": "tiff", "tif": "tiff", "gif": "gif", "pfe": "pfe",
+}
+
+
+def parse_format(format_arg: Optional[str], output: Optional[str]) -> str:
+    if format_arg:
+        return _EXT_FORMATS.get(format_arg.lower(), "png")
+    if output:
+        ext = pathlib.Path(output).suffix.lower().lstrip(".")
+        return _EXT_FORMATS.get(ext, "png")
+    return "png"
+
+
+def build_output_path(input_path: pathlib.Path, output: Optional[str],
+                      output_dir: Optional[str], fmt: str) -> pathlib.Path:
+    if output:
+        return pathlib.Path(output)
+    ext = codecs.format_extension(fmt)
+    stem = input_path.stem
+    if output_dir:
+        return pathlib.Path(output_dir) / f"{stem}.{ext}"
+    parent = input_path.parent
+    candidate = parent / f"{stem}.{ext}"
+    if candidate == input_path:
+        return parent / f"{stem}_out.{ext}"
+    return candidate
+
+
+def load_canvas(path: pathlib.Path) -> Canvas:
+    if path.suffix.lower() == ".pfe":
+        return pfe.load_pfe(str(path))
+    img = codecs.load_image(path)
+    return Canvas.from_image(img)
+
+
+def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
+            script_source: Optional[str], fmt: str, quality: int,
+            webp_lossless: bool, tiff_compression: str, flatten: bool,
+            verbose: bool):
+    canvas = load_canvas(input_path)
+
+    if script_source is not None:
+        idx = canvas.active_layer_index
+        layer = canvas.layers[idx]
+        mask = canvas.selection
+        result, new_w, new_h, console, canvas_ops = execute_script_sync(
+            script_source, layer.pixels, canvas.width, canvas.height, mask
+        )
+        if verbose:
+            for line in console:
+                print(f"  [script] {line}")
+        layer.pixels = canonicalize_tiles(
+            np.asarray(result, np.uint8).reshape(new_h, new_w, 4)
+        )
+        if canvas_ops:
+            apply_canvas_ops(canvas, canvas_ops, skip_layer=idx)
+            canvas.width, canvas.height = new_w, new_h
+        else:
+            canvas.width, canvas.height = new_w, new_h
+
+    if fmt == "pfe":
+        pfe.save_pfe(canvas, str(output_path))
+        return
+
+    if flatten and len(canvas.layers) > 1:
+        flat = canvas.composite()
+    else:
+        flat = canvas.active_layer.pixels
+    codecs.save_image(
+        flat, output_path, fmt, quality=quality, webp_lossless=webp_lossless,
+        tiff_compression=tiff_compression,
+    )
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    inputs = resolve_inputs(args.input)
+    if not inputs:
+        print("error: no input files matched the given pattern(s).", file=sys.stderr)
+        return 1
+    if len(inputs) > 1 and args.output and not args.output_dir:
+        print(
+            f"error: {len(inputs)} input files given but --output only accepts a "
+            "single file path.\nUse --output-dir for batch processing.",
+            file=sys.stderr,
+        )
+        return 1
+
+    fmt = parse_format(args.format, args.output)
+
+    script_source = None
+    if args.script:
+        try:
+            script_source = pathlib.Path(args.script).read_text()
+        except OSError as e:
+            print(f"error: could not read script '{args.script}': {e}", file=sys.stderr)
+            return 1
+
+    if args.output_dir:
+        pathlib.Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+
+    if args.shard and len(inputs) > 1:
+        from paintfe_tpu.parallel.batch import run_sharded_batch
+
+        return run_sharded_batch(inputs, args, fmt, script_source)
+
+    total = len(inputs)
+    multi = total > 1
+    any_failure = False
+    for i, input_path in enumerate(inputs):
+        if multi or args.verbose:
+            print(f"[{i + 1}/{total}] {input_path}")
+        t0 = time.time()
+        output_path = build_output_path(input_path, args.output, args.output_dir, fmt)
+        try:
+            run_one(
+                input_path, output_path, script_source, fmt, args.quality,
+                not args.webp_lossy, args.tiff_compression, args.flatten,
+                args.verbose,
+            )
+            if args.verbose or multi:
+                print(f"  -> {output_path} ({(time.time() - t0) * 1000:.0f}ms)")
+        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError) as e:
+            msg = e
+            if isinstance(e, ScriptError):
+                msg = f"script error: {e}"
+            print(f"  error: {msg}", file=sys.stderr)
+            any_failure = True
+    return 1 if any_failure else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

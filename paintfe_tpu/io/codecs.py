@@ -1,0 +1,153 @@
+"""Image codecs (host-side, PIL-backed).
+
+Behavioral contract: src/io.rs — read PNG/JPEG/WebP/BMP/TIFF/TGA/GIF/APNG/ICO
+(io.rs:36-80, 693-1100), write PNG/JPEG/WebP(lossless default)/BMP/TGA/ICO/
+TIFF/GIF/APNG (encode_and_write io.rs:1723+), animated decode/encode with
+"each visible layer = one frame" semantics and fps -> centisecond GIF delay
+max(round(100/fps), 1) (io.rs:2774-2885).  RAW camera formats (rawloader in
+the reference) are not available in this environment and raise a clear error.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+RASTER_EXTS = {
+    "png", "jpg", "jpeg", "webp", "bmp", "tga", "tif", "tiff", "gif", "ico",
+    "apng",
+}
+RAW_EXTS = {"cr2", "cr3", "nef", "arw", "dng", "orf", "rw2", "srw", "pef", "raf"}
+
+SAVE_FORMATS = ("png", "jpeg", "webp", "bmp", "tga", "ico", "tiff", "gif", "pfe")
+
+
+class CodecError(Exception):
+    pass
+
+
+def format_extension(fmt: str) -> str:
+    return {"jpeg": "jpg", "tiff": "tiff"}.get(fmt, fmt)
+
+
+def load_image(path) -> np.ndarray:
+    """Load any supported raster file as RGBA u8 [H, W, 4]."""
+    ext = pathlib.Path(path).suffix.lower().lstrip(".")
+    if ext in RAW_EXTS:
+        raise CodecError(
+            f"RAW camera format '.{ext}' requires a raw decoder not present in "
+            "this environment"
+        )
+    try:
+        img = Image.open(path)
+        img.load()
+    except Exception as e:
+        raise CodecError(f"failed to decode '{path}': {e}")
+    return np.asarray(img.convert("RGBA"), np.uint8)
+
+
+def load_frames(path) -> Tuple[List[np.ndarray], List[int]]:
+    """Decode an animated GIF/APNG/WebP into (frames, per-frame ms delays)."""
+    img = Image.open(path)
+    frames = []
+    delays = []
+    try:
+        n = getattr(img, "n_frames", 1)
+    except Exception:
+        n = 1
+    for i in range(n):
+        img.seek(i)
+        frames.append(np.asarray(img.convert("RGBA"), np.uint8))
+        delays.append(int(img.info.get("duration", 100)))
+    return frames, delays
+
+
+def detect_animation(path) -> bool:
+    try:
+        img = Image.open(path)
+        return getattr(img, "n_frames", 1) > 1
+    except Exception:
+        return False
+
+
+def save_image(img: np.ndarray, path, fmt: Optional[str] = None, quality: int = 90,
+               webp_lossless: bool = True, tiff_compression: str = "none"):
+    """Encode one RGBA image (encode_and_write parity for the common knobs)."""
+    img = np.asarray(img, np.uint8)
+    path = str(path)
+    if fmt is None:
+        fmt = pathlib.Path(path).suffix.lower().lstrip(".") or "png"
+        fmt = {"jpg": "jpeg", "tif": "tiff"}.get(fmt, fmt)
+    pil = Image.fromarray(img, "RGBA")
+    try:
+        if fmt == "png":
+            pil.save(path, format="PNG")
+        elif fmt == "jpeg":
+            pil.convert("RGB").save(path, format="JPEG", quality=int(quality))
+        elif fmt == "webp":
+            if webp_lossless:
+                pil.save(path, format="WEBP", lossless=True)
+            else:
+                pil.save(path, format="WEBP", quality=int(quality))
+        elif fmt == "bmp":
+            pil.convert("RGB").save(path, format="BMP")
+        elif fmt == "tga":
+            pil.save(path, format="TGA")
+        elif fmt == "ico":
+            pil.save(path, format="ICO")
+        elif fmt == "tiff":
+            comp = {"none": None, "lzw": "tiff_lzw", "deflate": "tiff_deflate"}.get(
+                tiff_compression.lower()
+            )
+            if comp:
+                pil.save(path, format="TIFF", compression=comp)
+            else:
+                pil.save(path, format="TIFF")
+        elif fmt == "gif":
+            pil.convert("P", palette=Image.ADAPTIVE).save(path, format="GIF")
+        else:
+            raise CodecError(f"unsupported save format '{fmt}'")
+    except CodecError:
+        raise
+    except Exception as e:
+        raise CodecError(f"failed to encode '{path}': {e}")
+
+
+def gif_delay_cs(fps: float) -> int:
+    """fps -> GIF centisecond delay: max(round(100/fps), 1) (io.rs:2786)."""
+    return max(int(round(100.0 / max(fps, 0.001))), 1)
+
+
+def save_animation(frames: List[np.ndarray], path, fmt: str = "gif",
+                   fps: float = 10.0, quality: int = 90):
+    """Encode frames as animated GIF / APNG / WebP ("each visible layer = one
+    frame")."""
+    if not frames:
+        raise CodecError("no frames to encode")
+    pils = [Image.fromarray(np.asarray(fr, np.uint8), "RGBA") for fr in frames]
+    path = str(path)
+    if fmt == "gif":
+        delay_ms = gif_delay_cs(fps) * 10
+        base = [p.convert("P", palette=Image.ADAPTIVE) for p in pils]
+        base[0].save(
+            path, format="GIF", save_all=True, append_images=base[1:],
+            duration=delay_ms, loop=0, disposal=2,
+        )
+    elif fmt in ("apng", "png"):
+        delay_ms = int(round(1000.0 / max(fps, 0.001)))
+        pils[0].save(
+            path, format="PNG", save_all=True, append_images=pils[1:],
+            duration=delay_ms, loop=0, default_image=False,
+        )
+    elif fmt == "webp":
+        delay_ms = int(round(1000.0 / max(fps, 0.001)))
+        pils[0].save(
+            path, format="WEBP", save_all=True, append_images=pils[1:],
+            duration=delay_ms, loop=0, quality=int(quality),
+        )
+    else:
+        raise CodecError(f"unsupported animation format '{fmt}'")

@@ -1,0 +1,187 @@
+"""CLI + IO round-trip tests (mirror of io_roundtrip.rs + CLI semantics)."""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from paintfe_tpu import cli
+from paintfe_tpu.core import fixtures
+from paintfe_tpu.core.blend import BlendMode
+from paintfe_tpu.core.canvas import Canvas, Layer
+from paintfe_tpu.io import codecs, pfe
+
+from common import assert_golden, load_png
+
+
+def test_png_roundtrip(tmp_path):
+    img = fixtures.test_gradient(64, 64)
+    p = tmp_path / "x.png"
+    codecs.save_image(img, p, "png")
+    np.testing.assert_array_equal(codecs.load_image(p), img)
+
+
+@pytest.mark.parametrize("fmt,tol", [("png", 0), ("bmp", 0), ("tga", 0),
+                                     ("tiff", 0), ("webp", 0), ("jpeg", 26)])
+def test_format_roundtrip(tmp_path, fmt, tol):
+    img = fixtures.test_gradient(64, 64)
+    p = tmp_path / f"x.{codecs.format_extension(fmt)}"
+    codecs.save_image(img, p, fmt)
+    back = codecs.load_image(p)
+    if fmt in ("jpeg", "bmp"):
+        img = img.copy()
+        img[..., 3] = 255  # formats without alpha
+    d = np.abs(back.astype(int) - img.astype(int))
+    if fmt in ("jpeg", "bmp"):
+        d = d[..., :3]
+    assert d.max() <= tol
+
+
+def test_tiff_compression_modes(tmp_path):
+    img = fixtures.test_gradient(64, 64)
+    for mode in ("none", "lzw", "deflate"):
+        p = tmp_path / f"t_{mode}.tiff"
+        codecs.save_image(img, p, "tiff", tiff_compression=mode)
+        np.testing.assert_array_equal(codecs.load_image(p), img)
+
+
+def test_animation_roundtrip(tmp_path):
+    frames = [fixtures.solid(16, 16, (255, 0, 0, 255)),
+              fixtures.solid(16, 16, (0, 255, 0, 255))]
+    p = tmp_path / "anim.gif"
+    codecs.save_animation(frames, p, "gif", fps=10)
+    back, delays = codecs.load_frames(p)
+    assert len(back) == 2
+    assert codecs.detect_animation(p)
+    assert delays[0] == 100  # 10 fps -> 10cs -> 100ms
+
+
+def test_apng_animation(tmp_path):
+    frames = [fixtures.solid(8, 8, (255, 0, 0, 255)),
+              fixtures.solid(8, 8, (0, 0, 255, 255))]
+    p = tmp_path / "anim.png"
+    codecs.save_animation(frames, p, "apng", fps=5)
+    back, _ = codecs.load_frames(p)
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[1], frames[1])
+
+
+def test_pfe_multilayer_roundtrip(tmp_path):
+    canvas = Canvas.from_image(fixtures.test_checkerboard(70, 50))
+    top = Layer(name="top", pixels=fixtures.blend_test_foreground(70, 50))
+    top.blend_mode = BlendMode.MULTIPLY
+    top.opacity = 0.7
+    canvas.layers.append(top)
+    p = tmp_path / "proj.pfe"
+    pfe.save_pfe(canvas, str(p))
+    back = pfe.load_pfe(str(p))
+    assert back.width == 70 and back.height == 50
+    assert len(back.layers) == 2
+    assert back.layers[1].blend_mode == BlendMode.MULTIPLY
+    assert abs(back.layers[1].opacity - 0.7) < 1e-6
+    np.testing.assert_array_equal(back.layers[0].pixels, canvas.layers[0].pixels)
+    np.testing.assert_array_equal(back.layers[1].pixels, canvas.layers[1].pixels)
+
+
+def test_pfe_sparse_chunks(tmp_path):
+    # fully-transparent tiles are not serialized and read back as zeros
+    img = np.zeros((128, 128, 4), np.uint8)
+    img[0:10, 0:10] = [255, 0, 0, 255]
+    canvas = Canvas.from_image(img)
+    p = tmp_path / "sparse.pfe"
+    pfe.save_pfe(canvas, str(p))
+    back = pfe.load_pfe(str(p))
+    np.testing.assert_array_equal(back.layers[0].pixels, img)
+
+
+# -- CLI ---------------------------------------------------------------------
+
+
+def _write_png(tmp_path, name, img):
+    p = tmp_path / name
+    codecs.save_image(img, p, "png")
+    return p
+
+
+def test_cli_convert(tmp_path):
+    src = _write_png(tmp_path, "in.png", fixtures.test_gradient(32, 32))
+    out = tmp_path / "out.jpg"
+    rc = cli.main(["-i", str(src), "-o", str(out)])
+    assert rc == 0
+    assert out.exists()
+
+
+def test_cli_script_matches_goldens(tmp_path):
+    """The SURVEY minimum end-to-end slice: desaturate + brightness_contrast
+    via the CLI must match the scripting goldens."""
+    src = _write_png(tmp_path, "in.png", fixtures.test_gradient(64, 64))
+    script = tmp_path / "s.rhai"
+    script.write_text("apply_desaturate();")
+    out = tmp_path / "out.png"
+    rc = cli.main(["-i", str(src), "-s", str(script), "-o", str(out)])
+    assert rc == 0
+    assert_golden("scripting", "apply_desaturate", load_png(out))
+
+    script.write_text("apply_brightness_contrast(20.0, 10.0);")
+    rc = cli.main(["-i", str(src), "-s", str(script), "-o", str(out)])
+    assert rc == 0
+    assert_golden("scripting", "apply_brightness_contrast", load_png(out))
+
+
+def test_cli_batch_glob_keep_going(tmp_path):
+    _write_png(tmp_path, "a.png", fixtures.test_gradient(16, 16))
+    _write_png(tmp_path, "b.png", fixtures.test_gradient(16, 16))
+    bad = tmp_path / "c.png"
+    bad.write_bytes(b"not a png")
+    outdir = tmp_path / "out"
+    rc = cli.main(["-i", str(tmp_path / "*.png"), "--output-dir", str(outdir),
+                   "-f", "png"])
+    assert rc == 1  # keep-going, but exit 1 on any failure
+    assert (outdir / "a.png").exists()
+    assert (outdir / "b.png").exists()
+
+
+def test_cli_multi_input_requires_output_dir(tmp_path):
+    a = _write_png(tmp_path, "a.png", fixtures.test_gradient(8, 8))
+    b = _write_png(tmp_path, "b.png", fixtures.test_gradient(8, 8))
+    rc = cli.main(["-i", str(a), str(b), "-o", str(tmp_path / "x.png")])
+    assert rc == 1
+
+
+def test_cli_collision_safe_output(tmp_path):
+    src = _write_png(tmp_path, "img.png", fixtures.test_gradient(8, 8))
+    rc = cli.main(["-i", str(src), "-f", "png"])
+    assert rc == 0
+    assert (tmp_path / "img_out.png").exists()
+
+
+def test_cli_canvas_op_resize(tmp_path):
+    src = _write_png(tmp_path, "in.png", fixtures.test_gradient(64, 64))
+    script = tmp_path / "s.rhai"
+    script.write_text('resize_image(32, 32, "bilinear");')
+    out = tmp_path / "out.png"
+    rc = cli.main(["-i", str(src), "-s", str(script), "-o", str(out)])
+    assert rc == 0
+    assert load_png(out).shape == (32, 32, 4)
+
+
+def test_cli_sharded_batch(tmp_path):
+    for i in range(5):
+        _write_png(tmp_path, f"img{i}.png", fixtures.test_gradient(32, 32))
+    script = tmp_path / "s.rhai"
+    script.write_text("apply_invert();\napply_brightness_contrast(10.0, 5.0);")
+    outdir = tmp_path / "out"
+    rc = cli.main(["-i", str(tmp_path / "img*.png"), "-s", str(script),
+                   "--output-dir", str(outdir), "--shard", "-v"])
+    assert rc == 0
+    # sharded result must equal the per-image interpreter result
+    outdir2 = tmp_path / "out2"
+    rc = cli.main(["-i", str(tmp_path / "img*.png"), "-s", str(script),
+                   "--output-dir", str(outdir2)])
+    assert rc == 0
+    for i in range(5):
+        np.testing.assert_array_equal(
+            load_png(outdir / f"img{i}.png"), load_png(outdir2 / f"img{i}.png")
+        )
