@@ -319,6 +319,29 @@ def levels(img, in_black, in_white, gamma, out_black, out_white, mask=None):
     return apply_rgb_lut(img, lut, mask)
 
 
+def levels_direct(img, in_black, in_white, gamma, out_black, out_white, mask=None):
+    """Levels evaluated directly per pixel — bit-identical to the LUT gather
+    because pixel values are integers 0..255 and the formula + rounding is
+    the LUT builder's own math.  On TPU this runs as fused VPU elementwise
+    work, where a per-pixel 256-entry table gather is pathologically slow
+    (gathers don't vectorize on the 8x128 VPU)."""
+    in_black_f = np.float32(in_black)
+    in_range = np.maximum(np.float32(in_white) - in_black_f, np.float32(1.0))
+    out_black_f = np.float32(out_black)
+    out_range = np.float32(out_white) - out_black_f
+    inv_gamma = np.float32(1.0) / np.maximum(np.float32(gamma), np.float32(0.01))
+
+    @jax.jit
+    def run(img):
+        v = img[..., 0:3].astype(jnp.float32)
+        normalized = jnp.clip(exact_div(v - in_black_f, in_range), 0.0, 1.0)
+        out = out_black_f + jnp.power(normalized, inv_gamma) * out_range
+        rgb = round_u8(out)
+        return jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
+
+    return _masked(img, run(img), mask)
+
+
 def levels_per_channel(img, master, r_ch, g_ch, b_ch, mask=None):
     lut3 = luts.levels_multi_channel_luts(master, r_ch, g_ch, b_ch)
     luts4 = np.concatenate([lut3, luts.identity_lut()[None]], axis=0)

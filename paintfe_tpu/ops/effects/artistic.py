@@ -24,11 +24,19 @@ def _masked(img, out, mask):
     return jnp.where((mask > 0)[..., None], out, img)
 
 
-def _shift_xy(img, dx, dy):
-    h, w = img.shape[:2]
-    xi = np.clip(np.arange(w) + dx, 0, w - 1)
-    yi = np.clip(np.arange(h) + dy, 0, h - 1)
-    return img[yi][:, xi]
+def _pad_xy(img, r):
+    """Edge-replicate pad both axes; taps become fusable static slices."""
+    p = jnp.concatenate(
+        [jnp.repeat(img[:1], r, 0), img, jnp.repeat(img[-1:], r, 0)], axis=0
+    )
+    return jnp.concatenate(
+        [jnp.repeat(p[:, :1], r, 1), p, jnp.repeat(p[:, -1:], r, 1)], axis=1
+    )
+
+
+def _tap(padded, r, dx, dy, h, w):
+    row = jax.lax.slice_in_dim(padded, r + dy, r + dy + h, axis=0)
+    return jax.lax.slice_in_dim(row, r + dx, r + dx + w, axis=1)
 
 
 @functools.lru_cache(maxsize=32)
@@ -39,11 +47,11 @@ def _ink_fn(edge_strength: float, thresh: float, h: int, w: int):
     def run(img):
         src = img.astype(jnp.float32)
         lum = 0.2126 * src[..., 0] + 0.7152 * src[..., 1] + 0.0722 * src[..., 2]
+        lpad = _pad_xy(lum[..., None], 1)[..., 0]
 
         def lm(dx, dy):
-            xi = np.clip(np.arange(w) + dx, 0, w - 1)
-            yi = np.clip(np.arange(h) + dy, 0, h - 1)
-            return lum[yi][:, xi]
+            row = jax.lax.slice_in_dim(lpad, 1 + dy, 1 + dy + h, axis=0)
+            return jax.lax.slice_in_dim(row, 1 + dx, 1 + dx + w, axis=1)
 
         gx = (
             -lm(-1, -1) - 2.0 * lm(-1, 0) - lm(-1, 1)
@@ -80,11 +88,12 @@ def _oil_fn(r: int, levels: int, h: int, w: int):
         src = img.astype(jnp.uint32)
         # Per-pixel windowed histogram over intensity bins, vectorized:
         # intensity = (r+g+b)/3 * levels / 256 (integer math).
+        padded = _pad_xy(src, r)
         counts = jnp.zeros((n_levels, h, w), jnp.uint32)
         sums = jnp.zeros((n_levels, h, w, 3), jnp.uint32)
         for dy in range(-r, r + 1):
             for dx in range(-r, r + 1):
-                p = _shift_xy(src, dx, dy)
+                p = _tap(padded, r, dx, dy, h, w)
                 inten = jnp.minimum(
                     (p[..., 0] + p[..., 1] + p[..., 2]) // 3 * n_levels // 256,
                     n_levels - 1,

@@ -42,6 +42,33 @@ def to_radians_f32(deg) -> np.float32:
     return f32(f32(deg) * (f32(np.pi) / f32(180.0)))
 
 
+def _pad_x(img, r, w):
+    """Edge-replicate pad along axis 1 so taps become static slices (XLA
+    fuses slices of one buffer into a single elementwise kernel on TPU,
+    where per-tap gathers do not)."""
+    if r == 0:
+        return img
+    return jnp.concatenate(
+        [jnp.repeat(img[:, :1], r, 1), img, jnp.repeat(img[:, -1:], r, 1)], axis=1
+    )
+
+
+def _pad_y(img, r, h):
+    if r == 0:
+        return img
+    return jnp.concatenate(
+        [jnp.repeat(img[:1], r, 0), img, jnp.repeat(img[-1:], r, 0)], axis=0
+    )
+
+
+def _tap_x(padded, r, d, w):
+    return jax.lax.slice_in_dim(padded, r + d, r + d + w, axis=1)
+
+
+def _tap_y(padded, r, d, h):
+    return jax.lax.slice_in_dim(padded, r + d, r + d + h, axis=0)
+
+
 def _shift_x(img, d, w):
     idx = np.clip(np.arange(w) + d, 0, w - 1)
     return img[:, idx]
@@ -77,12 +104,14 @@ def _gaussian_fn(sigma: float, h: int, w: int):
     @jax.jit
     def run(img):
         src = img.astype(jnp.float32)
+        padded = _pad_x(src, r, w)
         acc = jnp.zeros_like(src)
         for ki, kv in enumerate(taps):  # H pass, reference tap order
-            acc = acc + _shift_x(src, ki - r, w) * f32(kv)
+            acc = acc + _tap_x(padded, r, ki - r, w) * f32(kv)
+        padded = _pad_y(acc, r, h)
         out = jnp.zeros_like(acc)
         for ki, kv in enumerate(taps):  # V pass
-            out = out + _shift_y(acc, ki - r, h) * f32(kv)
+            out = out + _tap_y(padded, r, ki - r, h) * f32(kv)
         return round_u8(out)
 
     return run
@@ -136,13 +165,15 @@ def _box_fn(r: int, h: int, w: int):
     @jax.jit
     def run(img):
         src = img.astype(jnp.uint32)
+        padded = _pad_x(src, r, w)
         sums = jnp.zeros_like(src)
         for d in range(-r, r + 1):
-            sums = sums + _shift_x(src, d, w)
+            sums = sums + _tap_x(padded, r, d, w)
         hbuf = ((sums + half) // div).astype(jnp.uint8).astype(jnp.uint32)
+        padded = _pad_y(hbuf, r, h)
         sums = jnp.zeros_like(hbuf)
         for d in range(-r, r + 1):
-            sums = sums + _shift_y(hbuf, d, h)
+            sums = sums + _tap_y(padded, r, d, h)
         return ((sums + half) // div).astype(jnp.uint8)
 
     return run
@@ -222,11 +253,12 @@ def _bokeh_fn(radius: float, h: int, w: int):
     @jax.jit
     def run(img):
         src = img.astype(jnp.uint32)
+        padded = _pad_x(_pad_y(src, r, h), r, w)
         acc = jnp.zeros_like(src)
         for dyy, span in spans:
-            row = _shift_y(src, dyy, h)
+            row = _tap_y(padded, r, dyy, h)
             for dxx in range(-span, span + 1):
-                acc = acc + _shift_x(row, dxx, w)
+                acc = acc + _tap_x(row, r, dxx, w)
         return round_u8(acc.astype(jnp.float32) * inv)
 
     return run
@@ -342,11 +374,12 @@ def glow(img, radius: float, intensity: float, mask=None):
 def _median_fn(r: int, h: int, w: int):
     @jax.jit
     def run(img):
+        padded = _pad_x(_pad_y(img, r, h), r, w)
         stack = []
         for dyy in range(-r, r + 1):
-            row = _shift_y(img, dyy, h)
+            row = _tap_y(padded, r, dyy, h)
             for dxx in range(-r, r + 1):
-                stack.append(_shift_x(row, dxx, w))
+                stack.append(_tap_x(row, r, dxx, w))
         window = jnp.stack(stack)  # [k^2, H, W, 4]
         srt = jnp.sort(window, axis=0)
         return srt[window.shape[0] // 2]
@@ -371,13 +404,14 @@ def _reduce_noise_fn(strength: float, r: int, h: int, w: int):
     @jax.jit
     def run(img):
         src = img.astype(jnp.float32)
+        padded = _pad_x(_pad_y(src, r, h), r, w)
         c = src[..., 0:3]
         sums = jnp.zeros_like(src)
         wsum = jnp.zeros((h, w), jnp.float32)
         for dyy in range(-r, r + 1):  # reference accumulation order
-            row = _shift_y(src, dyy, h)
+            row = _tap_y(padded, r, dyy, h)
             for dxx in range(-r, r + 1):
-                p = _shift_x(row, dxx, w)
+                p = _tap_x(row, r, dxx, w)
                 diff = c - p[..., 0:3]
                 spatial = exact_div(f32(dxx * dxx + dyy * dyy), spatial_div)
                 rng = exact_div(jnp.sum(diff * diff, axis=-1), range_div)

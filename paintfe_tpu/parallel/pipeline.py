@@ -100,18 +100,18 @@ def _exposure_device(img, ev):
 
 
 def _levels_device(img, black, white, gamma):
-    from paintfe_tpu.ops import luts as luts_mod
+    """Script-levels evaluated directly per pixel (truncating cast, matching
+    scripting.rs:1054-1075).  Formula evaluation == LUT lookup bit-exactly
+    for integer pixels, and avoids TPU-hostile per-pixel table gathers."""
+    from paintfe_tpu.utils.quant import exact_div
 
     in_black = np.float32(black)
     in_range = np.maximum(np.float32(white) - in_black, np.float32(1.0))
     inv_gamma = np.float32(1.0) / np.maximum(np.float32(gamma), np.float32(0.01))
-    i = np.arange(256, dtype=np.float32)
-    normalized = np.clip((i - in_black) / in_range, 0.0, 1.0)
-    lut = np.clip(
-        np.power(normalized, inv_gamma, dtype=np.float32) * np.float32(255.0), 0.0, 255.0
-    ).astype(np.uint8)
-    out = jnp.asarray(lut)[img[..., 0:3]]
-    return jnp.concatenate([out, img[..., 3:4]], axis=-1)
+    v = img[..., 0:3].astype(jnp.float32)
+    normalized = jnp.clip(exact_div(v - in_black, in_range), 0.0, 1.0)
+    out = jnp.clip(jnp.power(normalized, inv_gamma) * 255.0, 0.0, 255.0)
+    return jnp.concatenate([out.astype(jnp.uint8), img[..., 3:4]], axis=-1)
 
 
 def trace_script(source: str) -> List[PipelineOp]:
