@@ -1,0 +1,71 @@
+"""Native (C++) runtime components, built on demand with g++ + ctypes.
+
+The compute path is JAX/XLA/Pallas; these are the host-runtime pieces that
+are data-dependent and iterative (the parts the reference also keeps in
+native code): PatchMatch inpainting, instant-brush fill.
+
+Built with -ffp-contract=off so f32 results match the reference's strict
+(non-FMA) float semantics bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+import threading
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_LIB_PATH = _DIR / "libpaintfe_native.so"
+_SOURCES = [_DIR / "inpaint.cpp"]
+_lock = threading.Lock()
+_lib = None
+_build_error = None
+
+
+def _build():
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-ffp-contract=off", "-std=c++17",
+        "-o", str(_LIB_PATH),
+    ] + [str(s) for s in _SOURCES]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def load():
+    """Return the loaded native library, building it if needed.
+    Returns None (and remembers the error) when no toolchain is available."""
+    global _lib, _build_error
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_error is not None:
+            return None
+        try:
+            newest_src = max(s.stat().st_mtime for s in _SOURCES)
+            if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < newest_src:
+                _build()
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except Exception as e:  # no g++ / load failure -> python fallback
+            _build_error = e
+            return None
+
+        lib.patchmatch_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ]
+        lib.patchmatch_fill.restype = None
+        lib.inpaint_instant_brush.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+            ctypes.c_float,
+        ]
+        lib.inpaint_instant_brush.restype = None
+        _lib = lib
+        return _lib
+
+
+def build_error():
+    return _build_error
