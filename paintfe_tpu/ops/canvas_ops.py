@@ -1,0 +1,201 @@
+"""Document-model operations: layer CRUD, merge, layer masks, channels.
+
+Behavioral contract: src/ops/canvas_ops.rs (channel extract/replace
+:32-95, merge-down-as-mask :97-163, layer masks :165-296, add/delete/
+duplicate :298-430) and src/components/layers/operations.rs:790-860
+(merge_down via blend_pixel_static).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+
+from paintfe_tpu.core.blend import blend_u8
+from paintfe_tpu.core.canvas import Canvas, Layer
+
+f32 = np.float32
+
+
+class ImageChannel(enum.Enum):
+    RED = 0
+    GREEN = 1
+    BLUE = 2
+    ALPHA = 3
+    LUMINANCE = 4
+
+
+def _sample_channel(pixels: np.ndarray, channel: ImageChannel) -> np.ndarray:
+    if channel == ImageChannel.LUMINANCE:
+        v = (0.299 * pixels[..., 0].astype(f32)
+             + 0.587 * pixels[..., 1].astype(f32)
+             + 0.114 * pixels[..., 2].astype(f32))
+        return np.minimum(np.floor(v + f32(0.5)), 255.0).astype(np.uint8)
+    return pixels[..., channel.value]
+
+
+def extract_channel_to_layer(canvas: Canvas, layer_idx: int, channel: ImageChannel):
+    """Insert a grayscale layer of the chosen channel above `layer_idx`."""
+    v = _sample_channel(canvas.layers[layer_idx].pixels, ImageChannel(channel))
+    px = np.stack([v, v, v, np.full_like(v, 255)], axis=-1)
+    layer = Layer(name=f"{ImageChannel(channel).name.title()} Channel", pixels=px)
+    insert_idx = layer_idx + 1
+    canvas.layers.insert(insert_idx, layer)
+    canvas.active_layer_index = insert_idx
+
+
+def replace_channel_from_layer(canvas: Canvas, target_idx: int, source_idx: int,
+                               target_channel: ImageChannel,
+                               source_channel: ImageChannel):
+    v = _sample_channel(canvas.layers[source_idx].pixels, ImageChannel(source_channel))
+    target = canvas.layers[target_idx].pixels
+    tc = ImageChannel(target_channel)
+    c = 3 if tc in (ImageChannel.ALPHA, ImageChannel.LUMINANCE) else tc.value
+    target[..., c] = v
+
+
+def merge_down(canvas: Canvas, layer_idx: int):
+    """Blend layer `layer_idx` onto the one below with its mode/opacity, then
+    remove it (operations.rs:790-860)."""
+    if layer_idx == 0 or layer_idx >= len(canvas.layers):
+        return
+    top = canvas.layers[layer_idx]
+    if top.visible:
+        below = canvas.layers[layer_idx - 1]
+        below.pixels = np.asarray(
+            blend_u8(below.pixels, top.pixels, int(top.blend_mode), top.opacity)
+        )
+    canvas.layers.pop(layer_idx)
+    if canvas.active_layer_index >= layer_idx and canvas.active_layer_index > 0:
+        canvas.active_layer_index -= 1
+
+
+def merge_down_as_mask(canvas: Canvas, layer_idx: int):
+    """Use the top layer's luminance as an alpha mask for the layer below:
+    effective = lerp(255, luminance, alpha/255); only painted dark areas
+    erase (canvas_ops.rs:97-163)."""
+    if layer_idx == 0 or layer_idx >= len(canvas.layers):
+        return
+    top = canvas.layers[layer_idx].pixels
+    below = canvas.layers[layer_idx - 1]
+    lum = (0.299 * top[..., 0].astype(f32) + 0.587 * top[..., 1].astype(f32)
+           + 0.114 * top[..., 2].astype(f32))
+    a = top[..., 3].astype(f32) / f32(255.0)
+    # lerp(255, luma, alpha) truncated to u8, then integer alpha scale
+    mask_luma = (f32(255.0) * (f32(1.0) - a) + lum * a + f32(0.5)).astype(np.uint8)
+    new_a = below.pixels[..., 3].astype(np.uint32) * mask_luma.astype(np.uint32) // 255
+    below.pixels[..., 3] = new_a.astype(np.uint8)
+    canvas.layers.pop(layer_idx)
+    if canvas.active_layer_index >= layer_idx and canvas.active_layer_index > 0:
+        canvas.active_layer_index -= 1
+
+
+# ---------------------------------------------------------------------------
+# Layer masks (conceal semantics: 0 = show, 255 = hide)
+# ---------------------------------------------------------------------------
+
+
+def add_layer_mask_reveal_all(canvas: Canvas, layer_idx: int):
+    layer = canvas.layers[layer_idx]
+    if layer.mask is not None:
+        layer.mask_enabled = True
+        return
+    layer.mask = np.zeros((canvas.height, canvas.width), np.uint8)
+    layer.mask_enabled = True
+
+
+def add_layer_mask_from_selection(canvas: Canvas, layer_idx: int):
+    """Selection=255 reveals fully -> conceal = 255 - reveal."""
+    layer = canvas.layers[layer_idx]
+    if layer.mask is not None:
+        layer.mask_enabled = True
+        return
+    if canvas.selection is not None:
+        layer.mask = (255 - canvas.selection).astype(np.uint8)
+    else:
+        layer.mask = np.zeros((canvas.height, canvas.width), np.uint8)
+    layer.mask_enabled = True
+
+
+def toggle_layer_mask(canvas: Canvas, layer_idx: int):
+    layer = canvas.layers[layer_idx]
+    if layer.mask is not None:
+        layer.mask_enabled = not layer.mask_enabled
+
+
+def invert_layer_mask(canvas: Canvas, layer_idx: int):
+    layer = canvas.layers[layer_idx]
+    if layer.mask is None:
+        return
+    layer.mask = (255 - layer.mask).astype(np.uint8)
+    layer.mask_enabled = True
+
+
+def apply_layer_mask(canvas: Canvas, layer_idx: int):
+    """Bake the conceal mask into alpha with u32 integer math, then drop it."""
+    layer = canvas.layers[layer_idx]
+    if layer.mask is None:
+        return
+    conceal = layer.mask.astype(np.uint32)
+    a = layer.pixels[..., 3].astype(np.uint32)
+    layer.pixels[..., 3] = np.where(
+        conceal > 0, (a * (255 - conceal)) // 255, a
+    ).astype(np.uint8)
+    layer.mask = None
+    layer.mask_enabled = True
+
+
+def delete_layer_mask(canvas: Canvas, layer_idx: int):
+    layer = canvas.layers[layer_idx]
+    layer.mask = None
+    layer.mask_enabled = True
+
+
+# ---------------------------------------------------------------------------
+# Layer CRUD
+# ---------------------------------------------------------------------------
+
+
+def add_layer(canvas: Canvas, name: Optional[str] = None) -> int:
+    """Insert a transparent layer above the active one; returns its index."""
+    idx = min(canvas.active_layer_index + 1, len(canvas.layers))
+    layer = Layer.new(name or f"Layer {len(canvas.layers) + 1}",
+                      canvas.width, canvas.height)
+    canvas.layers.insert(idx, layer)
+    canvas.active_layer_index = idx
+    return idx
+
+
+def delete_layer(canvas: Canvas, layer_idx: Optional[int] = None):
+    idx = canvas.active_layer_index if layer_idx is None else layer_idx
+    if idx >= len(canvas.layers):
+        return
+    canvas.layers.pop(idx)
+    if canvas.active_layer_index >= len(canvas.layers):
+        canvas.active_layer_index = max(len(canvas.layers) - 1, 0)
+
+
+def duplicate_layer(canvas: Canvas, layer_idx: Optional[int] = None) -> int:
+    idx = canvas.active_layer_index if layer_idx is None else layer_idx
+    src = canvas.layers[idx]
+    copy = src.clone()
+    copy.name = f"{src.name} copy"
+    canvas.layers.insert(idx + 1, copy)
+    canvas.active_layer_index = idx + 1
+    return idx + 1
+
+
+def move_layer(canvas: Canvas, from_idx: int, to_idx: int):
+    layer = canvas.layers.pop(from_idx)
+    canvas.layers.insert(to_idx, layer)
+    canvas.active_layer_index = to_idx
+
+
+def flatten(canvas: Canvas):
+    """Composite all visible layers into a single Background layer
+    (transform.rs:467-483)."""
+    composite = canvas.composite()
+    canvas.layers = [Layer(name="Background", pixels=composite)]
+    canvas.active_layer_index = 0

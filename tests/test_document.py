@@ -1,0 +1,279 @@
+"""Document-model tests: layer ops, selection, history, clipboard, color
+removal (mirror of layer_ops.rs + selection.rs)."""
+
+import numpy as np
+
+from paintfe_tpu.core import fixtures, selection as sel
+from paintfe_tpu.core.blend import BlendMode
+from paintfe_tpu.core.canvas import Canvas, Layer, LayerFolder
+from paintfe_tpu.core.history import (
+    HistoryManager,
+    LayerOpCommand,
+    PixelPatch,
+    SingleLayerSnapshotCommand,
+    SnapshotCommand,
+)
+from paintfe_tpu.ops import canvas_ops as co
+from paintfe_tpu.ops.clipboard import Clipboard
+from paintfe_tpu.ops.color_removal import ColorToAlphaSettings, color_to_alpha, flood_select
+
+
+def canvas64():
+    return Canvas.from_image(fixtures.test_gradient(64, 64))
+
+
+# -- layer ops -----------------------------------------------------------
+
+
+def test_add_layer_creates_transparent():
+    c = canvas64()
+    idx = co.add_layer(c)
+    assert idx == 1 and len(c.layers) == 2
+    assert (c.layers[1].pixels == 0).all()
+    assert c.active_layer_index == 1
+
+
+def test_delete_layer():
+    c = canvas64()
+    co.add_layer(c)
+    co.delete_layer(c)
+    assert len(c.layers) == 1
+    assert c.active_layer_index == 0
+
+
+def test_duplicate_layer_copies_pixels():
+    c = canvas64()
+    idx = co.duplicate_layer(c)
+    assert idx == 1
+    np.testing.assert_array_equal(c.layers[0].pixels, c.layers[1].pixels)
+    c.layers[1].pixels[0, 0] = [1, 2, 3, 4]
+    assert not np.array_equal(c.layers[0].pixels[0, 0], c.layers[1].pixels[0, 0])
+
+
+def test_hidden_layer_not_composited():
+    c = canvas64()
+    top = Layer(name="red", pixels=fixtures.solid(64, 64, (255, 0, 0, 255)))
+    top.visible = False
+    c.layers.append(top)
+    np.testing.assert_array_equal(c.composite(), fixtures.test_gradient(64, 64))
+
+
+def test_hidden_folder_hides_members():
+    c = canvas64()
+    top = Layer(name="red", pixels=fixtures.solid(64, 64, (255, 0, 0, 255)))
+    top.folder_id = 7
+    c.folders.append(LayerFolder(id=7, name="f", visible=False))
+    c.layers.append(top)
+    np.testing.assert_array_equal(c.composite(), fixtures.test_gradient(64, 64))
+
+
+def test_merge_down_equals_composite():
+    c = canvas64()
+    top = Layer(name="fg", pixels=fixtures.blend_test_foreground(64, 64))
+    top.blend_mode = BlendMode.MULTIPLY
+    top.opacity = 0.7
+    c.layers.append(top)
+    expected = c.composite()
+    co.merge_down(c, 1)
+    assert len(c.layers) == 1
+    np.testing.assert_array_equal(c.composite(), expected)
+
+
+def test_merge_down_as_mask():
+    c = Canvas.from_image(fixtures.solid(16, 16, (100, 150, 200, 255)))
+    # black opaque mask on the left half -> erases; transparent right half -> keeps
+    mask_px = np.zeros((16, 16, 4), np.uint8)
+    mask_px[:, :8] = [0, 0, 0, 255]
+    c.layers.append(Layer(name="mask", pixels=mask_px))
+    co.merge_down_as_mask(c, 1)
+    assert len(c.layers) == 1
+    assert (c.layers[0].pixels[:, :8, 3] == 0).all()
+    assert (c.layers[0].pixels[:, 8:, 3] == 255).all()
+
+
+def test_channel_extract_and_replace():
+    c = canvas64()
+    co.extract_channel_to_layer(c, 0, co.ImageChannel.RED)
+    assert len(c.layers) == 2
+    np.testing.assert_array_equal(c.layers[1].pixels[..., 0], c.layers[0].pixels[..., 0])
+    assert (c.layers[1].pixels[..., 3] == 255).all()
+    co.replace_channel_from_layer(c, 0, 1, co.ImageChannel.ALPHA, co.ImageChannel.RED)
+    np.testing.assert_array_equal(c.layers[0].pixels[..., 3], c.layers[1].pixels[..., 0])
+
+
+def test_layer_mask_lifecycle():
+    c = canvas64()
+    c.selection = sel.rect_mask(64, 64, 0, 0, 31, 63)
+    co.add_layer_mask_from_selection(c, 0)
+    layer = c.layers[0]
+    assert layer.mask is not None
+    assert (layer.mask[:, :32] == 0).all()  # selected -> reveal
+    assert (layer.mask[:, 32:] == 255).all()  # unselected -> conceal
+    co.invert_layer_mask(c, 0)
+    assert (layer.mask[:, :32] == 255).all()
+    co.apply_layer_mask(c, 0)
+    assert layer.mask is None
+    assert (layer.pixels[:, :32, 3] == 0).all()
+    assert (layer.pixels[:, 32:, 3] == 255).all()
+
+
+# -- selection ------------------------------------------------------------
+
+
+def test_selection_modes():
+    a = sel.rect_mask(8, 8, 0, 0, 3, 7)
+    b = sel.rect_mask(8, 8, 2, 0, 5, 7)
+    add = sel.combine(a, b, sel.SelectionMode.ADD, 8, 8)
+    assert (add[:, 0:6] == 255).all() and (add[:, 6:] == 0).all()
+    subtract = sel.combine(a, b, sel.SelectionMode.SUBTRACT, 8, 8)
+    assert (subtract[:, 0:2] == 255).all() and (subtract[:, 2:] == 0).all()
+    inter = sel.combine(a, b, sel.SelectionMode.INTERSECT, 8, 8)
+    assert (inter[:, 2:4] == 255).all()
+    assert (inter[:, :2] == 0).all() and (inter[:, 4:] == 0).all()
+
+
+def test_ellipse_selection():
+    m = sel.ellipse_mask(32, 32, 16.0, 16.0, 8.0, 8.0)
+    assert m[16, 16] == 255
+    assert m[16, 9] == 255  # dx=-7 inside
+    assert m[0, 0] == 0
+
+
+def test_translate_clips():
+    m = sel.rect_mask(16, 16, 0, 0, 3, 3)
+    t = sel.translate(m, 14, 0)
+    assert (t[0:4, 14:16] == 255).all()
+    assert t.sum() == 255 * 2 * 4
+
+
+def test_feather_expand_contract():
+    m = sel.rect_mask(32, 32, 8, 8, 23, 23)
+    f = sel.feather(m, 4.0)
+    assert 0 < f[7, 7] < 255  # soft edge
+    e = sel.expand(m, 3)
+    assert e[6, 16] == 255
+    con = sel.contract(m, 3)
+    assert con[9, 16] == 0 and con[16, 16] == 255
+
+
+def test_select_color_range():
+    img = fixtures.color_bands(64, 64)
+    mask = sel.select_color_range(img, 0.0, 30.0, 0.2, 0.5)
+    # red band selected, green band not
+    assert mask[:, 2].max() > 0
+    assert (mask[:, 10] == 0).all()
+
+
+# -- history ----------------------------------------------------------------
+
+
+def test_pixel_patch_undo_redo():
+    c = canvas64()
+    before = c.layers[0].pixels.copy()
+    c.layers[0].pixels[10:20, 10:20] = [255, 0, 0, 255]
+    after = c.layers[0].pixels.copy()
+    patch = PixelPatch("stroke", 0, before, after)
+    assert patch.memory_bytes() > 0
+    h = HistoryManager()
+    h.push(patch)
+    h.undo(c)
+    np.testing.assert_array_equal(c.layers[0].pixels, before)
+    h.redo(c)
+    np.testing.assert_array_equal(c.layers[0].pixels, after)
+
+
+def test_pixel_patch_stores_only_changed_tiles():
+    before = np.zeros((256, 256, 4), np.uint8)
+    after = before.copy()
+    after[0:8, 0:8] = 255  # one tile touched
+    patch = PixelPatch("dab", 0, before, after)
+    assert len(patch.tiles) == 1
+    # 2 x 64x64x4 tiles = 32 KB, far less than 2 x 256 KB full frames
+    assert patch.memory_bytes() == 2 * 64 * 64 * 4
+
+
+def test_layer_op_undo_redo():
+    c = canvas64()
+    prev_active = c.active_layer_index
+    idx = co.add_layer(c)
+    cmd = LayerOpCommand("add layer", "add", idx, c.layers[idx], prev_active, idx)
+    h = HistoryManager()
+    h.push(cmd)
+    h.undo(c)
+    assert len(c.layers) == 1 and c.active_layer_index == 0
+    h.redo(c)
+    assert len(c.layers) == 2 and c.active_layer_index == 1
+
+
+def test_snapshot_undo_restores_folders():
+    c = canvas64()
+    snap = SnapshotCommand("structure", c)
+    c.folders.append(LayerFolder(id=1, name="f"))
+    c.layers[0].folder_id = 1
+    snap.finalize(c)
+    h = HistoryManager()
+    h.push(snap)
+    h.undo(c)
+    assert not c.folders and c.layers[0].folder_id is None
+    h.redo(c)
+    assert c.folders and c.layers[0].folder_id == 1
+
+
+def test_history_memory_trim():
+    c = Canvas.from_image(fixtures.solid(64, 64, (1, 2, 3, 255)))
+    h = HistoryManager(memory_limit_bytes=100_000)
+    for i in range(10):
+        before = c.layers[0].pixels.copy()
+        c.layers[0].pixels[:, :] = [i, i, i, 255]
+        h.push(SingleLayerSnapshotCommand(f"fill {i}", 0, before, c.layers[0].pixels))
+    assert h.memory_bytes() <= 100_000 or len(h.undo_stack) == 1
+
+
+# -- clipboard ----------------------------------------------------------------
+
+
+def test_clipboard_copy_paste():
+    c = canvas64()
+    c.selection = sel.rect_mask(64, 64, 10, 10, 19, 19)
+    clip = Clipboard()
+    clip.copy(c)
+    assert clip.image.shape == (10, 10, 4)
+    idx = clip.paste_as_layer(c)
+    assert idx == 1
+    np.testing.assert_array_equal(
+        c.layers[1].pixels[10:20, 10:20], c.layers[0].pixels[10:20, 10:20]
+    )
+    assert (c.layers[1].pixels[0:10] == 0).all()
+
+
+def test_clipboard_cut_deletes():
+    c = canvas64()
+    c.selection = sel.rect_mask(64, 64, 0, 0, 7, 7)
+    clip = Clipboard()
+    clip.cut(c)
+    assert (c.layers[0].pixels[0:8, 0:8] == 0).all()
+    assert (c.layers[0].pixels[10:, 10:, 3] == 255).all()
+
+
+# -- color removal --------------------------------------------------------------
+
+
+def test_color_to_alpha_removes_target():
+    img = fixtures.solid(16, 16, (255, 0, 0, 255))
+    out = color_to_alpha(img, ColorToAlphaSettings(target=(255, 0, 0)))
+    assert (out[..., 3] == 0).all()
+
+
+def test_color_to_alpha_keeps_distant_colors():
+    img = fixtures.solid(16, 16, (0, 0, 255, 255))
+    out = color_to_alpha(img, ColorToAlphaSettings(target=(255, 0, 0)))
+    np.testing.assert_array_equal(out, img)
+
+
+def test_flood_select():
+    img = np.zeros((16, 16, 4), np.uint8)
+    img[...] = [10, 10, 10, 255]
+    img[4:8, 4:8] = [200, 0, 0, 255]
+    m = flood_select(img, 5, 5, 10.0)
+    assert (m[4:8, 4:8] == 255).all()
+    assert m.sum() == 255 * 16
