@@ -1,0 +1,132 @@
+"""Flood fill / magic wand — the accelerator-backend fill pipelines.
+
+Behavioral contract: the reference's GPU flood fill (src/gpu/shaders.rs:
+441-752 FLOOD_* — per-pixel color distance to target, seed init, iterative
+relaxation steps with 4/8-connectivity) and the CPU fill path's perceptual
+sRGB->linear color distance + AA threshold mask
+(src/ui/panels/tools/behavior/raster/fill_magic.rs:78-132, 415-467).
+
+TPU shape: the distance map is fused elementwise work; contiguous
+reachability is a `lax.while_loop` over dilation steps (the reference GPU
+does the same relaxation with ping-pong buffers and a changed flag).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from paintfe_tpu.utils.quant import exact_div
+
+f32 = np.float32
+
+
+def _srgb_to_linear(v):
+    return jnp.where(
+        v <= 0.04045,
+        exact_div(v, 12.92),
+        jnp.power(exact_div(v + 0.055, 1.055), 2.4),
+    )
+
+
+@jax.jit
+def perceptual_distance_map(img, target):
+    """u8 distance of every pixel to `target` (RGBA u8 [4]) — premultiplied
+    linear-light luma+chroma metric (fill_magic.rs:84-129)."""
+    c = exact_div(img.astype(jnp.float32), 255.0)
+    t = exact_div(jnp.asarray(target, jnp.float32), 255.0)
+    a = c[..., 3]
+    ta = t[3]
+    lin = _srgb_to_linear(c[..., 0:3]) * a[..., None]
+    tlin = _srgb_to_linear(t[0:3]) * ta
+    d = lin - tlin[None, None, :]
+    dr, dg, db = d[..., 0], d[..., 1], d[..., 2]
+    dluma = jnp.abs(0.2126 * dr + 0.7152 * dg + 0.0722 * db)
+    dchroma = jnp.sqrt(
+        0.5 * (dr - dg) * (dr - dg) + 0.5 * (dg - db) * (dg - db) + 0.5 * (db - dr) * (db - dr)
+    )
+    color_term = jnp.clip(dluma * 0.7 + dchroma * 0.8, 0.0, 1.0)
+    alpha_term = jnp.abs(a - ta)
+    dist = jnp.floor(jnp.maximum(color_term, alpha_term) * 255.0 + 0.5)
+    both_clear = (ta <= 0.0) & (a <= 0.0)
+    return jnp.where(both_clear, 0, jnp.clip(dist, 0, 255)).astype(jnp.uint8)
+
+
+def tolerance_threshold_u8(tolerance: float) -> int:
+    n = min(max(tolerance / 100.0, 0.0), 1.0)
+    return int(min(max(np.floor(n * 255.0 + 0.5), 0.0), 255.0))
+
+
+def threshold_alpha(distance, threshold: int, anti_aliased: bool):
+    """255 inside, 128 on the 1-unit AA fringe, 0 outside (fill_magic.rs:415)."""
+    if not anti_aliased:
+        return jnp.where(distance <= threshold, 255, 0).astype(jnp.uint8)
+    return jnp.where(
+        distance <= threshold, 255,
+        jnp.where(distance == min(threshold + 1, 255), 128, 0),
+    ).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity8",))
+def _reachability(passable, seed_y, seed_x, connectivity8=False):
+    """Iterative relaxation flood (the FLOOD_STEP shader as lax.while_loop):
+    grow the reachable set by dilation restricted to passable pixels."""
+    h, w = passable.shape
+    reach0 = jnp.zeros((h, w), bool).at[seed_y, seed_x].set(True)
+
+    def dilate(r):
+        grown = r
+        grown = grown | jnp.pad(r, ((0, 0), (1, 0)))[:, :-1]
+        grown = grown | jnp.pad(r, ((0, 0), (0, 1)))[:, 1:]
+        grown = grown | jnp.pad(r, ((1, 0), (0, 0)))[:-1, :]
+        grown = grown | jnp.pad(r, ((0, 1), (0, 0)))[1:, :]
+        if connectivity8:
+            grown = grown | jnp.pad(r, ((1, 0), (1, 0)))[:-1, :-1]
+            grown = grown | jnp.pad(r, ((1, 0), (0, 1)))[:-1, 1:]
+            grown = grown | jnp.pad(r, ((0, 1), (1, 0)))[1:, :-1]
+            grown = grown | jnp.pad(r, ((0, 1), (0, 1)))[1:, 1:]
+        return grown & passable
+
+    def cond(state):
+        r, changed = state
+        return changed
+
+    def body(state):
+        r, _ = state
+        # several dilation sub-steps per iteration amortize the loop overhead
+        nr = r
+        for _ in range(8):
+            nr = dilate(nr)
+        return nr, jnp.any(nr != r)
+
+    reach, _ = jax.lax.while_loop(cond, body, (dilate(reach0), jnp.array(True)))
+    return reach
+
+
+def magic_wand_mask(img, x: int, y: int, tolerance: float, contiguous: bool = True,
+                    anti_aliased: bool = True, connectivity8: bool = False):
+    """Selection mask u8 [H, W] for the magic wand / fill tool."""
+    img = jnp.asarray(img, jnp.uint8)
+    target = np.asarray(img[y, x])
+    dist = perceptual_distance_map(img, target)
+    thr = tolerance_threshold_u8(tolerance)
+    alpha = threshold_alpha(dist, thr, anti_aliased)
+    if not contiguous:
+        return np.asarray(alpha)
+    passable = dist <= min(thr + (1 if anti_aliased else 0), 255)
+    reach = _reachability(passable, y, x, connectivity8=connectivity8)
+    return np.asarray(jnp.where(reach, alpha, 0).astype(jnp.uint8))
+
+
+def bucket_fill(img, x: int, y: int, color, tolerance: float = 25.0,
+                contiguous: bool = True, anti_aliased: bool = True):
+    """Fill with `color` where the wand mask covers; AA fringe alpha-blends."""
+    mask = magic_wand_mask(img, x, y, tolerance, contiguous, anti_aliased)
+    img_np = np.asarray(img, np.uint8)
+    cov = mask.astype(f32)[..., None] / f32(255.0)
+    color_v = np.asarray(color, f32)
+    out = img_np.astype(f32) * (1.0 - cov) + color_v[None, None, :] * cov
+    return np.clip(np.floor(out + f32(0.5)), 0, 255).astype(np.uint8)
