@@ -13,7 +13,7 @@ Sparse-canvas economics come back later via dirty-rect windows
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import Any, List, Optional
 
 import numpy as np
 
@@ -48,7 +48,13 @@ def canonicalize_tiles(img: np.ndarray, tile: int = TILE) -> np.ndarray:
 
 @dataclasses.dataclass
 class Layer:
-    """One raster layer: straight-alpha RGBA u8 pixels + blend state."""
+    """One layer: straight-alpha RGBA u8 pixels + blend state.
+
+    `content` discriminates Raster / Adjustment / Text (layers.rs:366-375);
+    adjustment layers transform the accumulated composite in-stream; text
+    layers carry vector data and rasterize into `pixels` on demand.
+    Deep-pixel payloads (u16/f16/f32) ride alongside the u8 preview
+    (layers.rs:420, experimental.rs)."""
 
     name: str
     pixels: np.ndarray  # u8 [H, W, 4]
@@ -58,6 +64,13 @@ class Layer:
     mask: Optional[np.ndarray] = None  # u8 [H, W] conceal (0 = show)
     mask_enabled: bool = True
     folder_id: Optional[int] = None
+    content: str = "raster"  # raster | adjustment | text
+    adjustment: Optional[Any] = None  # deep.AdjustmentLayerData
+    text_data: Optional[Any] = None  # text.TextLayerData
+    pixel_format: Any = None  # deep.PixelFormat (None -> RGBA_U8)
+    deep_pixels: Optional[Any] = None  # deep.DeepRgbaBuffer
+    hdr_metadata: Optional[Any] = None  # deep.HdrMetadata
+    source_metadata: Optional[Any] = None  # deep.ImageMetadata
 
     @classmethod
     def new(cls, name: str, w: int, h: int, fill=(0, 0, 0, 0)) -> "Layer":
@@ -136,7 +149,11 @@ class Canvas:
     # -- compositing --------------------------------------------------------
 
     def composite(self) -> np.ndarray:
-        """Flatten the visible stack to a single RGBA u8 [H, W, 4] image."""
+        """Flatten the visible stack to a single RGBA u8 [H, W, 4] image.
+
+        Raster runs are fused with the jitted compositor; adjustment layers
+        transform the accumulated composite in-stream between runs
+        (canvas_state.rs:579-584)."""
         vis = [
             (i, l)
             for i, l in enumerate(self.layers)
@@ -144,21 +161,38 @@ class Canvas:
         ]
         if not vis:
             return _empty(self.height, self.width)
-        stack = np.stack([l.pixels for _, l in vis])
-        modes = np.array([int(l.blend_mode) for _, l in vis], np.int32)
-        opacities = np.array([l.opacity for _, l in vis], np.float32)
-        visibles = np.ones(len(vis), bool)
-        conceal = None
-        if any(l.mask is not None and l.mask_enabled for _, l in vis):
-            conceal = np.stack(
-                [
-                    l.mask
-                    if (l.mask is not None and l.mask_enabled)
-                    else np.zeros((self.height, self.width), np.uint8)
-                    for _, l in vis
-                ]
+
+        acc = _empty(self.height, self.width)
+        run: List[Layer] = []
+
+        def flush_run(acc):
+            if not run:
+                return acc
+            stack = np.stack([l.pixels for l in run])
+            modes = np.array([int(l.blend_mode) for l in run], np.int32)
+            opacities = np.array([l.opacity for l in run], np.float32)
+            visibles = np.ones(len(run), bool)
+            conceal = None
+            if any(l.mask is not None and l.mask_enabled for l in run):
+                zero = np.zeros((self.height, self.width), np.uint8)
+                conceal = np.stack(
+                    [
+                        l.mask if (l.mask is not None and l.mask_enabled) else zero
+                        for l in run
+                    ]
+                )
+            run.clear()
+            return np.asarray(
+                composite_stack(stack, modes, opacities, visibles, conceal, init=acc)
             )
-        return np.asarray(composite_stack(stack, modes, opacities, visibles, conceal))
+
+        for _, layer in vis:
+            if layer.content == "adjustment" and layer.adjustment is not None:
+                acc = flush_run(acc)
+                acc = layer.adjustment.apply_with_opacity(acc, layer.opacity)
+            else:
+                run.append(layer)
+        return flush_run(acc)
 
     # -- selection ----------------------------------------------------------
 

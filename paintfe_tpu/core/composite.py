@@ -24,7 +24,7 @@ from paintfe_tpu.core.blend import blend_u8
 
 
 @functools.partial(jax.jit)
-def composite_stack(layers, modes, opacities, visibles, conceal=None):
+def composite_stack(layers, modes, opacities, visibles, conceal=None, init=None):
     """Flatten a layer stack to one RGBA image.
 
     Args:
@@ -33,6 +33,7 @@ def composite_stack(layers, modes, opacities, visibles, conceal=None):
       opacities: f32 [L] in [0, 1].
       visibles: bool [L].
       conceal: optional u8 [L, H, W] layer-mask conceal values (0 = show).
+      init: optional u8 [H, W, 4] starting accumulator (default transparent).
 
     Returns: u8 [H, W, 4].
     """
@@ -56,7 +57,10 @@ def composite_stack(layers, modes, opacities, visibles, conceal=None):
         out = jnp.where(visible, out, acc)
         return out, None
 
-    init = jnp.zeros(layers.shape[1:], jnp.uint8)
+    if init is None:
+        init = jnp.zeros(layers.shape[1:], jnp.uint8)
+    else:
+        init = jnp.asarray(init, jnp.uint8)
     result, _ = jax.lax.scan(body, init, (layers, modes, opacities, visibles, conceal))
     return result
 

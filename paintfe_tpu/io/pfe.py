@@ -5,9 +5,9 @@ fixed-int little-endian encoding: String/Vec = u64 length + payload,
 usize = u64, Option = u8 tag, bool = u8, f32 = 4 LE bytes.  Sparse chunked
 layers: only non-transparent 64x64 chunks serialized (16384 bytes each).
 
-Implements V1 write (V2 when text payloads exist) and V0/V1/V2 read; V3
-payloads (deep pixels / HDR) load their raster chunks with the extra
-metadata preserved as opaque bytes.
+Implements V1 write for plain raster stacks, V3 write when experimental
+features are present (folders, adjustment layers, deep pixels, HDR,
+metadata), and V0/V1/V2/V3 read.
 """
 
 from __future__ import annotations
@@ -19,7 +19,15 @@ from typing import List, Optional
 import numpy as np
 
 from paintfe_tpu.core.blend import BlendMode
-from paintfe_tpu.core.canvas import Canvas, Layer
+from paintfe_tpu.core.canvas import Canvas, Layer, LayerFolder
+from paintfe_tpu.core.deep import (
+    AdjustmentKind,
+    AdjustmentLayerData,
+    DeepRgbaBuffer,
+    HdrMetadata,
+    ImageMetadata,
+    PixelFormat,
+)
 
 CHUNK = 64
 
@@ -119,8 +127,29 @@ def _paste_chunks(w: int, h: int, chunks) -> np.ndarray:
     return out
 
 
+_PIXEL_FORMATS = [PixelFormat.RGBA_U8, PixelFormat.RGBA_U16,
+                  PixelFormat.RGBA_F16, PixelFormat.RGBA_F32]
+_ADJ_KINDS = [AdjustmentKind.EXPOSURE, AdjustmentKind.BRIGHTNESS_CONTRAST,
+              AdjustmentKind.INVERT, AdjustmentKind.CHANNEL_MIXER]
+
+
+def _needs_v3(canvas: Canvas) -> bool:
+    if canvas.folders or any(l.folder_id is not None for l in canvas.layers):
+        return True
+    return any(
+        l.content == "adjustment"
+        or l.deep_pixels is not None
+        or (l.pixel_format not in (None, PixelFormat.RGBA_U8))
+        or (l.hdr_metadata is not None and l.hdr_metadata.enabled)
+        for l in canvas.layers
+    )
+
+
 def save_pfe(canvas: Canvas, path: str):
-    """Write a V1 container (sparse chunked raster layers)."""
+    """Write a V1 container, or V3 when experimental features are present
+    (build_pfe auto-selection, io.rs:256-283)."""
+    if _needs_v3(canvas):
+        return _save_v3(canvas, path)
     wtr = _Writer()
     wtr.string("PFE1")
     wtr.u32(canvas.width)
@@ -152,7 +181,7 @@ def load_pfe(path: str) -> Canvas:
     if magic in ("PFE1", "PFE2"):
         return _load_v1v2(rd, v2=(magic == "PFE2"))
     if magic == "PFE3":
-        raise PfeError("PFE3 (experimental) containers are not supported yet")
+        return _load_v3(rd)
     raise PfeError(f"not a PFE file (magic {magic!r})")
 
 
@@ -203,5 +232,221 @@ def _load_v1v2(rd: _Reader, v2: bool) -> Canvas:
             Layer(name=name, pixels=px, visible=visible, opacity=opacity,
                   blend_mode=BlendMode(mode if mode <= 24 else 0))
         )
+    canvas.active_layer_index = min(active, max(len(canvas.layers) - 1, 0))
+    return canvas
+
+
+# ---------------------------------------------------------------------------
+# V3: folders + adjustment layers + deep pixels + HDR + metadata
+# ---------------------------------------------------------------------------
+
+
+def _write_adjustment(adj: AdjustmentLayerData) -> bytes:
+    w = _Writer()
+    w.u32(_ADJ_KINDS.index(AdjustmentKind(adj.kind)))
+    k = AdjustmentKind(adj.kind)
+    if k == AdjustmentKind.EXPOSURE:
+        w.f32(adj.ev)
+    elif k == AdjustmentKind.BRIGHTNESS_CONTRAST:
+        w.f32(adj.brightness)
+        w.f32(adj.contrast)
+    elif k == AdjustmentKind.CHANNEL_MIXER:
+        for row in (adj.red, adj.green, adj.blue, adj.alpha):
+            for v in row:
+                w.f32(v)
+    return w.getvalue()
+
+
+def _read_adjustment(data: bytes) -> AdjustmentLayerData:
+    rd = _Reader(data)
+    kind = _ADJ_KINDS[rd.u32()]
+    adj = AdjustmentLayerData(kind=kind)
+    if kind == AdjustmentKind.EXPOSURE:
+        adj.ev = rd.f32()
+    elif kind == AdjustmentKind.BRIGHTNESS_CONTRAST:
+        adj.brightness = rd.f32()
+        adj.contrast = rd.f32()
+    elif kind == AdjustmentKind.CHANNEL_MIXER:
+        adj.red = tuple(rd.f32() for _ in range(4))
+        adj.green = tuple(rd.f32() for _ in range(4))
+        adj.blue = tuple(rd.f32() for _ in range(4))
+        adj.alpha = tuple(rd.f32() for _ in range(4))
+    return adj
+
+
+def _write_deep(w: _Writer, deep: DeepRgbaBuffer):
+    fmt = PixelFormat(deep.format)
+    w.u32(_PIXEL_FORMATS.index(fmt))
+    data = np.ascontiguousarray(deep.data)
+    w.u64(data.size)
+    w.buf.write(data.tobytes())
+
+
+def _read_deep(rd: _Reader) -> DeepRgbaBuffer:
+    fmt = _PIXEL_FORMATS[rd.u32()]
+    n = rd.u64()
+    if fmt == PixelFormat.RGBA_U8:
+        data = np.frombuffer(rd.take(n), np.uint8).copy()
+    elif fmt in (PixelFormat.RGBA_U16, PixelFormat.RGBA_F16):
+        data = np.frombuffer(rd.take(n * 2), "<u2").copy()
+    else:
+        data = np.frombuffer(rd.take(n * 4), "<f4").copy()
+    return DeepRgbaBuffer(fmt, data)
+
+
+def _write_hdr(w: _Writer, hdr: HdrMetadata):
+    w.u8(1 if hdr.enabled else 0)
+    for v in (hdr.max_luminance_nits, hdr.reference_white_nits):
+        if v is None:
+            w.u8(0)
+        else:
+            w.u8(1)
+            w.f32(v)
+    if hdr.transfer_function is None:
+        w.u8(0)
+    else:
+        w.u8(1)
+        w.string(hdr.transfer_function)
+
+
+def _read_hdr(rd: _Reader) -> HdrMetadata:
+    hdr = HdrMetadata(enabled=rd.u8() == 1)
+    hdr.max_luminance_nits = rd.option(rd.f32)
+    hdr.reference_white_nits = rd.option(rd.f32)
+    hdr.transfer_function = rd.option(rd.string)
+    return hdr
+
+
+def _write_meta(w: _Writer, meta: ImageMetadata):
+    for v in (meta.source_format, meta.source_name, meta.color_profile_name):
+        if v is None:
+            w.u8(0)
+        else:
+            w.u8(1)
+            w.string(v)
+    w.u64(len(meta.png_text_chunks))
+    for key, val in meta.png_text_chunks:
+        w.string(key)
+        w.string(val)
+    w.u64(0)  # raw_png_chunks (not preserved)
+
+
+def _read_meta(rd: _Reader) -> ImageMetadata:
+    meta = ImageMetadata()
+    meta.source_format = rd.option(rd.string)
+    meta.source_name = rd.option(rd.string)
+    meta.color_profile_name = rd.option(rd.string)
+    n = rd.u64()
+    meta.png_text_chunks = [(rd.string(), rd.string()) for _ in range(n)]
+    n_raw = rd.u64()
+    for _ in range(n_raw):
+        rd.bytes_vec()
+    return meta
+
+
+def _save_v3(canvas: Canvas, path: str):
+    wtr = _Writer()
+    wtr.string("PFE3")
+    wtr.u32(canvas.width)
+    wtr.u32(canvas.height)
+    wtr.u64(canvas.active_layer_index)
+    wtr.u64(len(canvas.folders))
+    for f in canvas.folders:
+        wtr.u64(f.id)
+        wtr.string(f.name)
+        wtr.u8(1 if f.visible else 0)
+        wtr.u8(0 if f.expanded else 1)  # collapsed
+        wtr.u8(0)  # insert_above_layer: None
+        wtr.u8(0)  # color_index: None
+    next_id = max([f.id for f in canvas.folders], default=0) + 1
+    wtr.u64(next_id)
+    wtr.u64(len(canvas.layers))
+    for layer in canvas.layers:
+        wtr.string(layer.name)
+        wtr.u8(1 if layer.visible else 0)
+        if layer.folder_id is None:
+            wtr.u8(0)
+        else:
+            wtr.u8(1)
+            wtr.u64(layer.folder_id)
+        wtr.f32(layer.opacity)
+        wtr.u8(int(layer.blend_mode))
+        layer_type = {"raster": 0, "text": 1, "adjustment": 2}.get(layer.content, 0)
+        wtr.u8(layer_type)
+        chunks = list(_chunks_of(np.asarray(layer.pixels, np.uint8)))
+        wtr.u64(len(chunks))
+        for cx, cy, data in chunks:
+            wtr.u32(cx)
+            wtr.u32(cy)
+            wtr.bytes_vec(data)
+        if layer.content == "adjustment" and layer.adjustment is not None:
+            wtr.u8(1)
+            wtr.bytes_vec(_write_adjustment(layer.adjustment))
+        else:
+            wtr.u8(0)
+        fmt = layer.pixel_format or PixelFormat.RGBA_U8
+        wtr.u32(_PIXEL_FORMATS.index(PixelFormat(fmt)))
+        _write_hdr(wtr, layer.hdr_metadata or HdrMetadata())
+        _write_meta(wtr, layer.source_metadata or ImageMetadata())
+        wtr.u32(1)  # WebpFrameCompression::Lossless
+        if layer.deep_pixels is not None:
+            wtr.u8(1)
+            _write_deep(wtr, layer.deep_pixels)
+        else:
+            wtr.u8(0)
+    with open(path, "wb") as f:
+        f.write(wtr.getvalue())
+
+
+def _load_v3(rd: _Reader) -> Canvas:
+    w = rd.u32()
+    h = rd.u32()
+    active = rd.u64()
+    canvas = Canvas(width=w, height=h)
+    n_folders = rd.u64()
+    for _ in range(n_folders):
+        fid = rd.u64()
+        name = rd.string()
+        visible = rd.u8() == 1
+        collapsed = rd.u8() == 1
+        if rd.u8() == 1:
+            rd.u64()  # insert_above_layer
+        if rd.u8() == 1:
+            rd.u8()  # color_index
+        canvas.folders.append(
+            LayerFolder(id=fid, name=name, visible=visible, expanded=not collapsed)
+        )
+    rd.u64()  # next_layer_folder_id
+    n_layers = rd.u64()
+    for _ in range(n_layers):
+        name = rd.string()
+        visible = rd.u8() == 1
+        folder_id = rd.option(rd.u64)
+        opacity = rd.f32()
+        mode = rd.u8()
+        layer_type = rd.u8()
+        n_chunks = rd.u64()
+        chunks = []
+        for _ in range(n_chunks):
+            cx = rd.u32()
+            cy = rd.u32()
+            chunks.append((cx, cy, rd.bytes_vec()))
+        content_data = rd.option(rd.bytes_vec)
+        fmt = _PIXEL_FORMATS[rd.u32()]
+        hdr = _read_hdr(rd)
+        meta = _read_meta(rd)
+        rd.u32()  # webp_frame_compression
+        deep = rd.option(lambda: _read_deep(rd))
+        layer = Layer(
+            name=name, pixels=_paste_chunks(w, h, chunks), visible=visible,
+            opacity=opacity, blend_mode=BlendMode(mode if mode <= 24 else 0),
+            folder_id=folder_id,
+            content={0: "raster", 1: "text", 2: "adjustment"}.get(layer_type, "raster"),
+            pixel_format=fmt, hdr_metadata=hdr, source_metadata=meta,
+            deep_pixels=deep,
+        )
+        if layer.content == "adjustment" and content_data:
+            layer.adjustment = _read_adjustment(content_data)
+        canvas.layers.append(layer)
     canvas.active_layer_index = min(active, max(len(canvas.layers) - 1, 0))
     return canvas
