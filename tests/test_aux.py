@@ -1,0 +1,92 @@
+"""Aux services: i18n, logger, settings, autosave, profiling."""
+
+import json
+import pathlib
+
+import numpy as np
+
+from paintfe_tpu.core import fixtures
+from paintfe_tpu.core.canvas import Canvas
+from paintfe_tpu.io import pfe
+from paintfe_tpu.utils import i18n, logger, profiling
+from paintfe_tpu.utils.autosave import Autosaver
+from paintfe_tpu.utils.settings import AppSettings
+
+
+def test_i18n_lookup_and_fallback():
+    i18n.init()
+    i18n.set_language("en")
+    assert i18n.t("interpolation.bilinear") == "Bilinear"
+    i18n.set_language("fr")
+    assert i18n.t("interpolation.bilinear") == "Bilinéaire"
+    # key missing in fr -> falls back to en
+    assert i18n.t("quality.instant") == "Instant"
+    # unknown key -> key itself
+    assert i18n.t("no.such.key") == "no.such.key"
+    i18n.set_language("en")
+
+
+def test_i18n_parse():
+    table = i18n.parse_translations("# comment\na.b=Hello\n\nc.d=World=X\n")
+    assert table == {"a.b": "Hello", "c.d": "World=X"}
+
+
+def test_logger_truncates_per_session(tmp_path):
+    p = tmp_path / "s.log"
+    logger.init(p)
+    logger.log_info("first session")
+    assert "first session" in p.read_text()
+    logger.init(p)  # relaunch truncates
+    logger.log_warn("second")
+    text = p.read_text()
+    assert "first session" not in text and "second" in text
+    assert "[WARN]" in text
+
+
+def test_settings_roundtrip_and_defaults(tmp_path):
+    p = tmp_path / "settings.json"
+    s = AppSettings()
+    s.jpeg_quality = 75
+    s.language = "fr"
+    s.save(p)
+    loaded = AppSettings.load(p)
+    assert loaded.jpeg_quality == 75 and loaded.language == "fr"
+    # forward compat: unknown fields ignored, missing fields default
+    p.write_text(json.dumps({"jpeg_quality": 42, "未知": True}))
+    loaded = AppSettings.load(p)
+    assert loaded.jpeg_quality == 42
+    assert loaded.webp_lossless is True  # default preserved
+
+
+def test_settings_load_missing_file(tmp_path):
+    s = AppSettings.load(tmp_path / "nope.json")
+    assert s.autosave_interval_minutes == 5
+
+
+def test_autosave_roundtrip(tmp_path):
+    c = Canvas.from_image(fixtures.test_gradient(32, 32))
+    saver = Autosaver(interval_minutes=0.0, directory=tmp_path)
+    path = saver.maybe_save(c, "proj")
+    assert path is not None and path.exists()
+    back = pfe.load_pfe(str(path))
+    np.testing.assert_array_equal(back.layers[0].pixels, c.layers[0].pixels)
+    assert saver.list_autosaves() == [path]
+
+
+def test_stage_timer():
+    t = profiling.StageTimer()
+    with t.stage("load"):
+        pass
+    with t.stage("process"):
+        pass
+    totals = t.totals()
+    assert set(totals) == {"load", "process"}
+    assert "load" in t.report()
+
+
+def test_fps_ring():
+    ring = profiling.FpsRing(size=4)
+    for _ in range(6):
+        ring.tick()
+    assert len(ring.samples) == 4
+    assert ring.fps() > 0
