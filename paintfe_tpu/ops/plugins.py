@@ -1,0 +1,118 @@
+"""Out-of-process effect plugin host.
+
+Behavioral contract: src/paintdotnet_plugins.rs — plugins run as trusted
+subprocesses for crash isolation, gated by a SHA-256 allowlist (:320-421),
+speaking a describe/render RPC (:485-607).  The reference's host is a C#
+process for Paint.NET DLLs; this host is language-agnostic: any executable
+speaking the line-delimited JSON protocol below can provide effects.
+
+Protocol (stdin/stdout, one JSON object per line):
+  -> {"cmd": "describe"}
+  <- {"name": ..., "effects": [{"id": ..., "name": ..., "params": [...]}]}
+  -> {"cmd": "render", "effect": id, "width": W, "height": H,
+      "params": {...}, "pixels_b64": base64 RGBA}
+  <- {"ok": true, "pixels_b64": base64 RGBA}
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import json
+import pathlib
+import subprocess
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+class PluginError(Exception):
+    pass
+
+
+class TrustList:
+    """SHA-256 allowlist of plugin executables (paintdotnet_plugins.rs:320-421)."""
+
+    def __init__(self, path: Optional[pathlib.Path] = None):
+        self.path = path
+        self.hashes = set()
+        if path is not None and pathlib.Path(path).exists():
+            self.hashes = set(pathlib.Path(path).read_text().split())
+
+    @staticmethod
+    def digest(exe_path) -> str:
+        return hashlib.sha256(pathlib.Path(exe_path).read_bytes()).hexdigest()
+
+    def is_trusted(self, exe_path) -> bool:
+        return self.digest(exe_path) in self.hashes
+
+    def trust(self, exe_path):
+        self.hashes.add(self.digest(exe_path))
+        if self.path is not None:
+            pathlib.Path(self.path).parent.mkdir(parents=True, exist_ok=True)
+            pathlib.Path(self.path).write_text("\n".join(sorted(self.hashes)))
+
+
+class PluginHost:
+    """One plugin subprocess; crash isolation comes free with the process
+    boundary — a dying plugin raises PluginError, never takes us down."""
+
+    def __init__(self, exe_path, trust: Optional[TrustList] = None,
+                 timeout: float = 60.0):
+        exe_path = pathlib.Path(exe_path)
+        if not exe_path.exists():
+            raise PluginError(f"plugin not found: {exe_path}")
+        if trust is not None and not trust.is_trusted(exe_path):
+            raise PluginError(f"plugin not in the trust list: {exe_path}")
+        self.exe_path = exe_path
+        self.timeout = timeout
+        self.proc: Optional[subprocess.Popen] = None
+
+    def _ensure(self):
+        if self.proc is None or self.proc.poll() is not None:
+            self.proc = subprocess.Popen(
+                [str(self.exe_path)], stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            )
+
+    def _rpc(self, payload: dict) -> dict:
+        self._ensure()
+        try:
+            self.proc.stdin.write((json.dumps(payload) + "\n").encode())
+            self.proc.stdin.flush()
+            line = self.proc.stdout.readline()
+        except (BrokenPipeError, OSError) as e:
+            raise PluginError(f"plugin crashed: {e}")
+        if not line:
+            raise PluginError("plugin closed the pipe (crash?)")
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError as e:
+            raise PluginError(f"bad plugin response: {e}")
+
+    def describe(self) -> dict:
+        return self._rpc({"cmd": "describe"})
+
+    def render(self, effect_id: str, pixels: np.ndarray,
+               params: Optional[Dict] = None) -> np.ndarray:
+        pixels = np.ascontiguousarray(pixels, np.uint8)
+        h, w = pixels.shape[:2]
+        resp = self._rpc({
+            "cmd": "render", "effect": effect_id, "width": w, "height": h,
+            "params": params or {},
+            "pixels_b64": base64.b64encode(pixels.tobytes()).decode(),
+        })
+        if not resp.get("ok"):
+            raise PluginError(f"render failed: {resp.get('error', 'unknown')}")
+        raw = base64.b64decode(resp["pixels_b64"])
+        return np.frombuffer(raw, np.uint8).reshape(h, w, 4).copy()
+
+    def close(self):
+        if self.proc is not None:
+            try:
+                self.proc.stdin.close()
+                self.proc.terminate()
+                self.proc.wait(timeout=5)
+            except (OSError, subprocess.TimeoutExpired):
+                self.proc.kill()
+            self.proc = None
