@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-v", "--verbose", action="store_true")
     p.add_argument("--shard", action="store_true",
                    help="shard the batch across available accelerator devices")
+    p.add_argument("--animate", metavar="OUT",
+                   help="combine all processed inputs into one animated "
+                        "GIF/APNG/WebP at OUT (each input = one frame)")
+    p.add_argument("--fps", type=float, default=10.0,
+                   help="frame rate for --animate (default 10)")
     return p
 
 
@@ -179,6 +184,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.output_dir:
         pathlib.Path(args.output_dir).mkdir(parents=True, exist_ok=True)
 
+    if args.animate:
+        return _run_animate(inputs, args, script_source)
+
     if args.shard and len(inputs) > 1:
         from paintfe_tpu.parallel.batch import run_sharded_batch
 
@@ -206,6 +214,48 @@ def main(argv: Optional[List[str]] = None) -> int:
                 msg = f"script error: {e}"
             print(f"  error: {msg}", file=sys.stderr)
             any_failure = True
+    return 1 if any_failure else 0
+
+
+def _run_animate(inputs, args, script_source) -> int:
+    """Process every input, then encode all frames as one animation
+    ("each visible layer = one frame" semantics applied to the batch)."""
+    ext = pathlib.Path(args.animate).suffix.lower().lstrip(".")
+    anim_fmt = {"gif": "gif", "png": "apng", "apng": "apng", "webp": "webp"}.get(ext)
+    if anim_fmt is None:
+        print(f"error: --animate needs a .gif/.png/.webp path, got '{ext}'",
+              file=sys.stderr)
+        return 1
+    frames = []
+    any_failure = False
+    for input_path in inputs:
+        try:
+            canvas = load_canvas(input_path)
+            if script_source is not None:
+                idx = canvas.active_layer_index
+                result, new_w, new_h, _console, canvas_ops = execute_script_sync(
+                    script_source, canvas.layers[idx].pixels,
+                    canvas.width, canvas.height, canvas.selection,
+                )
+                canvas.layers[idx].pixels = np.asarray(result, np.uint8).reshape(new_h, new_w, 4)
+                if canvas_ops:
+                    apply_canvas_ops(canvas, canvas_ops, skip_layer=idx)
+                canvas.width, canvas.height = new_w, new_h
+            frames.append(canvas.composite() if len(canvas.layers) > 1
+                          else canvas.active_layer.pixels)
+        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError) as e:
+            print(f"  error: {e}", file=sys.stderr)
+            any_failure = True
+    if not frames:
+        return 1
+    try:
+        codecs.save_animation(frames, args.animate, anim_fmt, fps=args.fps,
+                              quality=args.quality)
+        if args.verbose:
+            print(f"  -> {args.animate} ({len(frames)} frames @ {args.fps} fps)")
+    except codecs.CodecError as e:
+        print(f"  error: {e}", file=sys.stderr)
+        return 1
     return 1 if any_failure else 0
 
 

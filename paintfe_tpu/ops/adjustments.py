@@ -379,3 +379,55 @@ def histogram(img, mask=None):
             hist_of(lum),
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-hue-band HSL (adjustments.rs:1599-1674)
+# ---------------------------------------------------------------------------
+
+BAND_CENTERS = (0.0, 60.0, 120.0, 180.0, 240.0, 300.0)  # R, Y, G, C, B, M
+
+
+def _band_weight(hue_deg, center):
+    """Full weight within +-30 deg, linear falloff to 0 at +-45 deg."""
+    dist = jnp.abs(hue_deg - center) % 360.0
+    dist = jnp.where(dist > 180.0, 360.0 - dist, dist)
+    return jnp.where(
+        dist <= 30.0, 1.0,
+        jnp.where(dist < 45.0, 1.0 - exact_div(dist - 30.0, 15.0), 0.0),
+    )
+
+
+@jax.jit
+def hue_saturation_per_band(img, global_hue, global_sat, global_light,
+                            band_hues, band_sats, band_lights, mask=None):
+    """Global HSL plus six weighted hue-band adjustments.
+
+    band_* are [6] arrays (hue -180..180, sat -100..100, light -100..100);
+    band contributions accumulate on top of the global values weighted by
+    hue-wheel proximity.
+    """
+    g_sat = 1.0 + exact_div(_f32(global_sat), 100.0)
+    g_light = exact_div(_f32(global_light) * 255.0, 100.0)
+    band_hues = jnp.asarray(band_hues, jnp.float32)
+    band_sats = jnp.asarray(band_sats, jnp.float32)
+    band_lights = jnp.asarray(band_lights, jnp.float32)
+
+    def fn(r, g, b, a):
+        h, s, l = rgb_to_hsl(exact_div(r, 255.0), exact_div(g, 255.0), exact_div(b, 255.0))
+        h_deg = h * 360.0
+        extra_hue = _f32(global_hue)
+        extra_sat = g_sat
+        extra_light = g_light
+        for i, center in enumerate(BAND_CENTERS):
+            w = _band_weight(h_deg, center)
+            extra_hue = extra_hue + band_hues[i] * w
+            extra_sat = extra_sat + exact_div(band_sats[i], 100.0) * w
+            extra_light = extra_light + exact_div(band_lights[i] * 255.0, 100.0) * w
+        nh = ((h + exact_div(extra_hue, 360.0)) % 1.0 + 1.0) % 1.0
+        ns = jnp.clip(s * extra_sat, 0.0, 1.0)
+        nr, ng, nb = hsl_to_rgb(nh, ns, l)
+        return (nr * 255.0 + extra_light, ng * 255.0 + extra_light,
+                nb * 255.0 + extra_light, a)
+
+    return _pointwise(img, mask, fn)

@@ -10,7 +10,9 @@ canvas_ops)`; ScriptError carries a message plus best-effort line/column.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+import queue
+import threading
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
@@ -95,3 +97,96 @@ def apply_canvas_ops(canvas, ops: List[CanvasOpRequest], skip_layer: int):
             canvas.width, canvas.height = op.w, op.h
         if canvas.selection is not None and op.kind != "flip_h":
             canvas.selection = None
+
+
+# ---------------------------------------------------------------------------
+# Async execution (GUI-mode parity: scripting.rs:222-252, 1512-1630)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ScriptMessage:
+    """Streamed from the worker thread: kind in {completed, error, preview,
+    console, progress}."""
+
+    kind: str
+    payload: Any = None
+
+
+def execute_script_async(source, pixels, width, height, mask=None,
+                         rng_seed=None, cancel_event: Optional[threading.Event] = None):
+    """Run a script on a worker thread; returns (thread, message_queue).
+
+    Messages: console lines as they appear, progress updates, then one
+    terminal `completed` (payload = (pixels, w, h, console, canvas_ops)) or
+    `error` (payload = ScriptError).  `cancel_event.set()` aborts between
+    operations (the reference polls an AtomicBool from on_progress).
+    """
+    import numpy as np
+
+    from paintfe_tpu.scripting.interp import Interpreter, RhaiRuntimeError
+
+    messages: "queue.Queue[ScriptMessage]" = queue.Queue()
+    cancel_event = cancel_event or threading.Event()
+
+    def worker():
+        try:
+            compile_script(source)
+            ctx = ScriptContext(np.asarray(pixels, np.uint8), width, height,
+                                mask, rng_seed)
+            interp_ref = {}
+            fns = build_host_fns(ctx, interp_ref)
+
+            orig_print = fns["print_line"]
+
+            def streaming_print(msg=""):
+                r = orig_print(msg)
+                messages.put(ScriptMessage("console", ctx.console[-1]))
+                return r
+
+            fns["print_line"] = streaming_print
+            fns["print"] = streaming_print
+
+            orig_progress = fns["progress"]
+
+            def streaming_progress(frac):
+                r = orig_progress(frac)
+                messages.put(ScriptMessage("progress", ctx.progress))
+                return r
+
+            fns["progress"] = streaming_progress
+
+            orig_sleep = fns["sleep"]
+
+            def preview_sleep(ms):
+                messages.put(ScriptMessage(
+                    "preview", (ctx.pixels.copy(), ctx.width, ctx.height)
+                ))
+                return orig_sleep(ms)
+
+            fns["sleep"] = preview_sleep
+
+            interp = Interpreter(fns)
+            interp_ref["interp"] = interp
+
+            orig_tick = interp.tick
+
+            def cancellable_tick():
+                if cancel_event.is_set() and interp.ops % 1024 == 0:
+                    raise RhaiRuntimeError("Script cancelled by user")
+                orig_tick()
+
+            interp.tick = cancellable_tick
+            interp.run(source)
+            messages.put(ScriptMessage(
+                "completed",
+                (ctx.pixels, ctx.width, ctx.height, ctx.console, ctx.canvas_ops),
+            ))
+        except ScriptError as e:
+            messages.put(ScriptMessage("error", e))
+        except (RhaiSyntaxError, RhaiRuntimeError) as e:
+            messages.put(ScriptMessage("error", ScriptError(str(e))))
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    return thread, messages
