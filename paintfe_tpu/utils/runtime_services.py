@@ -1,0 +1,196 @@
+"""Runtime services: print hand-off, single-instance IPC, keybindings.
+
+Behavioral contracts:
+  * src/ops/print.rs — "print" = save the composite to a temp PNG and hand
+    it to the OS viewer/printer (xdg-open / open / ShellExecute).
+  * src/ipc.rs — single-instance guard: the first instance listens, later
+    instances forward their file paths and exit (named pipe on Windows; a
+    Unix socket here).
+  * src/config/keybindings.rs — action -> key-combo map with JSON
+    persistence and defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pathlib
+import socket
+import subprocess
+import sys
+import tempfile
+import threading
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Print
+# ---------------------------------------------------------------------------
+
+
+def print_image(composite: np.ndarray, opener: Optional[Callable] = None) -> pathlib.Path:
+    """Save the composite to a temp PNG and hand it to the OS default
+    handler.  Returns the temp path; `opener` overrides the OS launcher
+    (tests pass a stub; headless boxes have no viewer)."""
+    from paintfe_tpu.io import codecs
+
+    path = pathlib.Path(tempfile.gettempdir()) / "paintfe_print.png"
+    codecs.save_image(composite, path, "png")
+    if opener is not None:
+        opener(path)
+    else:  # pragma: no cover - environment-dependent
+        cmd = {"darwin": "open", "win32": "start"}.get(sys.platform, "xdg-open")
+        try:
+            subprocess.Popen([cmd, str(path)],
+                             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        except OSError as e:
+            raise RuntimeError(f"no OS opener available: {e}")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Single-instance IPC
+# ---------------------------------------------------------------------------
+
+
+class SingleInstance:
+    """First instance binds a Unix socket and receives file paths; later
+    instances forward their paths and report not-primary."""
+
+    def __init__(self, socket_path: Optional[str] = None):
+        self.socket_path = socket_path or os.path.join(
+            tempfile.gettempdir(), f"paintfe-tpu-{os.getuid()}.sock"
+        )
+        self.server: Optional[socket.socket] = None
+        self.received: List[str] = []
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+
+    def try_acquire(self) -> bool:
+        """True if we became the primary instance."""
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            sock.connect(self.socket_path)
+            sock.close()
+            return False  # someone is already listening
+        except (ConnectionRefusedError, FileNotFoundError):
+            pass
+        try:
+            os.unlink(self.socket_path)
+        except FileNotFoundError:
+            pass
+        self.server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self.server.bind(self.socket_path)
+        self.server.listen(4)
+        self.server.settimeout(0.2)
+        self._thread = threading.Thread(target=self._serve, daemon=True)
+        self._thread.start()
+        return True
+
+    def _serve(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self.server.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            with conn:
+                data = conn.recv(65536)
+                for line in data.decode(errors="replace").splitlines():
+                    if line.strip():
+                        self.received.append(line.strip())
+
+    def forward_files(self, paths: List[str]) -> bool:
+        """Send paths to the primary instance; True on success."""
+        try:
+            sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            sock.connect(self.socket_path)
+            sock.sendall(("\n".join(str(p) for p in paths) + "\n").encode())
+            sock.close()
+            return True
+        except OSError:
+            return False
+
+    def release(self):
+        self._stop.set()
+        if self.server is not None:
+            try:
+                self.server.close()
+            except OSError:
+                pass
+            try:
+                os.unlink(self.socket_path)
+            except FileNotFoundError:
+                pass
+        if self._thread is not None:
+            self._thread.join(timeout=1)
+
+
+# ---------------------------------------------------------------------------
+# Keybindings
+# ---------------------------------------------------------------------------
+
+DEFAULT_KEYBINDINGS: Dict[str, str] = {
+    "file.new": "Ctrl+N",
+    "file.open": "Ctrl+O",
+    "file.save": "Ctrl+S",
+    "file.save_as": "Ctrl+Shift+S",
+    "edit.undo": "Ctrl+Z",
+    "edit.redo": "Ctrl+Y",
+    "edit.copy": "Ctrl+C",
+    "edit.cut": "Ctrl+X",
+    "edit.paste": "Ctrl+V",
+    "select.all": "Ctrl+A",
+    "select.none": "Ctrl+D",
+    "select.invert": "Ctrl+Shift+I",
+    "layer.new": "Ctrl+Shift+N",
+    "layer.duplicate": "Ctrl+J",
+    "layer.merge_down": "Ctrl+E",
+    "image.flip_horizontal": "Ctrl+Shift+H",
+    "image.flip_vertical": "Ctrl+Shift+V",
+    "tool.brush": "B",
+    "tool.eraser": "E",
+    "tool.fill": "G",
+    "tool.wand": "W",
+    "tool.text": "T",
+    "view.zoom_in": "Ctrl+=",
+    "view.zoom_out": "Ctrl+-",
+    "view.fit": "Ctrl+0",
+}
+
+
+@dataclasses.dataclass
+class Keybindings:
+    bindings: Dict[str, str] = dataclasses.field(
+        default_factory=lambda: dict(DEFAULT_KEYBINDINGS)
+    )
+
+    def rebind(self, action: str, combo: str):
+        self.bindings[action] = combo
+
+    def action_for(self, combo: str) -> Optional[str]:
+        for action, c in self.bindings.items():
+            if c.lower() == combo.lower():
+                return action
+        return None
+
+    def save(self, path):
+        path = pathlib.Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(self.bindings, indent=2))
+
+    @classmethod
+    def load(cls, path) -> "Keybindings":
+        kb = cls()
+        try:
+            data = json.loads(pathlib.Path(path).read_text())
+        except (OSError, json.JSONDecodeError):
+            return kb
+        for action, combo in data.items():
+            if isinstance(combo, str):
+                kb.bindings[action] = combo
+        return kb
