@@ -18,7 +18,7 @@ from typing import Any, List, Optional
 import numpy as np
 
 from paintfe_tpu.core.blend import BlendMode
-from paintfe_tpu.core.composite import composite_stack
+from paintfe_tpu.core.composite import composite_stack, composite_stack_static
 
 MAX_DIMENSION = 65535  # reference clamps dims to 256 Mpix (tiled_image.rs:14-26)
 TILE = 64  # reference chunk size (canvas/defs.rs:7)
@@ -113,6 +113,13 @@ class Canvas:
     active_layer_index: int = 0
     # Selection: None = everything selected; else u8 [H, W], 0 or 255.
     selection: Optional[np.ndarray] = None
+    # Interactive preview overlay for the active layer (brush strokes etc.,
+    # canvas_state.rs:24-127): pre-blended into the active layer before
+    # compositing so it inherits the layer's blend mode and opacity.
+    preview: Optional[np.ndarray] = None  # u8 [H, W, 4]
+    preview_blend_mode: BlendMode = BlendMode.NORMAL
+    preview_is_eraser: bool = False
+    preview_replaces_layer: bool = False
 
     @classmethod
     def new(cls, width: int, height: int, background=(0, 0, 0, 0)) -> "Canvas":
@@ -183,16 +190,46 @@ class Canvas:
                 )
             run.clear()
             return np.asarray(
-                composite_stack(stack, modes, opacities, visibles, conceal, init=acc)
+                composite_stack_static(stack, tuple(modes.tolist()), opacities,
+                                       conceal, init=acc)
             )
 
-        for _, layer in vis:
+        for idx, layer in vis:
             if layer.content == "adjustment" and layer.adjustment is not None:
                 acc = flush_run(acc)
                 acc = layer.adjustment.apply_with_opacity(acc, layer.opacity)
+            elif idx == self.active_layer_index and self.preview is not None:
+                merged = dataclasses.replace(layer)
+                merged.pixels = self._apply_preview(layer.pixels)
+                run.append(merged)
             else:
                 run.append(layer)
         return flush_run(acc)
+
+    def _apply_preview(self, pixels: np.ndarray) -> np.ndarray:
+        """Pre-blend the preview into the active layer's pixels
+        (canvas_state.rs:619-658): replace / eraser-mask / coverage-weighted
+        Overwrite-Xor lerp / plain blend."""
+        from paintfe_tpu.core.blend import blend_u8
+
+        pp = self.preview
+        if self.preview_replaces_layer:
+            return pp.copy()
+        has = pp[..., 3] > 0
+        out = pixels.copy()
+        if self.preview_is_eraser:
+            strength = pp[..., 3].astype(np.float32) / np.float32(255.0)
+            cur = pixels[..., 3].astype(np.float32) / np.float32(255.0)
+            new_a = (np.maximum(cur * (1.0 - strength), 0.0) * np.float32(255.0)).astype(np.uint8)
+            out[..., 3] = np.where(has, new_a, pixels[..., 3])
+            return out
+        blended = np.asarray(blend_u8(pixels, pp, int(self.preview_blend_mode), 1.0))
+        if self.preview_blend_mode in (BlendMode.OVERWRITE, BlendMode.XOR):
+            cov = pp[..., 3:4].astype(np.float32) / np.float32(255.0)
+            mixed = (pixels.astype(np.float32) * (1.0 - cov)
+                     + blended.astype(np.float32) * cov + np.float32(0.5)).astype(np.uint8)
+            return np.where(has[..., None], mixed, pixels)
+        return np.where(has[..., None], blended, pixels)
 
     # -- selection ----------------------------------------------------------
 

@@ -65,6 +65,37 @@ def composite_stack(layers, modes, opacities, visibles, conceal=None, init=None)
     return result
 
 
+@functools.lru_cache(maxsize=256)
+def _static_composite_fn(modes: tuple, n_layers: int, has_conceal: bool,
+                         has_init: bool):
+    """Unrolled compositor for host-known blend modes.  Unlike the scan
+    version, every blend inlines its single mode branch, so XLA fuses the
+    whole fold into one elementwise kernel (the scan+switch version keeps a
+    loop boundary that blocks fusion)."""
+
+    def run(layers, opacities, conceal, init):
+        acc = init if has_init else jnp.zeros(layers.shape[1:], jnp.uint8)
+        for i, mode in enumerate(modes):
+            px = layers[i]
+            if has_conceal:
+                a = px[..., 3].astype(jnp.uint32) * (255 - conceal[i].astype(jnp.uint32)) // 255
+                px = px.at[..., 3].set(a.astype(jnp.uint8))
+            acc = blend_u8(acc, px, int(mode), opacities[i])
+        return acc
+
+    return jax.jit(run)
+
+
+def composite_stack_static(layers, modes, opacities, conceal=None, init=None):
+    """Compositor specialized on a host-known mode tuple (fully fused)."""
+    modes = tuple(int(m) for m in modes)
+    layers = jnp.asarray(layers, jnp.uint8)
+    opacities = jnp.asarray(opacities, jnp.float32)
+    fn = _static_composite_fn(modes, layers.shape[0], conceal is not None,
+                              init is not None)
+    return fn(layers, opacities, conceal, init)
+
+
 def composite_pair(base, top, mode, opacity):
     """Blend one layer over another (thin alias of blend_u8 for API parity)."""
     return blend_u8(base, top, mode, opacity)

@@ -277,3 +277,44 @@ def test_flood_select():
     m = flood_select(img, 5, 5, 10.0)
     assert (m[4:8, 4:8] == 255).all()
     assert m.sum() == 255 * 16
+
+
+# -- preview layer ------------------------------------------------------------
+
+
+def test_preview_inherits_layer_blend():
+    c = Canvas.from_image(fixtures.test_checkerboard(16, 16))
+    top = Layer(name="t", pixels=fixtures.solid(16, 16, (0, 0, 0, 0)))
+    top.blend_mode = BlendMode.MULTIPLY
+    c.layers.append(top)
+    c.active_layer_index = 1
+    preview = np.zeros((16, 16, 4), np.uint8)
+    preview[4:8, 4:8] = [128, 128, 128, 255]
+    c.preview = preview
+    out = c.composite()
+    # multiply 128/255 over white checker cell -> 128
+    assert out[4, 4, 0] == 128
+    # outside the preview: base unchanged
+    np.testing.assert_array_equal(out[0, 0, :3], [255, 255, 255])
+    c.preview = None
+    np.testing.assert_array_equal(c.composite(), fixtures.test_checkerboard(16, 16))
+
+
+def test_preview_eraser_reduces_alpha():
+    c = Canvas.from_image(fixtures.solid(8, 8, (10, 20, 30, 255)))
+    preview = np.zeros((8, 8, 4), np.uint8)
+    preview[2:4, 2:4, 3] = 255
+    c.preview = preview
+    c.preview_is_eraser = True
+    out = c.composite()
+    assert out[2, 2, 3] == 0
+    assert out[0, 0, 3] == 255
+
+
+def test_preview_replaces_layer():
+    c = Canvas.from_image(fixtures.solid(8, 8, (1, 2, 3, 255)))
+    c.preview = fixtures.solid(8, 8, (9, 9, 9, 255))
+    c.preview_replaces_layer = True
+    out = c.composite()
+    np.testing.assert_array_equal(out[0, 0], [9, 9, 9, 255])
+    np.testing.assert_array_equal(c.layers[0].pixels[0, 0], [1, 2, 3, 255])
