@@ -11,6 +11,7 @@ whole-chain fusion, no host round-trips between ops.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
@@ -170,15 +171,23 @@ def compile_pipeline(ops: Sequence[PipelineOp]) -> Callable:
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _batch_fn(ops: tuple):
+    """Compiled vmapped chain, cached across calls (a fresh jit per call
+    would recompile per batch)."""
+    chain = compile_pipeline(ops)
+    return jax.jit(jax.vmap(chain))
+
+
 def run_batch(images: np.ndarray, ops: Sequence[PipelineOp], mesh=None):
     """Apply an op chain to a [N, H, W, 4] batch, sharded over the mesh.
 
     Returns the processed batch as a numpy array.  The whole chain is traced
-    once; XLA partitions the fused kernels over the batch axis.
+    once per (ops, shape); XLA partitions the fused kernels over the batch
+    axis.
     """
     mesh = mesh if mesh is not None else batch_mesh()
-    chain = compile_pipeline(ops)
-    fn = jax.jit(jax.vmap(chain))
+    fn = _batch_fn(tuple(ops))
     sharding = batch_sharding(mesh)
     n = images.shape[0]
     d = mesh.devices.size
