@@ -65,8 +65,17 @@ def to_display(v) -> str:
             return f"{v:.1f}"
         return repr(v)
     if isinstance(v, list):
-        return "[" + ", ".join(to_display(x) for x in v) + "]"
+        return "[" + ", ".join(_debug_display(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "#{" + ", ".join(f'"{k}": {_debug_display(x)}' for k, x in v.items()) + "}"
     return str(v)
+
+
+def _debug_display(v) -> str:
+    """Container elements print debug-style: strings get quotes (Rhai)."""
+    if isinstance(v, str):
+        return f'"{v}"'
+    return to_display(v)
 
 
 def _truthy(v):
@@ -148,6 +157,23 @@ class Interpreter:
                 except _Continue:
                     continue
             return UNIT
+        if kind == "dowhile":
+            _, cond, body, is_until = stmt
+            while True:
+                self.tick()
+                try:
+                    self.exec_block(body, scopes + [{}])
+                except _Break:
+                    break
+                except _Continue:
+                    pass
+                done = _truthy(self.eval(cond, scopes))
+                if is_until:
+                    if done:
+                        break
+                elif not done:
+                    break
+            return UNIT
         if kind == "for":
             iterable = self.eval(stmt[2], scopes)
             if isinstance(iterable, RhaiRange):
@@ -186,12 +212,25 @@ class Interpreter:
         if target[0] == "index":
             obj = self.eval(target[1], scopes)
             idx = self.eval(target[2], scopes)
+            if isinstance(obj, dict):
+                if op != "=":
+                    value = self._binop(op[0], obj.get(idx, UNIT), value)
+                obj[idx] = value
+                return
             if not isinstance(obj, list):
-                raise RhaiRuntimeError("indexed assignment needs an array")
+                raise RhaiRuntimeError("indexed assignment needs an array or map")
             if op != "=":
                 value = self._binop(op[0], obj[idx], value)
             obj[idx] = value
             return
+        if target[0] == "method" and target[3] is None:  # m.key = v
+            obj = self.eval(target[1], scopes)
+            if isinstance(obj, dict):
+                if op != "=":
+                    value = self._binop(op[0], obj.get(target[2], UNIT), value)
+                obj[target[2]] = value
+                return
+            raise RhaiRuntimeError("property assignment needs a map")
         raise RhaiRuntimeError("invalid assignment target")
 
     # -- expressions ---------------------------------------------------------
@@ -216,6 +255,22 @@ class Interpreter:
             raise RhaiRuntimeError(f"variable '{name}' not found")
         if kind == "array":
             return [self.eval(x, scopes) for x in e[1]]
+        if kind == "map":
+            return {k: self.eval(v, scopes) for k, v in e[1]}
+        if kind == "switch":
+            _, subj_e, arms, default = e
+            subject = self.eval(subj_e, scopes)
+            for pats, body in arms:
+                for pat in pats:
+                    if self.eval(pat, scopes) == subject:
+                        if body[0] == "block":
+                            return self.exec_block(body, scopes + [{}])
+                        return self.eval(body, scopes)
+            if default is not None:
+                if default[0] == "block":
+                    return self.exec_block(default, scopes + [{}])
+                return self.eval(default, scopes)
+            return UNIT
         if kind == "index":
             obj = self.eval(e[1], scopes)
             idx = self.eval(e[2], scopes)
@@ -327,6 +382,15 @@ class Interpreter:
             return np.fmod(l, r) if is_arr else float(np.fmod(l, r))
         if op == "**":
             return l**r
+        if op == "in":
+            if isinstance(r, dict):
+                return l in r
+            if isinstance(r, (list, str)):
+                return l in r
+            if isinstance(r, RhaiRange):
+                hi = r.hi + 1 if r.inclusive else r.hi
+                return r.lo <= l < hi
+            raise RhaiRuntimeError("'in' needs an array, map, string or range")
         if op == "==":
             return l == r
         if op == "!=":
@@ -347,6 +411,12 @@ class Interpreter:
         if args is None:  # property access
             if name == "len" and isinstance(obj, (list, str)):
                 return len(obj)
+            if isinstance(obj, dict):
+                if name in obj:
+                    return obj[name]
+                if name == "len":
+                    return len(obj)
+                raise RhaiRuntimeError(f"map has no property '{name}'")
             raise RhaiRuntimeError(f"unknown property '{name}'")
         if isinstance(obj, list):
             if name == "len":
@@ -361,6 +431,17 @@ class Interpreter:
                 return UNIT
             if name == "contains":
                 return args[0] in obj
+        if isinstance(obj, dict):
+            if name == "keys":
+                return list(obj.keys())
+            if name == "values":
+                return list(obj.values())
+            if name == "contains":
+                return args[0] in obj
+            if name == "remove":
+                return obj.pop(args[0], UNIT)
+            if name == "len":
+                return len(obj)
         if isinstance(obj, str):
             if name == "len":
                 return len(obj)

@@ -26,10 +26,11 @@ class RhaiSyntaxError(Exception):
 
 KEYWORDS = {
     "let", "const", "fn", "if", "else", "while", "loop", "for", "in",
-    "break", "continue", "return", "true", "false", "switch",
+    "break", "continue", "return", "true", "false", "switch", "do", "until",
 }
 
 _PUNCT = [
+    "#{",
     "..=", "<<=", ">>=", "**=",
     "==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "..",
     "=>", "**", "<<", ">>",
@@ -267,6 +268,19 @@ class Parser:
                 cond = self.parse_expr()
                 body = self.parse_block()
                 return ("while", cond, body)
+            if t.value == "do":
+                self.next()
+                body = self.parse_block()
+                kw = self.peek()
+                if kw.kind != "kw" or kw.value not in ("while", "until"):
+                    raise RhaiSyntaxError(
+                        "expected 'while' or 'until' after do block", kw.line, kw.col
+                    )
+                self.next()
+                cond = self.parse_expr()
+                if self.at_punct(";"):
+                    self.next()
+                return ("dowhile", cond, body, kw.value == "until")
             if t.value == "loop":
                 self.next()
                 body = self.parse_block()
@@ -354,12 +368,21 @@ class Parser:
 
     def parse_cmp(self):
         l = self.parse_add()
-        while self.peek().kind == "punct" and self.peek().value in (
-            "==", "!=", "<", "<=", ">", ">=",
-        ):
-            op = self.next().value
-            r = self.parse_add()
-            l = ("bin", op, l, r)
+        while True:
+            t = self.peek()
+            if t.kind == "punct" and t.value in ("==", "!=", "<", "<=", ">", ">="):
+                op = self.next().value
+                r = self.parse_add()
+                l = ("bin", op, l, r)
+            elif t.kind == "kw" and t.value == "in":
+                self.next()
+                r = self.parse_add()
+                if self.at_punct("..") or self.at_punct("..="):
+                    inclusive = self.next().value == "..="
+                    r = ("range", r, self.parse_add(), inclusive)
+                l = ("bin", "in", l, r)
+            else:
+                break
         return l
 
     def parse_add(self):
@@ -444,6 +467,30 @@ class Parser:
         if t.kind == "kw" and t.value in ("true", "false"):
             self.next()
             return ("bool", t.value == "true")
+        if t.kind == "kw" and t.value == "switch":
+            self.next()
+            subject = self.parse_expr()
+            self.expect("punct", "{")
+            arms = []
+            default = None
+            while not self.at_punct("}"):
+                if self.peek().kind == "ident" and self.peek().value == "_":
+                    self.next()
+                    self.expect("punct", "=>")
+                    body = self.parse_block() if self.at_punct("{") else self.parse_expr()
+                    default = body
+                else:
+                    pats = [self.parse_expr()]
+                    while self.at_punct("|"):
+                        self.next()
+                        pats.append(self.parse_expr())
+                    self.expect("punct", "=>")
+                    body = self.parse_block() if self.at_punct("{") else self.parse_expr()
+                    arms.append((pats, body))
+                if self.at_punct(","):
+                    self.next()
+            self.expect("punct", "}")
+            return ("switch", subject, arms, default)
         if t.kind == "kw" and t.value == "if":
             self.next()
             cond = self.parse_expr()
@@ -470,6 +517,22 @@ class Parser:
             e = self.parse_expr()
             self.expect("punct", ")")
             return e
+        if t.kind == "punct" and t.value == "#{":
+            self.next()
+            pairs = []
+            while not self.at_punct("}"):
+                kt = self.peek()
+                if kt.kind in ("ident", "str"):
+                    self.next()
+                    key = kt.value
+                else:
+                    raise RhaiSyntaxError("expected map key", kt.line, kt.col)
+                self.expect("punct", ":")
+                pairs.append((key, self.parse_expr()))
+                if self.at_punct(","):
+                    self.next()
+            self.expect("punct", "}")
+            return ("map", pairs)
         if t.kind == "punct" and t.value == "[":
             self.next()
             items = []

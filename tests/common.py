@@ -63,6 +63,12 @@ def assert_golden(category: str, name: str, actual, tolerance: int | None = None
 
     actual = np.asarray(actual, np.uint8)
     path = golden_path(category, name)
+    if os.environ.get("GENERATE_GOLDEN"):
+        # Regenerate mode (reference tests/common/mod.rs honors the same
+        # env var): write `actual` as the new golden and pass.  Requires a
+        # writable PAINTFE_GOLDEN_DIR (the default reference mount is RO).
+        save_png(path, actual)
+        return
     if not path.exists():
         pytest.skip(f"golden not found: {path}")
     expected = load_png(path)

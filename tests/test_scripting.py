@@ -281,3 +281,77 @@ def test_rand_deterministic_with_seed():
     _, _, _, c1, _ = execute_script_sync(src, img, 8, 8, rng_seed=1234)
     _, _, _, c2, _ = execute_script_sync(src, img, 8, 8, rng_seed=1234)
     assert c1 == c2
+
+
+# -- language extensions: switch, maps, `in`, do-while ------------------------
+
+
+def test_switch_expression():
+    _, console = run_script(
+        """
+        let mode = "dark";
+        let label = switch mode {
+            "bright" => "B",
+            "dark" | "dim" => "D",
+            _ => "?"
+        };
+        print_line(label);
+        let n = switch 2 { 1 => 10, 2 => { let q = 20; q + 2 }, _ => 0 };
+        print_line(`${n}`);
+        let fallthrough = switch 99 { 1 => 10, _ => -1 };
+        print_line(`${fallthrough}`);
+        """
+    )
+    assert console == ["D", "22", "-1"]
+
+
+def test_object_maps():
+    _, console = run_script(
+        """
+        let m = #{a: 1, "b": 2};
+        m.c = m.a + m.b;
+        m.a += 10;
+        m["d"] = 4;
+        m["d"] *= 3;
+        print_line(`${m}`);
+        print_line(`${m.keys()}`);
+        print_line(`${m.len}`);
+        print_line(`${m.contains("b")} ${m.remove("b")} ${m.contains("b")}`);
+        """
+    )
+    assert console == [
+        '#{"a": 11, "b": 2, "c": 3, "d": 12}',
+        '["a", "b", "c", "d"]',
+        "4",
+        "true 2 false",
+    ]
+
+
+def test_in_operator():
+    _, console = run_script(
+        """
+        print_line(`${3 in 0..5} ${5 in 0..5} ${5 in 0..=5}`);
+        print_line(`${"right" in "brightness"}`);
+        print_line(`${2 in [1, 2, 3]} ${9 in [1, 2, 3]}`);
+        print_line(`${"a" in #{a: 1}} ${"z" in #{a: 1}}`);
+        """
+    )
+    assert console == ["true false true", "true", "true false", "true false"]
+
+
+def test_do_while_until():
+    _, console = run_script(
+        """
+        let total = 0;
+        let i = 0;
+        do { total += i; i += 1; } while i < 5
+        print_line(`${total}`);
+        let j = 10;
+        do { j -= 1; } until j <= 3
+        print_line(`${j}`);
+        let ran = 0;
+        do { ran += 1; } while false
+        print_line(`${ran}`);
+        """
+    )
+    assert console == ["10", "3", "1"]
