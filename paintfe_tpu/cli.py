@@ -24,7 +24,7 @@ from typing import List, Optional
 import numpy as np
 
 from paintfe_tpu.core.canvas import Canvas, Layer, canonicalize_tiles
-from paintfe_tpu.io import codecs, pfe
+from paintfe_tpu.io import codecs, deep_export, pfe
 from paintfe_tpu.scripting import ScriptError, apply_canvas_ops, execute_script_sync
 
 
@@ -113,6 +113,13 @@ def build_output_path(input_path: pathlib.Path, output: Optional[str],
 def load_canvas(path: pathlib.Path) -> Canvas:
     if path.suffix.lower() == ".pfe":
         return pfe.load_pfe(str(path))
+    deep = deep_export.load_deep_image(path)
+    if deep is not None:  # 16-bit PNG / 16/32-bit TIFF keep the deep payload
+        preview, pixel_format, buf = deep
+        canvas = Canvas.from_image(preview)
+        canvas.layers[0].pixel_format = pixel_format
+        canvas.layers[0].deep_pixels = buf
+        return canvas
     img = codecs.load_image(path)
     return Canvas.from_image(img)
 
@@ -146,13 +153,19 @@ def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
         pfe.save_pfe(canvas, str(output_path))
         return
 
-    if flatten and len(canvas.layers) > 1:
-        flat = canvas.composite()
-    else:
-        flat = canvas.active_layer.pixels
+    if flatten and (len(canvas.layers) > 1 or deep_export.needs_deep_export(canvas)):
+        # depth-aware export: deep/HDR layers route to 16-bit PNG or
+        # 16/32-bit TIFF (io.rs:1413-1453, :1588-1631); plain single-layer
+        # documents skip the compositor entirely (cli.rs:282-293)
+        prep = deep_export.prepare_export_image(canvas)
+        deep_export.encode_prepared_and_write(
+            prep, output_path, fmt, quality=quality,
+            tiff_compression=tiff_compression, webp_lossless=webp_lossless,
+        )
+        return
     codecs.save_image(
-        flat, output_path, fmt, quality=quality, webp_lossless=webp_lossless,
-        tiff_compression=tiff_compression,
+        canvas.active_layer.pixels, output_path, fmt, quality=quality,
+        webp_lossless=webp_lossless, tiff_compression=tiff_compression,
     )
 
 

@@ -180,6 +180,32 @@ class AdjustmentLayerData:
                             mix(self.alpha)], axis=-1)
         return out.astype(np.uint8)  # truncating cast, like Rust `as u8`
 
+    def apply_to_f32_with_opacity(self, pixels: np.ndarray, opacity: float) -> np.ndarray:
+        """Vectorized apply_to_f32_with_opacity (layers.rs:327-362): operates
+        in the 0..1 domain, clamps only below (HDR values pass through)."""
+        p = pixels.astype(f32)
+        r, g, b, a = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
+        if self.kind == AdjustmentKind.EXPOSURE:
+            gain = f32(2.0) ** f32(self.ev)
+            adj = np.stack([r * gain, g * gain, b * gain, a], axis=-1)
+        elif self.kind == AdjustmentKind.BRIGHTNESS_CONTRAST:
+            c = f32(self.contrast)
+            factor = (f32(259.0) * (c + f32(255.0))) / (f32(255.0) * (f32(259.0) - c))
+            brt = f32(self.brightness) / f32(255.0)
+            def ap(v):
+                return np.maximum(factor * (v + brt - f32(0.5)) + f32(0.5), f32(0.0))
+            adj = np.stack([ap(r), ap(g), ap(b), a], axis=-1)
+        elif self.kind == AdjustmentKind.INVERT:
+            adj = np.stack([1.0 - r, 1.0 - g, 1.0 - b, a], axis=-1)
+        else:
+            def mix(m):
+                m = np.asarray(m, f32)
+                return np.maximum(r * m[0] + g * m[1] + b * m[2] + a * m[3], f32(0.0))
+            adj = np.stack([mix(self.red), mix(self.green), mix(self.blue),
+                            mix(self.alpha)], axis=-1)
+        t = f32(np.clip(opacity, 0.0, 1.0))
+        return (p * (f32(1.0) - t) + adj * t).astype(f32)
+
     def apply_with_opacity(self, pixels: np.ndarray, opacity: float) -> np.ndarray:
         adjusted = self.apply(pixels).astype(f32)
         t = f32(np.clip(opacity, 0.0, 1.0))

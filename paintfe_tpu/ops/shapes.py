@@ -63,6 +63,7 @@ class PlacedShape:
     secondary_color: Tuple[int, int, int, int] = (80, 80, 255, 255)
     anti_alias: bool = True
     corner_radius: float = 0.0
+    custom_shape_data: Optional["CustomShapeData"] = None
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +338,355 @@ def _shape_local_corners(kind: ShapeKind, hw, hh):
     return [(-hw, -hh), (hw, -hh), (hw, hh), (-hw, hh)]
 
 
+# ---------------------------------------------------------------------------
+# Custom SVG-path shapes (shapes.rs:27-122 parse/flatten, :1065-1160 coverage)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class CustomShapeData:
+    """A user shape imported from an SVG <path>: the path flattened to
+    polylines (tolerance 0.5, like the reference's kurbo::flatten call) plus
+    its bounding box.  Rasterization is point-in-polygon (even-odd) with a
+    4-point supersample, not an SDF (shapes.rs:1088-1120)."""
+
+    name: str
+    category: str
+    svg_path_data: str
+    polylines: list
+    bounds: Tuple[float, float, float, float]
+
+
+class SvgPathError(ValueError):
+    pass
+
+
+def extract_svg_path_data(svg: str) -> str:
+    """Pull every <path d="..."> out of an SVG document (shapes.rs:27-58)."""
+    if "<image" in svg or "data:image" in svg:
+        raise SvgPathError("Embedded raster images are not supported.")
+    paths = []
+    rest = svg
+    while True:
+        idx = rest.find("<path")
+        if idx < 0:
+            break
+        rest = rest[idx + 5:]
+        end = rest.find(">")
+        if end < 0:
+            break
+        tag = rest[:end]
+        for pat in ('d="', "d='"):
+            d_idx = tag.find(pat)
+            if d_idx >= 0:
+                quote = pat[2]
+                start = d_idx + len(pat)
+                data_end = tag[start:].find(quote)
+                if data_end >= 0:
+                    d = tag[start:start + data_end].strip()
+                    if d:
+                        paths.append(d)
+        rest = rest[end + 1:]
+    if not paths:
+        raise SvgPathError('SVG must contain at least one <path d="...">.')
+    return " ".join(paths)
+
+
+def _svg_tokens(d: str):
+    """Yield SVG path commands and floats."""
+    import re
+
+    for m in re.finditer(r"[MmLlHhVvCcSsQqTtAaZz]|[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", d):
+        t = m.group(0)
+        yield t if t.isalpha() else float(t)
+
+
+def _flatten_cubic(p0, p1, p2, p3, tol, out, depth=0):
+    # adaptive subdivision: flat when control points are within tol of the chord
+    d1 = abs((p1[0] - p3[0]) * (p3[1] - p0[1]) - (p1[1] - p3[1]) * (p3[0] - p0[0]))
+    d2 = abs((p2[0] - p3[0]) * (p3[1] - p0[1]) - (p2[1] - p3[1]) * (p3[0] - p0[0]))
+    chord2 = (p3[0] - p0[0]) ** 2 + (p3[1] - p0[1]) ** 2
+    if depth >= 16 or (d1 + d2) ** 2 <= 4.0 * tol * tol * max(chord2, 1e-12):
+        out.append(p3)
+        return
+    mid = lambda a, b: ((a[0] + b[0]) * 0.5, (a[1] + b[1]) * 0.5)
+    p01, p12, p23 = mid(p0, p1), mid(p1, p2), mid(p2, p3)
+    p012, p123 = mid(p01, p12), mid(p12, p23)
+    c = mid(p012, p123)
+    _flatten_cubic(p0, p01, p012, c, tol, out, depth + 1)
+    _flatten_cubic(c, p123, p23, p3, tol, out, depth + 1)
+
+
+def _quad_to_cubic(p0, q, p1):
+    return (
+        (p0[0] + 2.0 / 3.0 * (q[0] - p0[0]), p0[1] + 2.0 / 3.0 * (q[1] - p0[1])),
+        (p1[0] + 2.0 / 3.0 * (q[0] - p1[0]), p1[1] + 2.0 / 3.0 * (q[1] - p1[1])),
+    )
+
+
+def _arc_to_points(p0, rx, ry, xrot, large, sweep, p1, tol, out):
+    """Elliptical arc (SVG F.6.5 center parameterization) flattened to lines."""
+    import math
+
+    if rx == 0 or ry == 0 or p0 == p1:
+        out.append(p1)
+        return
+    rx, ry = abs(rx), abs(ry)
+    phi = math.radians(xrot)
+    cphi, sphi = math.cos(phi), math.sin(phi)
+    dx2, dy2 = (p0[0] - p1[0]) / 2.0, (p0[1] - p1[1]) / 2.0
+    x1p = cphi * dx2 + sphi * dy2
+    y1p = -sphi * dx2 + cphi * dy2
+    lam = (x1p / rx) ** 2 + (y1p / ry) ** 2
+    if lam > 1.0:
+        s = math.sqrt(lam)
+        rx, ry = rx * s, ry * s
+    num = rx * rx * ry * ry - rx * rx * y1p * y1p - ry * ry * x1p * x1p
+    den = rx * rx * y1p * y1p + ry * ry * x1p * x1p
+    co = math.sqrt(max(num / den, 0.0)) * (1.0 if large != sweep else -1.0)
+    cxp, cyp = co * rx * y1p / ry, -co * ry * x1p / rx
+    cx = cphi * cxp - sphi * cyp + (p0[0] + p1[0]) / 2.0
+    cy = sphi * cxp + cphi * cyp + (p0[1] + p1[1]) / 2.0
+
+    def angle(ux, uy, vx, vy):
+        dot = ux * vx + uy * vy
+        n = math.sqrt((ux * ux + uy * uy) * (vx * vx + vy * vy))
+        a = math.acos(max(-1.0, min(1.0, dot / max(n, 1e-12))))
+        return -a if ux * vy - uy * vx < 0 else a
+
+    th1 = angle(1.0, 0.0, (x1p - cxp) / rx, (y1p - cyp) / ry)
+    dth = angle((x1p - cxp) / rx, (y1p - cyp) / ry, (-x1p - cxp) / rx, (-y1p - cyp) / ry)
+    if not sweep and dth > 0:
+        dth -= 2.0 * math.pi
+    elif sweep and dth < 0:
+        dth += 2.0 * math.pi
+    n_seg = max(int(math.ceil(abs(dth) / (math.pi / 16.0))), 1)
+    for k in range(1, n_seg + 1):
+        th = th1 + dth * k / n_seg
+        ex = cx + rx * math.cos(th) * cphi - ry * math.sin(th) * sphi
+        ey = cy + rx * math.cos(th) * sphi + ry * math.sin(th) * cphi
+        out.append((ex, ey))
+
+
+def parse_svg_path(d: str, tol: float = 0.5):
+    """SVG path data -> list of polylines (each a list of (x, y)).
+
+    Supports M/L/H/V/C/S/Q/T/A/Z in absolute and relative form; curves are
+    flattened at `tol` like the reference's kurbo::flatten(0.5) call
+    (shapes.rs:81)."""
+    toks = list(_svg_tokens(d))
+    polylines = []
+    current: list = []
+    pos = (0.0, 0.0)
+    start = None
+    prev_cubic_ctrl = None
+    prev_quad_ctrl = None
+    i = 0
+    cmd = None
+
+    def take(n):
+        nonlocal i
+        vals = toks[i:i + n]
+        if len(vals) != n or any(isinstance(v, str) for v in vals):
+            raise SvgPathError(f"malformed path near token {i}")
+        i += n
+        return vals
+
+    def finish_open():
+        nonlocal current
+        if len(current) > 1:
+            polylines.append(current)
+        current = []
+
+    while i < len(toks):
+        t = toks[i]
+        if isinstance(t, str):
+            cmd = t
+            i += 1
+            if cmd in "Zz":
+                if start is not None and current:
+                    current.append(start)
+                if len(current) > 1:
+                    polylines.append(current)
+                current = []
+                pos = start if start is not None else pos
+                start = None
+                prev_cubic_ctrl = prev_quad_ctrl = None
+                continue
+        elif cmd is None:
+            raise SvgPathError("path must start with a command")
+        rel = cmd.islower()
+        c = cmd.upper()
+        ox, oy = (pos if rel else (0.0, 0.0))
+        if c == "M":
+            x, y = take(2)
+            finish_open()
+            pos = (x + ox, y + oy)
+            start = pos
+            current = [pos]
+            cmd = "l" if rel else "L"  # subsequent pairs are implicit lineto
+            prev_cubic_ctrl = prev_quad_ctrl = None
+        elif c == "L":
+            x, y = take(2)
+            pos = (x + ox, y + oy)
+            current.append(pos)
+            prev_cubic_ctrl = prev_quad_ctrl = None
+        elif c == "H":
+            (x,) = take(1)
+            pos = (x + ox, pos[1])
+            current.append(pos)
+            prev_cubic_ctrl = prev_quad_ctrl = None
+        elif c == "V":
+            (y,) = take(1)
+            pos = (pos[0], y + oy)
+            current.append(pos)
+            prev_cubic_ctrl = prev_quad_ctrl = None
+        elif c in ("C", "S"):
+            if c == "C":
+                x1, y1, x2, y2, x, y = take(6)
+                p1 = (x1 + ox, y1 + oy)
+            else:
+                x2, y2, x, y = take(4)
+                p1 = (
+                    (2 * pos[0] - prev_cubic_ctrl[0], 2 * pos[1] - prev_cubic_ctrl[1])
+                    if prev_cubic_ctrl else pos
+                )
+            p2 = (x2 + ox, y2 + oy)
+            p3 = (x + ox, y + oy)
+            _flatten_cubic(pos, p1, p2, p3, tol, current)
+            pos = p3
+            prev_cubic_ctrl, prev_quad_ctrl = p2, None
+        elif c in ("Q", "T"):
+            if c == "Q":
+                qx, qy, x, y = take(4)
+                q = (qx + ox, qy + oy)
+            else:
+                x, y = take(2)
+                q = (
+                    (2 * pos[0] - prev_quad_ctrl[0], 2 * pos[1] - prev_quad_ctrl[1])
+                    if prev_quad_ctrl else pos
+                )
+            p3 = (x + ox, y + oy)
+            c1, c2 = _quad_to_cubic(pos, q, p3)
+            _flatten_cubic(pos, c1, c2, p3, tol, current)
+            pos = p3
+            prev_quad_ctrl, prev_cubic_ctrl = q, None
+        elif c == "A":
+            rx_, ry_, xrot, large, sweep, x, y = take(7)
+            p3 = (x + ox, y + oy)
+            _arc_to_points(pos, rx_, ry_, xrot, bool(large), bool(sweep), p3, tol, current)
+            pos = p3
+            prev_cubic_ctrl = prev_quad_ctrl = None
+        else:
+            raise SvgPathError(f"unsupported path command '{cmd}'")
+    finish_open()
+    return polylines
+
+
+def parse_custom_shape(name: str, category: str, svg_path_data: str) -> CustomShapeData:
+    """Parse + flatten an SVG path into a drawable custom shape
+    (shapes.rs:60-120)."""
+    try:
+        polylines = parse_svg_path(svg_path_data)
+    except SvgPathError:
+        raise
+    except Exception as e:  # noqa: BLE001 - surface as the reference's error kind
+        raise SvgPathError(f"Invalid SVG path: {e}")
+    polylines = [p for p in polylines if len(p) > 1]
+    if not polylines:
+        raise SvgPathError("SVG path did not produce drawable geometry.")
+    xs = [x for poly in polylines for x, _ in poly]
+    ys = [y for poly in polylines for _, y in poly]
+    x0, x1 = min(xs), max(xs)
+    y0, y1 = min(ys), max(ys)
+    if not (np.isfinite(x1 - x0) and np.isfinite(y1 - y0)) or x1 - x0 <= 0 or y1 - y0 <= 0:
+        raise SvgPathError("SVG path has empty bounds.")
+    return CustomShapeData(name, category, svg_path_data, polylines, (x0, y0, x1, y1))
+
+
+def _segments(polylines):
+    """Stack every polyline's consecutive point pairs into [S,4] f32."""
+    segs = []
+    for poly in polylines:
+        p = np.asarray(poly, f32)
+        segs.append(np.concatenate([p[:-1], p[1:]], axis=1))
+    return np.concatenate(segs, axis=0)
+
+
+def _custom_inside(px, py, segs):
+    """Vectorized even-odd crossing test (shapes.rs:1122-1139).
+    px/py: [..., 1] broadcast against segs [S, 4]."""
+    x1, y1, x2, y2 = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    denom = y2 - y1
+    valid = np.abs(denom) > 1e-6
+    straddles = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = (x2 - x1) * (py - y1) / np.where(valid, denom, 1.0) + x1
+    crossings = (valid & straddles & (px < xi)).sum(axis=-1)
+    return (crossings % 2).astype(bool)
+
+
+def _custom_edge_dist(px, py, segs):
+    """Min distance to any segment (shapes.rs:1141-1160)."""
+    ax, ay, bx, by = segs[:, 0], segs[:, 1], segs[:, 2], segs[:, 3]
+    dx, dy = bx - ax, by - ay
+    len2 = np.maximum(dx * dx + dy * dy, 1e-6)
+    t = np.clip(((px - ax) * dx + (py - ay) * dy) / len2, 0.0, 1.0)
+    cx, cy = ax + dx * t, ay + dy * t
+    return np.sqrt((px - cx) ** 2 + (py - cy) ** 2).min(axis=-1)
+
+
+def custom_shape_coverage(data: CustomShapeData, lx, ly, hx, hy,
+                          outline_width, fill_mode):
+    """4-point supersampled binary coverage in shape-local coords
+    (shapes.rs:1065-1120).  lx/ly are [H, W] local coordinates."""
+    segs = _segments(data.polylines)
+    min_x, min_y, max_x, max_y = data.bounds
+    bw = max(max_x - min_x, 1.0)
+    bh = max(max_y - min_y, 1.0)
+    sx = f32(bw / max(hx * 2.0, 1.0))
+    sy = f32(bh / max(hy * 2.0, 1.0))
+    mode = ShapeFillMode(fill_mode)
+    total = np.zeros(lx.shape, f32)
+    for ox, oy in ((-0.25, -0.25), (0.25, -0.25), (-0.25, 0.25), (0.25, 0.25)):
+        px = ((lx + f32(ox) + f32(hx)) * sx + f32(min_x))[..., None]
+        py = ((ly + f32(oy) + f32(hy)) * sy + f32(min_y))[..., None]
+        fill = _custom_inside(px, py, segs).astype(f32)
+        if mode == ShapeFillMode.FILLED:
+            total += fill
+            continue
+        edge = _custom_edge_dist(px, py, segs) / max(sx, sy)
+        outline = (edge <= max(outline_width, 1.0)).astype(f32)
+        total += outline if mode == ShapeFillMode.OUTLINE else np.maximum(fill, outline)
+    return total * f32(0.25)
+
+
+def render_custom_shape_icon(shape: CustomShapeData, size: int, dark: bool) -> np.ndarray:
+    """Picker icon: 16x supersampled filled coverage (shapes.rs:122-156)."""
+    segs = _segments(shape.polylines)
+    min_x, min_y, max_x, max_y = shape.bounds
+    bw = max(max_x - min_x, 1.0)
+    bh = max(max_y - min_y, 1.0)
+    sx, sy = f32(bw / 1.64), f32(bh / 1.64)  # hx=hy=0.82
+    fg = 235 if dark else 30
+    cov = np.zeros((size, size), f32)
+    base_x = (np.arange(size, dtype=f32))[None, :]
+    base_y = (np.arange(size, dtype=f32))[:, None]
+    for sy_i in range(4):
+        for sx_i in range(4):
+            lx = (base_x + (sx_i + 0.5) * 0.25) / size * 2.0 - 1.0
+            ly = (base_y + (sy_i + 0.5) * 0.25) / size * 2.0 - 1.0
+            px = ((lx + f32(0.82)) * sx + f32(min_x))[..., None]
+            py = ((ly + f32(0.82)) * sy + f32(min_y))[..., None]
+            cov += _custom_inside(px, py, segs).astype(f32)
+    cov = np.clip(cov / 16.0, 0.0, 1.0)
+    out = np.zeros((size, size, 4), np.uint8)
+    hit = cov > 0.0
+    out[..., 0:3] = np.where(hit[..., None], fg, 0)
+    out[..., 3] = np.where(hit, np.minimum(np.floor(255.0 * cov + 0.5), 255.0), 0).astype(np.uint8)
+    return out
+
+
 def rasterize_shape(placed: PlacedShape, canvas_w: int, canvas_h: int):
     """Returns (buf [bh, bw, 4] u8, off_x, off_y)."""
     cos_r = f32(np.cos(f32(placed.rotation)))
@@ -362,12 +712,27 @@ def rasterize_shape(placed: PlacedShape, canvas_w: int, canvas_h: int):
     lx = dx * cos_r - dy * (-sin_r)
     ly = dx * (-sin_r) + dy * cos_r
 
-    d = shape_sdf(placed.kind, lx, ly, placed.hw, placed.hh, placed.corner_radius)
     aa = placed.anti_alias
     primary = np.asarray(placed.primary_color, f32)
     secondary = np.asarray(placed.secondary_color, f32)
     ow = max(placed.outline_width, 0.0)
     mode = ShapeFillMode(placed.fill_mode)
+
+    if placed.custom_shape_data is not None:
+        # custom shapes always draw in the primary color (shapes.rs:1241-1249)
+        cov = custom_shape_coverage(
+            placed.custom_shape_data, lx, ly, placed.hw, placed.hh, ow, mode
+        )
+        color = np.broadcast_to(primary, (bh, bw, 4))
+        buf = np.zeros((bh, bw, 4), np.uint8)
+        visible = cov > 0.001
+        a = np.minimum(np.floor(color[..., 3] * cov + f32(0.5)), 255.0)
+        out = np.concatenate(
+            [color[..., 0:3].astype(np.uint8), a[..., None].astype(np.uint8)], axis=-1
+        )
+        return np.where(visible[..., None], out, buf), x0, y0
+
+    d = shape_sdf(placed.kind, lx, ly, placed.hw, placed.hh, placed.corner_radius)
 
     if mode == ShapeFillMode.FILLED:
         cov = coverage_from_sdf(d, aa)

@@ -12,6 +12,7 @@ from paintfe_tpu.ops.shapes import (
 )
 
 from common import assert_golden
+from paintfe_tpu.ops import shapes
 
 W = H = 128
 
@@ -107,3 +108,57 @@ def test_sdf_signs():
         d_out = shape_sdf(kind, far, far, 40.0, 40.0, 5.0)
         assert float(d_in[0]) < 0, kind
         assert float(d_out[0]) > 0, kind
+
+
+# -- custom SVG-path shapes (shapes.rs:27-122, :1065-1160) ---------------------
+
+
+def test_custom_shape_parse_and_fill():
+    d = "M 0 0 L 100 0 L 100 100 L 0 100 Z M 30 30 L 70 30 L 50 70 Z"
+    cs = shapes.parse_custom_shape("notch", "test", d)
+    assert cs.bounds == (0.0, 0.0, 100.0, 100.0)
+    assert len(cs.polylines) == 2
+    ps = shapes.PlacedShape(
+        cx=64, cy=64, hw=40, hh=40, fill_mode=shapes.ShapeFillMode.FILLED,
+        custom_shape_data=cs, primary_color=(255, 0, 0, 255),
+    )
+    img = shapes.rasterize_to_canvas(ps, 128, 128)
+    # even-odd: the inner triangle is a hole
+    np.testing.assert_array_equal(img[64, 64], [0, 0, 0, 0])
+    np.testing.assert_array_equal(img[30, 30], [255, 0, 0, 255])
+    np.testing.assert_array_equal(img[5, 5], [0, 0, 0, 0])
+
+
+def test_custom_shape_curves_flatten():
+    circ = shapes.parse_custom_shape(
+        "c", "t", "M 0 50 A 50 50 0 1 1 100 50 A 50 50 0 1 1 0 50 Z"
+    )
+    pts = np.asarray(circ.polylines[0])
+    r = np.hypot(pts[:, 0] - 50, pts[:, 1] - 50)
+    assert np.all(np.abs(r - 50) < 1.0)  # all on the circle within tolerance
+    bez = shapes.parse_custom_shape(
+        "b", "t", "M 50 0 C 100 0 100 80 50 100 C 0 80 0 0 50 0 Z"
+    )
+    assert len(bez.polylines[0]) > 10
+
+
+def test_custom_shape_outline_mode():
+    cs = shapes.parse_custom_shape("sq", "t", "M 0 0 H 100 V 100 H 0 Z")
+    ps = shapes.PlacedShape(
+        cx=64, cy=64, hw=40, hh=40, fill_mode=shapes.ShapeFillMode.OUTLINE,
+        outline_width=2.0, custom_shape_data=cs, primary_color=(0, 255, 0, 255),
+    )
+    img = shapes.rasterize_to_canvas(ps, 128, 128)
+    assert img[24, 64, 3] > 0      # on the edge
+    assert img[64, 64, 3] == 0     # interior empty in outline mode
+
+
+def test_extract_svg_path_data():
+    svg = '<svg><path fill="r" d="M0 0 L10 0 Z"/><path d=\'M20 20 L30 20\'/></svg>'
+    assert shapes.extract_svg_path_data(svg) == "M0 0 L10 0 Z M20 20 L30 20"
+    with pytest.raises(shapes.SvgPathError):
+        shapes.extract_svg_path_data('<svg><image href="x"/></svg>')
+    with pytest.raises(shapes.SvgPathError):
+        shapes.extract_svg_path_data("<svg></svg>")
+    with pytest.raises(shapes.SvgPathError):
+        shapes.parse_custom_shape("x", "t", "M 5 5")  # no drawable geometry
