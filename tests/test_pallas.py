@@ -80,3 +80,20 @@ def test_fused_chain_matches_public_ops():
     ref = np.asarray(jax.jit(public_chain)(img, ov))
     out = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_fused_chain_kernel_matches_fused_chain():
+    from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (130, 201, 4), np.uint8)
+    ov = rng.integers(0, 256, (130, 201, 4), np.uint8)
+    ref = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
+    out = np.asarray(fused_chain_kernel(img, ov, interpret=True))
+    np.testing.assert_array_equal(ref, out)
+    # transparent overlay pixels pass the base through (blend fast path)
+    ov2 = ov.copy()
+    ov2[:10, :, 3] = 0
+    ref2 = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov2))
+    out2 = np.asarray(fused_chain_kernel(img, ov2, interpret=True))
+    np.testing.assert_array_equal(ref2, out2)
