@@ -113,3 +113,60 @@ def test_ai_gated():
         return
     with pytest.raises(ai.AiUnavailable):
         ai.BackgroundRemover("/nonexistent.onnx")
+
+
+# -- Project document wrapper (project.rs:10-98) -------------------------------
+
+
+def test_project_untitled_and_dirty_title():
+    from paintfe_tpu.core.project import Project
+
+    p = Project.new_untitled(3, 32, 24)
+    assert p.name == "Untitled-3" and p.title == "Untitled-3"
+    assert (p.canvas.width, p.canvas.height) == (32, 24)
+    p.mark_dirty()
+    assert p.title == "Untitled-3*"
+
+
+def test_project_open_save_roundtrip(tmp_path):
+    from paintfe_tpu.core import fixtures
+    from paintfe_tpu.core.project import Project
+    from paintfe_tpu.io import codecs
+
+    img = np.asarray(fixtures.test_gradient(16, 16))
+    src = tmp_path / "doc.png"
+    codecs.save_image(img, src, "png")
+    p = Project.open(src)
+    assert p.name == "doc" and not p.was_animated
+    out = tmp_path / "doc.pfe"
+    p.save(out)
+    assert not p.is_dirty and p.path == out
+    p2 = Project.open(out)
+    np.testing.assert_array_equal(np.asarray(p2.canvas.layers[0].pixels), img)
+
+
+def test_project_open_animated(tmp_path):
+    from paintfe_tpu.core import fixtures
+    from paintfe_tpu.core.project import Project
+    from paintfe_tpu.io import codecs
+
+    frames = [np.asarray(fixtures.solid(8, 8, (c, 0, 0, 255))) for c in (50, 150, 250)]
+    gif = tmp_path / "anim.gif"
+    codecs.save_animation(frames, gif, "gif", fps=5.0)
+    p = Project.open(gif)
+    assert p.was_animated and len(p.canvas.layers) == 3
+    assert abs(p.animation_fps - 5.0) < 0.6  # centisecond rounding
+
+
+def test_print_image_writes_temp_png(tmp_path, monkeypatch):
+    import tempfile
+
+    from paintfe_tpu.core import fixtures
+    from paintfe_tpu.io import codecs
+    from paintfe_tpu.utils.printing import print_image
+
+    monkeypatch.setattr(tempfile, "gettempdir", lambda: str(tmp_path))
+    img = np.asarray(fixtures.test_gradient(8, 8))
+    path = print_image(img)
+    assert path.name == "paintfe_print.png"
+    np.testing.assert_array_equal(codecs.load_image(path), img)

@@ -179,3 +179,106 @@ def test_color_picker_reads_painted_pixel():
     img = blank()
     Brush(10.0, 1.0, True).draw_circle(img, (32.0, 32.0), primary=RED)
     assert img[32, 32, 0] == 255 and img[32, 32, 1] == 0 and img[32, 32, 3] == 255
+
+
+# -- image brush tips (brushes.rs:1290-1388, brush_render.rs:402-720) ----------
+
+
+def _tip_png(pattern="disc", size=64):
+    import io as _io
+
+    from PIL import Image
+
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+    d = np.hypot(xx - size / 2, yy - size / 2)
+    if pattern == "disc":
+        img = np.where(d < size * 0.4, 255, 0).astype(np.uint8)
+    else:  # soft radial
+        img = np.clip(255.0 * (1.0 - d / (size * 0.5)), 0, 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(img, "L").save(buf, "PNG")
+    return buf.getvalue()
+
+
+def test_brush_tip_load_and_square_pad():
+    import io as _io
+
+    from PIL import Image
+
+    from paintfe_tpu.tools import brush_tips as bt
+
+    lib = bt.BrushTipLibrary()
+    tip = lib.load_brush_tip("disc", "custom", _tip_png())
+    assert tip.mask_size == 64 and lib.categories == {"custom": ["disc"]}
+    # non-square source pads to max dimension with zeros
+    rect = np.full((16, 40), 200, np.uint8)
+    buf = _io.BytesIO()
+    Image.fromarray(rect, "L").save(buf, "PNG")
+    tip2 = lib.load_brush_tip("rect", "custom", buf.getvalue())
+    assert tip2.mask_size == 40
+    assert (tip2.mask[16:, :] == 0).all() and (tip2.mask[:16, :40] == 200).all()
+    assert lib.remove_brush_tip("rect") and lib.get("rect") is None
+
+
+def test_rebuild_tip_mask_hardness_and_aa():
+    from paintfe_tpu.tools import brush_tips as bt
+
+    lib = bt.BrushTipLibrary()
+    tip = lib.load_brush_tip("soft", "custom", _tip_png("soft"))
+    hard = bt.rebuild_tip_mask(tip, 32.0, 1.0)
+    soft = bt.rebuild_tip_mask(tip, 32.0, 0.2)
+    assert hard.shape == (32, 32)
+    # low hardness thresholds away the dim fringe
+    assert (soft > 0).sum() < (hard > 0).sum()
+    # upscale path skips the AA blur and keeps the full-intensity core
+    # (the downscale path's blur pass dims the peak)
+    big = bt.rebuild_tip_mask(tip, 128.0, 1.0)
+    assert big.shape == (128, 128) and big.max() == 255 and hard.max() < 255
+
+
+def test_draw_image_tip_stamp_rotation_scatter():
+    from paintfe_tpu.tools import brush_tips as bt
+
+    lib = bt.BrushTipLibrary()
+    tip = lib.load_brush_tip("disc", "custom", _tip_png())
+    m = bt.rebuild_tip_mask(tip, 24.0, 1.0)
+
+    plain = np.zeros((64, 64, 4), np.uint8)
+    bt.draw_image_tip(plain, (32, 32), m, (255, 0, 0, 255))
+    assert plain[32, 32, 3] == 255 and plain[2, 2, 3] == 0
+
+    rot = np.zeros((64, 64, 4), np.uint8)
+    bt.draw_image_tip(rot, (32, 32), m, (255, 0, 0, 255), rotation_deg=30.0)
+    assert (rot[..., 3] > 0).any()
+
+    # scatter is deterministic per (pos, counter)
+    c1 = np.zeros((64, 64, 4), np.uint8)
+    c2 = np.zeros((64, 64, 4), np.uint8)
+    bt.draw_image_tip(c1, (32, 32), m, (0, 255, 0, 255), scatter=0.5,
+                      stamp_counter=3, brush_size=24)
+    bt.draw_image_tip(c2, (32, 32), m, (0, 255, 0, 255), scatter=0.5,
+                      stamp_counter=3, brush_size=24)
+    np.testing.assert_array_equal(c1, c2)
+
+    # selection mask gates the stamp
+    sel = np.zeros((64, 64), np.uint8)
+    sel[:, 32:] = 255
+    gated = np.zeros((64, 64, 4), np.uint8)
+    bt.draw_image_tip(gated, (32, 32), m, (255, 0, 0, 255), selection=sel)
+    assert (gated[:, :32, 3] == 0).all() and (gated[:, 32:, 3] > 0).any()
+
+
+def test_draw_image_tip_eraser_and_jitter():
+    from paintfe_tpu.tools import brush_tips as bt
+
+    lib = bt.BrushTipLibrary()
+    tip = lib.load_brush_tip("disc", "custom", _tip_png())
+    m = bt.rebuild_tip_mask(tip, 24.0, 1.0)
+    base = np.full((64, 64, 4), 100, np.uint8)  # alpha 100 < full-strength 255
+    bt.draw_image_tip(base, (32, 32), m, (0, 0, 0, 255), is_eraser=True)
+    assert base[32, 32, 3] == 255 and (base[32, 32, 0:3] == 0).all()
+    assert (base[2, 2] == 100).all()
+
+    c = bt.jitter_color((200, 40, 40), 0.5, 0.3, (10.0, 12.0), 7)
+    assert c != (200, 40, 40) and all(0 <= v <= 255 for v in c)
+    assert bt.jitter_color((200, 40, 40), 0.0, 0.0, (10.0, 12.0), 7) == (200, 40, 40)
