@@ -1,0 +1,51 @@
+"""Spatial sharding: one image's rows split over the device mesh; XLA
+inserts the halo exchanges for neighborhood ops (parallel/spatial.py)."""
+
+import jax
+import numpy as np
+
+from paintfe_tpu.core import fixtures
+from paintfe_tpu.ops import filters
+from paintfe_tpu.parallel import spatial
+from paintfe_tpu.parallel.pipeline import _bc_device, _sepia_device
+
+
+def _mesh8():
+    return spatial.rows_mesh(jax.devices()[:8])
+
+
+def test_spatial_blur_matches_single_device():
+    """The blur needs cross-shard halos; XLA's partitioner must produce a
+    bit-identical result to the unsharded run."""
+    img = np.asarray(fixtures.test_gradient(64, 48))
+    ref = np.asarray(jax.jit(lambda x: filters.gaussian_blur(x, 3.0))(img))
+    out = np.asarray(
+        spatial.process_spatial(img, lambda x: filters.gaussian_blur(x, 3.0), _mesh8())
+    )
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_spatial_chain_and_ragged_height():
+    # H=61 not divisible by 8 -> edge-replicate pad + crop
+    img = np.asarray(fixtures.test_checkerboard(61, 40))
+
+    def chain(x):
+        x = filters.gaussian_blur(x, 1.5)
+        x = _bc_device(x, 10.0, 20.0)
+        return _sepia_device(x, 0.5)
+
+    ref = np.asarray(jax.jit(chain)(img))
+    out = np.asarray(spatial.process_spatial(img, chain, _mesh8()))
+    np.testing.assert_array_equal(ref, out)
+
+
+def test_composite_spatial_matches():
+    from paintfe_tpu.core.composite import composite_stack_static
+
+    rng = np.random.default_rng(0)
+    layers = rng.integers(0, 256, (5, 61, 40, 4), np.uint8)
+    modes = (0, 8, 16, 3, 21)
+    opac = np.array([1.0, 0.8, 0.5, 0.9, 0.7], np.float32)
+    ref = np.asarray(composite_stack_static(layers, modes, opac))
+    out = np.asarray(spatial.composite_spatial(layers, modes, opac, _mesh8()))
+    np.testing.assert_array_equal(ref, out)
