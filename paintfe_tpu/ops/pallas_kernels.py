@@ -325,12 +325,22 @@ def _blur2d_fn(taps: tuple, r: int, h: int, w: int, th: int, tw: int,
 def gaussian_blur_fused_planar(planar, h: int, w: int, sigma: float,
                                th: int = 128, tw: int = 1024,
                                interpret: bool = False):
-    """Blur a channel-planar u8 [4, H, W] image; returns planar [4, H, W]."""
+    """Blur a channel-planar u8 [4, H, W] image; returns planar [4, H, W].
+
+    Falls back to the XLA separable path for very large radii: the kernel
+    unrolls one static roll per tap, so code size and live VMEM copies grow
+    with the radius (the XLA path's compile time does too, but it has no
+    VMEM ceiling)."""
     from paintfe_tpu.ops.filters import gaussian_kernel
 
     taps = gaussian_kernel(float(sigma))
     if taps.shape[0] == 1:
         return jnp.asarray(planar, jnp.uint8)
+    if taps.shape[0] > 41:  # radius > 20: VMEM-unfriendly unroll
+        from paintfe_tpu.ops.filters import gaussian_blur
+
+        img = jnp.transpose(jnp.asarray(planar, jnp.uint8), (1, 2, 0))
+        return jnp.transpose(gaussian_blur(img, float(sigma)), (2, 0, 1))
     r = (taps.shape[0] - 1) // 2
     th = min(th, _round_up(h, 8))
     tw = min(tw, _round_up(w, 128))

@@ -55,7 +55,8 @@ class BrushTipLibrary:
         tip = self.tips.pop(name, None)
         if tip is None:
             return False
-        self.categories.get(tip.category, []) and self.categories[tip.category].remove(name)
+        if name in self.categories.get(tip.category, []):
+            self.categories[tip.category].remove(name)
         return True
 
     def get(self, name: str) -> Optional[BrushTipData]:
