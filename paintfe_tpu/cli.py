@@ -113,6 +113,10 @@ def build_output_path(input_path: pathlib.Path, output: Optional[str],
 def load_canvas(path: pathlib.Path) -> Canvas:
     if path.suffix.lower() == ".pfe":
         return pfe.load_pfe(str(path))
+    if path.suffix.lower() == ".pdn":
+        from paintfe_tpu.io import pdn
+
+        return pdn.load_pdn(str(path))
     deep = deep_export.load_deep_image(path)
     if deep is not None:  # 16-bit PNG / 16/32-bit TIFF keep the deep payload
         preview, pixel_format, buf = deep
@@ -221,7 +225,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             )
             if args.verbose or multi:
                 print(f"  -> {output_path} ({(time.time() - t0) * 1000:.0f}ms)")
-        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError) as e:
+        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError, ValueError) as e:
             msg = e
             if isinstance(e, ScriptError):
                 msg = f"script error: {e}"
@@ -256,7 +260,7 @@ def _run_animate(inputs, args, script_source) -> int:
                 canvas.width, canvas.height = new_w, new_h
             frames.append(canvas.composite() if len(canvas.layers) > 1
                           else canvas.active_layer.pixels)
-        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError) as e:
+        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError, ValueError) as e:
             print(f"  error: {e}", file=sys.stderr)
             any_failure = True
     if not frames:

@@ -4,12 +4,15 @@ Behavioral contract: src/pdn.rs — the reference parses .pdn *out of process*
 via a C# host (the payload is .NET BinaryFormatter data, pdn.rs:40-160) and
 maps Paint.NET blend-mode names onto PaintFE modes (:162-184).
 
-This module parses the container header natively (magic + XML document
-header with dimensions + layer names/visibility) and delegates full pixel
-decoding to an external helper when configured (PAINTFE_PDN_HOST, the same
-architecture as the reference's host).  The helper protocol: invoked as
-`host decode <file.pdn> <out_dir>`; it writes layer_NN.png files plus a
-layers.json manifest [{name, visible, opacity, blend_mode}].
+This module decodes .pdn documents NATIVELY: the container header (magic +
+XML), the .NET BinaryFormatter object graph (io/nrbf.py — Document ->
+BitmapLayer -> LayerProperties/BitmapLayerProperties/Surface/MemoryBlock),
+and Paint.NET's DeferredFormatter payload that follows the NRBF stream
+(per deferred MemoryBlock: u8 format version, u32-BE chunk size, then
+{u32-BE chunk number, u32-BE byte count, gzip data} chunks; pixels are
+BGRA rows at the surface stride).  An external helper (PAINTFE_PDN_HOST,
+`host decode <file.pdn> <out_dir>` writing layer_NN.png + layers.json)
+remains as a fallback for exotic graphs the native reader rejects.
 """
 
 from __future__ import annotations
@@ -75,18 +78,125 @@ def read_header(path) -> dict:
     return out
 
 
+def _blend_from_op_class(class_name: str) -> BlendMode:
+    """'PaintDotNet.UserBlendOps+AdditiveBlendOp' -> BlendMode.ADDITIVE."""
+    tail = class_name.rsplit("+", 1)[-1]
+    if tail.endswith("BlendOp"):
+        tail = tail[: -len("BlendOp")]
+    return map_blend_mode(tail)
+
+
+def _read_deferred(data: bytes, pos: int, length: int) -> bytes:
+    """One DeferredFormatter object payload; returns (bytes, new_pos)."""
+    import gzip
+    import struct
+
+    version = data[pos]
+    pos += 1
+    pos += 4  # chunk size (informational; chunk headers carry byte counts)
+    chunks = {}
+    total = 0
+    while total < length:
+        chunk_no, size = struct.unpack(">II", data[pos:pos + 8])
+        pos += 8
+        blob = data[pos:pos + size]
+        pos += size
+        if version == 0:
+            blob = gzip.decompress(blob)
+        chunks[chunk_no] = blob
+        total += len(blob)
+    out = b"".join(chunks[k] for k in sorted(chunks))
+    if len(out) != length:
+        raise PdnError("deferred payload length mismatch")
+    return out, pos
+
+
+def load_pdn_native(path) -> Canvas:
+    """Decode a .pdn fully in-process (no external host)."""
+    from paintfe_tpu.io.nrbf import NrbfObject, NrbfReader
+
+    data = pathlib.Path(path).read_bytes()
+    if not data.startswith(b"PDN3"):
+        raise PdnError("not a Paint.NET file (missing PDN3 magic)")
+    hlen = data[4] | (data[5] << 8) | (data[6] << 16)
+    body_off = 7 + hlen + 2  # skip the 2-byte deferred-format marker
+    try:
+        reader = NrbfReader(data, body_off).parse()
+    except Exception as e:  # noqa: BLE001 - surface as a PdnError
+        raise PdnError(f"failed to parse .pdn object graph: {e}")
+
+    bitmap_layers = [
+        o for o in reader.find_instances("PaintDotNet.BitmapLayer")
+        if "surface" in o.members
+    ]
+    if not bitmap_layers:
+        raise PdnError(".pdn document contains no bitmap layers")
+
+    # DeferredFormatter payloads follow MessageEnd in MemoryBlock stream order
+    deferred_blocks = [
+        o for o in reader.find_instances("MemoryBlock")
+        if o.get("deferred") and not o.get("hasParent")
+    ]
+    pos = reader.end_pos
+    payloads = {}
+    for block in deferred_blocks:
+        payload, pos = _read_deferred(data, pos, int(block.get("length64")))
+        payloads[id(block)] = payload
+
+    canvas: Optional[Canvas] = None
+    for bl in bitmap_layers:
+        surface = bl.get("surface")
+        if not isinstance(surface, NrbfObject):
+            raise PdnError(".pdn layer has no surface")
+        w = int(surface.get("width"))
+        h = int(surface.get("height"))
+        stride = int(surface.get("stride", w * 4))
+        block = surface.get("scan0")
+        raw = payloads.get(id(block))
+        if raw is None:
+            raise PdnError(".pdn surface pixels missing from deferred data")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride)[:, : w * 4]
+        bgra = rows.reshape(h, w, 4)
+        rgba = bgra[..., [2, 1, 0, 3]].copy()
+
+        props = bl.get("Layer+properties")
+        name = "Layer"
+        visible = True
+        opacity = 255
+        if isinstance(props, NrbfObject):
+            name = props.get("name", name)
+            visible = bool(props.get("visible", True))
+            opacity = int(props.get("opacity", 255))
+        blend = BlendMode.NORMAL
+        blp = bl.get("properties")
+        if isinstance(blp, NrbfObject):
+            op = blp.get("blendOp")
+            if isinstance(op, NrbfObject):
+                blend = _blend_from_op_class(op.class_name)
+
+        if canvas is None:
+            canvas = Canvas(width=w, height=h)
+        canvas.layers.append(Layer(
+            name=str(name),
+            pixels=rgba,
+            visible=visible,
+            opacity=opacity / 255.0,
+            blend_mode=blend,
+        ))
+    canvas.active_layer_index = len(canvas.layers) - 1
+    return canvas
+
+
 def load_pdn(path) -> Canvas:
-    """Import a .pdn document.  Needs an external decode helper
-    (PAINTFE_PDN_HOST) for pixel data, like the reference's C# host."""
+    """Import a .pdn document: native decode first (io/nrbf.py), external
+    helper (PAINTFE_PDN_HOST) as the fallback for graphs it can't walk."""
     header = read_header(path)
     host = os.environ.get("PAINTFE_PDN_HOST")
-    if not host:
-        raise PdnError(
-            ".pdn pixel decoding requires an external helper: set "
-            "PAINTFE_PDN_HOST to a decoder executable (the payload is .NET "
-            "BinaryFormatter data; the reference uses an out-of-process C# "
-            "host for the same reason)"
-        )
+    try:
+        return load_pdn_native(path)
+    except PdnError:
+        if not host:
+            raise
     from paintfe_tpu.io import codecs
 
     with tempfile.TemporaryDirectory() as tmp:

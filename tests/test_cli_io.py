@@ -185,3 +185,50 @@ def test_cli_sharded_batch(tmp_path):
         np.testing.assert_array_equal(
             load_png(outdir / f"img{i}.png"), load_png(outdir2 / f"img{i}.png")
         )
+
+
+# -- native .pdn decoding (pdn.rs:40-160 reference expectations) ---------------
+
+PDN_FIXTURE = pathlib.Path("/root/reference/tests/fixtures/pdn/layers-opacity-additive.pdn")
+
+
+@pytest.mark.skipif(not PDN_FIXTURE.exists(), reason="reference pdn fixture not mounted")
+def test_pdn_native_decode_matches_reference_expectations():
+    from paintfe_tpu.core.blend import BlendMode
+    from paintfe_tpu.io.pdn import load_pdn
+
+    c = load_pdn(PDN_FIXTURE)
+    # the reference's own fixture test (pdn.rs:212-233)
+    assert (c.width, c.height) == (800, 600)
+    assert len(c.layers) == 2
+    assert c.layers[0].name == "Background" and c.layers[0].visible
+    assert c.layers[0].opacity == 1.0
+    assert c.layers[0].blend_mode == BlendMode.NORMAL
+    assert c.layers[1].name == "Layer 2" and c.layers[1].visible
+    assert abs(c.layers[1].opacity - 161.0 / 255.0) < 1e-7
+    assert c.layers[1].blend_mode == BlendMode.ADDITIVE
+    # pixel payload: red background, green additive layer (BGRA -> RGBA swap)
+    np.testing.assert_array_equal(np.asarray(c.layers[0].pixels)[0, 0], [255, 0, 0, 255])
+    np.testing.assert_array_equal(np.asarray(c.layers[1].pixels)[0, 0], [0, 255, 0, 255])
+
+
+def test_pdn_malformed_rejected(tmp_path):
+    from paintfe_tpu.io.pdn import PdnError, load_pdn
+
+    bad = tmp_path / "bad.pdn"
+    bad.write_bytes(b"not a Paint.NET project")
+    with pytest.raises(PdnError):
+        load_pdn(bad)
+
+
+@pytest.mark.skipif(not PDN_FIXTURE.exists(), reason="reference pdn fixture not mounted")
+def test_cli_pdn_input_flattens(tmp_path):
+    from paintfe_tpu.cli import main
+    from paintfe_tpu.io import codecs
+
+    rc = main(["-i", str(PDN_FIXTURE), "-o", str(tmp_path / "out.png"), "-f", "png"])
+    assert rc == 0
+    img = codecs.load_image(tmp_path / "out.png")
+    assert img.shape == (600, 800, 4)
+    # red background + additive green at opacity 161 -> yellow-ish
+    assert img[0, 0, 0] == 255 and img[0, 0, 1] > 100
