@@ -146,14 +146,21 @@ def fused_chain(img, overlay, *, sigma=2.0, brightness=10.0, contrast=20.0,
 #
 # fused_chain() above still crosses HBM between the blur kernel and the
 # pointwise/blend fusion (~265 MB per 4K frame).  This kernel reads the
-# padded image halo and the overlay tile once, runs both blur passes, the
-# u8-quantized pointwise stages (emulated in f32: trunc == floor∘clip), and
-# the soft-light flatten in VMEM, and writes the final u8 tile.  Traffic:
-# two u8 reads + one u8 write (~100 MB per 4K frame).
+# image halo block and the overlay tile once, runs both blur passes, the
+# u8-quantized pointwise stages (emulated in f32: trunc == floor-of-clip),
+# and the soft-light flatten in VMEM, and writes the final tile.  Traffic:
+# two reads + one write (~100 MB per 4K frame).
+#
+# Pixels travel PACKED: the u8 [H, W, 4] image is bitcast to u32 [H, W], so
+# lanes hold whole pixels — each horizontal blur tap is ONE lane rotate for
+# all four channels (the channel-planar formulation needed four), there are
+# no layout transposes at the boundary, and channels unpack/repack with
+# integer shifts in-register.
 #
 # In-kernel notes (measured on v5e): Mosaic's jnp.power matches XLA's
 # bitwise; Mosaic lowers x/c as a true divide (no reciprocal rewrite), so
-# the barrier-free math stays bit-identical to the exact_div XLA path.
+# the barrier-free math stays bit-identical to the exact_div XLA path;
+# u32<->f32 casts hop through i32 (no direct lowering).
 
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -180,6 +187,15 @@ def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
     sep_inv = f32(1.0) - sep_s
     opacity = f32(np.clip(blend_opacity, 0.0, 1.0))
 
+    def unpack(v):  # u32 pixel lanes -> 4x f32 channel tiles
+        vi = v.astype(jnp.int32)
+        return (
+            (vi & 0xFF).astype(jnp.float32),
+            ((vi >> 8) & 0xFF).astype(jnp.float32),
+            ((vi >> 16) & 0xFF).astype(jnp.float32),
+            ((vi >> 24) & 0xFF).astype(jnp.float32),
+        )
+
     def trunc255(x):  # u8 truncation emulated in f32
         return jnp.floor(jnp.clip(x, 0.0, 255.0))
 
@@ -187,24 +203,27 @@ def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
         i = pl.program_id(0)
         j = pl.program_id(1)
         cp = pltpu.make_async_copy(
-            src_hbm.at[:, pl.ds(i * th, scratch.shape[1]),
-                       pl.ds(j * tw, halo_c)],
+            src_hbm.at[pl.ds(i * th, scratch.shape[0]), pl.ds(j * tw, halo_c)],
             scratch, sem,
         )
         cp.start()
         cp.wait()
+        tile = scratch[...]
 
+        # H pass: one static lane rotate per tap serves all four channels
+        accs = [None] * 4
+        for k in range(nt):
+            rolled = pltpu.roll(tile, halo_c - k, axis=1) if k else tile
+            ch = unpack(rolled[:, 0:tw])
+            for c in range(4):
+                term = ch[c] * taps[k]
+                accs[c] = term if accs[c] is None else accs[c] + term
+        # V pass: static sublane slices per channel
         blurred = []
         for c in range(4):
-            tile = scratch[c].astype(jnp.int32).astype(jnp.float32)
-            acc = None
-            for k in range(nt):  # H pass
-                rolled = pltpu.roll(tile, halo_c - k, axis=1) if k else tile
-                term = rolled[:, 0:tw] * taps[k]
-                acc = term if acc is None else acc + term
             out = None
-            for k in range(nt):  # V pass
-                term = acc[k:k + th, :] * taps[k]
+            for k in range(nt):
+                term = accs[c][k:k + th, :] * taps[k]
                 out = term if out is None else out + term
             # round_u8 parity: floor(x + 0.5) clipped, kept in f32
             blurred.append(jnp.clip(jnp.floor(out + 0.5), 0.0, 255.0))
@@ -234,10 +253,10 @@ def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
         g = trunc255(g * sep_inv + sg * sep_s)
         b = trunc255(b * sep_inv + sb * sep_s)
 
-        # soft-light flatten (blend_u8 math, straight alpha, plain divides)
+        # soft-light flatten (blend_u8 math, straight alpha)
         from paintfe_tpu.core.blend import _soft_light
 
-        ov = [ov_ref[c].astype(jnp.int32).astype(jnp.float32) for c in range(4)]
+        ov = unpack(ov_ref[...])
         bf = [ediv(x, 255.0) for x in (r, g, b, a)]
         tf = [ediv(x, 255.0) for x in ov]
         base_a = bf[3]
@@ -252,11 +271,14 @@ def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
             planes.append(jnp.where(empty, 0.0, rgb))
         planes.append(jnp.where(empty, 0.0, out_a))
         clear = ov[3] == 0.0
-        base_u8 = (r, g, b, a)
-        for c in range(4):
-            q = trunc255(planes[c] * 255.0)
-            out_ref[c] = jnp.where(clear, base_u8[c],
-                                   q).astype(jnp.int32).astype(jnp.uint8)
+        base_pl = (r, g, b, a)
+        q = [
+            jnp.where(clear, base_pl[c],
+                      trunc255(planes[c] * 255.0)).astype(jnp.int32)
+            for c in range(4)
+        ]
+        out_ref[...] = (q[0] | (q[1] << 8) | (q[2] << 16)
+                        | (q[3] << 24)).astype(jnp.uint32)
 
     return kernel
 
@@ -272,22 +294,29 @@ def _chain_kernel_fn(taps, r, h, w, th, tw, params, interpret):
     halo_c = _round_up(tw + 2 * r, 128)
     grid = (hp // th, wp // tw)
 
-    def run(padded, overlay):
-        return pl.pallas_call(
+    def run(img, overlay):  # u8 [H, W, 4] x2
+        packed = jax.lax.bitcast_convert_type(img, jnp.uint32)
+        ovp = jax.lax.bitcast_convert_type(overlay, jnp.uint32)
+        bottom = (hp - th) + halo_r - (h + r)
+        right = (wp - tw) + halo_c - (w + r)
+        padded = jnp.pad(packed, ((r, bottom), (r, right)), mode="edge")
+        ovp = jnp.pad(ovp, ((0, hp - h), (0, wp - w)))
+        out = pl.pallas_call(
             _make_chain_kernel(taps, th, tw, halo_c, params, interpret),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
+                pl.BlockSpec((th, tw), lambda i, j: (i, j)),
             ],
-            out_specs=pl.BlockSpec((4, th, tw), lambda i, j: (0, i, j)),
-            out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.uint8),
+            out_specs=pl.BlockSpec((th, tw), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint32),
             scratch_shapes=[
-                pltpu.VMEM((4, halo_r, halo_c), jnp.uint8),
+                pltpu.VMEM((halo_r, halo_c), jnp.uint32),
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
-        )(padded, overlay)
+        )(padded, ovp)
+        return jax.lax.bitcast_convert_type(out[:h, :w], jnp.uint8)
 
     return jax.jit(run)
 
@@ -295,7 +324,7 @@ def _chain_kernel_fn(taps, r, h, w, th, tw, params, interpret):
 def fused_chain_kernel(img, overlay, *, sigma=2.0, brightness=10.0,
                        contrast=20.0, black=10.0, white=245.0, gamma=1.1,
                        sepia_strength=0.5, blend_opacity=0.6,
-                       th=128, tw=1024, interpret=None):
+                       th=128, tw=512, interpret=None):
     """One-kernel version of fused_chain (soft-light flatten only);
     bit-identical to it and to composing the public ops."""
     from paintfe_tpu.ops.filters import gaussian_kernel
@@ -309,19 +338,8 @@ def fused_chain_kernel(img, overlay, *, sigma=2.0, brightness=10.0,
     h, w = img.shape[0], img.shape[1]
     th = min(th, _round_up(h, 8))
     tw = min(tw, _round_up(w, 128))
-    hp = _round_up(h, th)
-    wp = _round_up(w, tw)
-    halo_r = _round_up(th + 2 * r, 8)
-    halo_c = _round_up(tw + 2 * r, 128)
-    planar = jnp.transpose(img, (2, 0, 1))
-    bottom = (hp - th) + halo_r - (h + r)
-    right = (wp - tw) + halo_c - (w + r)
-    padded = jnp.pad(planar, ((0, 0), (r, bottom), (r, right)), mode="edge")
-    ovp = jnp.pad(jnp.transpose(overlay, (2, 0, 1)),
-                  ((0, 0), (0, hp - h), (0, wp - w)))
     params = (float(brightness), float(contrast), float(black), float(white),
               float(gamma), float(sepia_strength), float(blend_opacity))
     fn = _chain_kernel_fn(tuple(float(t) for t in taps), r, h, w, th, tw,
                           params, interpret)
-    out = fn(padded, ovp)
-    return jnp.transpose(out[:, :h, :w], (1, 2, 0))
+    return fn(img, overlay)
