@@ -23,7 +23,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from paintfe_tpu.core.canvas import Canvas, Layer, canonicalize_tiles
+from paintfe_tpu.core.canvas import Canvas, canonicalize_tiles
 from paintfe_tpu.io import codecs, deep_export, pfe
 from paintfe_tpu.scripting import ScriptError, apply_canvas_ops, execute_script_sync
 

@@ -18,7 +18,7 @@ from typing import Any, List, Optional
 import numpy as np
 
 from paintfe_tpu.core.blend import BlendMode
-from paintfe_tpu.core.composite import composite_stack, composite_stack_static
+from paintfe_tpu.core.composite import composite_stack_static
 
 MAX_DIMENSION = 65535  # reference clamps dims to 256 Mpix (tiled_image.rs:14-26)
 TILE = 64  # reference chunk size (canvas/defs.rs:7)

@@ -12,7 +12,6 @@ layer ops store one layer; structural ops store the whole document.
 from __future__ import annotations
 
 import copy
-import dataclasses
 from typing import List, Optional, Tuple
 
 import numpy as np

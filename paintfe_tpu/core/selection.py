@@ -12,7 +12,7 @@ Masks are numpy u8 [H, W]; None = everything selected.
 from __future__ import annotations
 
 import enum
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,6 @@ the reference) are not available in this environment and raise a clear error.
 
 from __future__ import annotations
 
-import os
 import pathlib
 from typing import List, Optional, Tuple
 

@@ -23,7 +23,7 @@ import pathlib
 import re
 import subprocess
 import tempfile
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

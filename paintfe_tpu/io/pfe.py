@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import List, Optional
 
 import numpy as np
 

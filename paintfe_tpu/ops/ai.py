@@ -12,7 +12,7 @@ mask back-scaled and min-max normalized, applied to alpha).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
