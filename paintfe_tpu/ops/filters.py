@@ -371,18 +371,57 @@ def glow(img, radius: float, intensity: float, mask=None):
 
 
 @functools.lru_cache(maxsize=64)
+def _oddeven_merge_network(n: int):
+    """Batcher odd-even mergesort comparator list for n inputs (pairs i<j).
+    O(n log^2 n) compare-exchanges; sorts any input exactly."""
+    # Batcher's construction needs a power-of-two width; pad virtually and
+    # drop comparators that touch the padding (padding sorts as +inf).
+    m = 1
+    while m < n:
+        m *= 2
+    comparators = []
+
+    def merge(lo, nn, step):
+        dbl = step * 2
+        if dbl < nn:
+            merge(lo, nn, dbl)
+            merge(lo + step, nn, dbl)
+            for i in range(lo + step, lo + nn - step, dbl):
+                comparators.append((i, i + step))
+        elif lo + step < lo + nn:
+            comparators.append((lo, lo + step))
+
+    def sort(lo, nn):
+        if nn > 1:
+            mid = nn // 2
+            sort(lo, mid)
+            sort(lo + mid, nn - mid)
+            merge(lo, nn, 1)
+
+    sort(0, m)
+    return [(i, j) for (i, j) in comparators if i < n and j < n]
+
+
 def _median_fn(r: int, h: int, w: int):
+    k = (2 * r + 1) ** 2
+    network = _oddeven_merge_network(k)
+
     @jax.jit
     def run(img):
         padded = _pad_x(_pad_y(img, r, h), r, w)
-        stack = []
+        taps = []
         for dyy in range(-r, r + 1):
             row = _tap_y(padded, r, dyy, h)
             for dxx in range(-r, r + 1):
-                stack.append(_tap_x(row, r, dxx, w))
-        window = jnp.stack(stack)  # [k^2, H, W, 4]
-        srt = jnp.sort(window, axis=0)
-        return srt[window.shape[0] // 2]
+                taps.append(_tap_x(row, r, dxx, w))
+        # compare-exchange network instead of jnp.sort: pure fused min/max
+        # elementwise ops (sort's TPU lowering allocates enormous scratch
+        # at 4K), exact same sorted result -> identical median
+        for i, j in network:
+            lo = jnp.minimum(taps[i], taps[j])
+            hi = jnp.maximum(taps[i], taps[j])
+            taps[i], taps[j] = lo, hi
+        return taps[k // 2]
 
     return run
 

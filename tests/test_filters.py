@@ -244,3 +244,20 @@ def test_color_filter_identity():
         img64(), (255, 255, 255, 255), 0.0, artistic.ColorFilterMode.MULTIPLY
     )
     np.testing.assert_array_equal(np.asarray(out), img64())
+
+
+def test_median_network_matches_numpy_sort_any_radius():
+    """The compare-exchange network must equal a full sort's median pick
+    (the sort-based formulation OOMs on TPU at 4K; this one is fused
+    min/max elementwise ops)."""
+    rng = np.random.default_rng(5)
+    for r in (1, 2, 3):
+        img = rng.integers(0, 256, (40, 37, 4), np.uint8)
+        pad = np.pad(img, ((r, r), (r, r), (0, 0)), mode="edge")
+        wins = np.stack([
+            pad[dy:dy + 40, dx:dx + 37]
+            for dy in range(2 * r + 1) for dx in range(2 * r + 1)
+        ])
+        expect = np.sort(wins, axis=0)[wins.shape[0] // 2]
+        out = np.asarray(filters.median(img, r))
+        np.testing.assert_array_equal(out, expect, err_msg=f"r={r}")
