@@ -82,34 +82,52 @@ def ink(img, edge_strength: float, threshold: float, mask=None):
 @functools.lru_cache(maxsize=32)
 def _oil_fn(r: int, levels: int, h: int, w: int):
     n_levels = int(np.clip(levels, 2, 64))
+    # The per-pixel binned histogram needs [n_levels, rows, W, 3] working
+    # tensors — 2 GB for a 4K frame if done whole-image.  Process row strips
+    # so the working set stays bounded (identical math, strip-local taps
+    # read from the shared padded source).
+    strip = min(128, h)
+    n_strips = -(-h // strip)
+
+    hp = n_strips * strip
 
     @jax.jit
     def run(img):
         src = img.astype(jnp.uint32)
-        # Per-pixel windowed histogram over intensity bins, vectorized:
-        # intensity = (r+g+b)/3 * levels / 256 (integer math).
-        padded = _pad_xy(src, r)
-        counts = jnp.zeros((n_levels, h, w), jnp.uint32)
-        sums = jnp.zeros((n_levels, h, w, 3), jnp.uint32)
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                p = _tap(padded, r, dx, dy, h, w)
-                inten = jnp.minimum(
-                    (p[..., 0] + p[..., 1] + p[..., 2]) // 3 * n_levels // 256,
-                    n_levels - 1,
-                ).astype(jnp.int32)
-                one_hot = (
-                    jnp.arange(n_levels, dtype=jnp.int32)[:, None, None] == inten[None]
-                )
-                counts = counts + one_hot.astype(jnp.uint32)
-                sums = sums + one_hot[..., None].astype(jnp.uint32) * p[None, ..., 0:3]
-        # Modal bin: first index with the max count (reference keeps first on
-        # ties via strict >).
-        max_idx = jnp.argmax(counts, axis=0)  # argmax returns first maximum
-        max_count = jnp.take_along_axis(counts, max_idx[None], axis=0)[0]
-        picked = jnp.take_along_axis(sums, max_idx[None, ..., None], axis=0)[0]
-        avg = picked // jnp.maximum(max_count, 1)[..., None]  # trunc division
-        rgb = avg.astype(jnp.uint8)
+        padded = _pad_xy(src, r)  # [h + 2r, w + 2r, 4]
+        if hp > h:  # make all strips full so lax.map traces one body
+            padded = jnp.concatenate(
+                [padded, jnp.zeros((hp - h, w + 2 * r, 4), jnp.uint32)], axis=0
+            )
+
+        def strip_body(y0):
+            block = jax.lax.dynamic_slice(
+                padded, (y0, 0, 0), (strip + 2 * r, w + 2 * r, 4)
+            )
+            counts = jnp.zeros((n_levels, strip, w), jnp.uint32)
+            sums = jnp.zeros((n_levels, strip, w, 3), jnp.uint32)
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    p = _tap(block, r, dx, dy, strip, w)
+                    inten = jnp.minimum(
+                        (p[..., 0] + p[..., 1] + p[..., 2]) // 3 * n_levels // 256,
+                        n_levels - 1,
+                    ).astype(jnp.int32)
+                    one_hot = (
+                        jnp.arange(n_levels, dtype=jnp.int32)[:, None, None]
+                        == inten[None]
+                    )
+                    counts = counts + one_hot.astype(jnp.uint32)
+                    sums = sums + one_hot[..., None].astype(jnp.uint32) * p[None, ..., 0:3]
+            # Modal bin: first index with the max count (reference keeps
+            # first on ties via strict >).
+            max_idx = jnp.argmax(counts, axis=0)
+            max_count = jnp.take_along_axis(counts, max_idx[None], axis=0)[0]
+            picked = jnp.take_along_axis(sums, max_idx[None, ..., None], axis=0)[0]
+            return (picked // jnp.maximum(max_count, 1)[..., None]).astype(jnp.uint8)
+
+        strips = jax.lax.map(strip_body, jnp.arange(n_strips) * strip)
+        rgb = strips.reshape(hp, w, 3)[:h]
         return jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
 
     return run
