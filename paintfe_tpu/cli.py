@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flatten", action=argparse.BooleanOptionalAction, default=True,
                    help="flatten visible layers before saving")
     p.add_argument("-v", "--verbose", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="print per-stage timings (load/script/flatten/encode)")
+    p.add_argument("--trace-dir", metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR")
     p.add_argument("--shard", action="store_true",
                    help="shard the batch across available accelerator devices")
     p.add_argument("--animate", metavar="OUT",
@@ -131,16 +135,22 @@ def load_canvas(path: pathlib.Path) -> Canvas:
 def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
             script_source: Optional[str], fmt: str, quality: int,
             webp_lossless: bool, tiff_compression: str, flatten: bool,
-            verbose: bool):
-    canvas = load_canvas(input_path)
+            verbose: bool, timer=None):
+    from paintfe_tpu.utils.profiling import StageTimer
+
+    if timer is None:
+        timer = StageTimer()
+    with timer.stage("load"):
+        canvas = load_canvas(input_path)
 
     if script_source is not None:
         idx = canvas.active_layer_index
         layer = canvas.layers[idx]
         mask = canvas.selection
-        result, new_w, new_h, console, canvas_ops = execute_script_sync(
-            script_source, layer.pixels, canvas.width, canvas.height, mask
-        )
+        with timer.stage("script"):
+            result, new_w, new_h, console, canvas_ops = execute_script_sync(
+                script_source, layer.pixels, canvas.width, canvas.height, mask
+            )
         if verbose:
             for line in console:
                 print(f"  [script] {line}")
@@ -161,16 +171,19 @@ def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
         # depth-aware export: deep/HDR layers route to 16-bit PNG or
         # 16/32-bit TIFF (io.rs:1413-1453, :1588-1631); plain single-layer
         # documents skip the compositor entirely (cli.rs:282-293)
-        prep = deep_export.prepare_export_image(canvas)
-        deep_export.encode_prepared_and_write(
-            prep, output_path, fmt, quality=quality,
-            tiff_compression=tiff_compression, webp_lossless=webp_lossless,
-        )
+        with timer.stage("flatten"):
+            prep = deep_export.prepare_export_image(canvas)
+        with timer.stage("encode"):
+            deep_export.encode_prepared_and_write(
+                prep, output_path, fmt, quality=quality,
+                tiff_compression=tiff_compression, webp_lossless=webp_lossless,
+            )
         return
-    codecs.save_image(
-        canvas.active_layer.pixels, output_path, fmt, quality=quality,
-        webp_lossless=webp_lossless, tiff_compression=tiff_compression,
-    )
+    with timer.stage("encode"):
+        codecs.save_image(
+            canvas.active_layer.pixels, output_path, fmt, quality=quality,
+            webp_lossless=webp_lossless, tiff_compression=tiff_compression,
+        )
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -209,28 +222,36 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         return run_sharded_batch(inputs, args, fmt, script_source)
 
+    from paintfe_tpu.utils.profiling import StageTimer, jax_trace
+
     total = len(inputs)
     multi = total > 1
     any_failure = False
+    trace_ctx = jax_trace(args.trace_dir)
+    trace_ctx.__enter__()
     for i, input_path in enumerate(inputs):
         if multi or args.verbose:
             print(f"[{i + 1}/{total}] {input_path}")
         t0 = time.time()
         output_path = build_output_path(input_path, args.output, args.output_dir, fmt)
+        timer = StageTimer() if args.profile else None
         try:
             run_one(
                 input_path, output_path, script_source, fmt, args.quality,
                 not args.webp_lossy, args.tiff_compression, args.flatten,
-                args.verbose,
+                args.verbose, timer=timer,
             )
             if args.verbose or multi:
                 print(f"  -> {output_path} ({(time.time() - t0) * 1000:.0f}ms)")
+            if timer is not None:
+                print(timer.report())
         except (codecs.CodecError, pfe.PfeError, ScriptError, OSError, ValueError) as e:
             msg = e
             if isinstance(e, ScriptError):
                 msg = f"script error: {e}"
             print(f"  error: {msg}", file=sys.stderr)
             any_failure = True
+    trace_ctx.__exit__(None, None, None)
     return 1 if any_failure else 0
 
 

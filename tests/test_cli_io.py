@@ -232,3 +232,16 @@ def test_cli_pdn_input_flattens(tmp_path):
     assert img.shape == (600, 800, 4)
     # red background + additive green at opacity 161 -> yellow-ish
     assert img[0, 0, 0] == 255 and img[0, 0, 1] > 100
+
+
+def test_cli_profile_prints_stage_timers(tmp_path, capsys):
+    from paintfe_tpu.cli import main
+    from paintfe_tpu.io import codecs
+
+    img = np.asarray(fixtures.test_gradient(16, 16))
+    src = tmp_path / "p.png"
+    codecs.save_image(img, src, "png")
+    rc = main(["-i", str(src), "-o", str(tmp_path / "o.png"), "--profile"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "load:" in out and "encode:" in out
