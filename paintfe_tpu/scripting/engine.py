@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 import queue
 import threading
+import time
 from typing import Any, List, Optional, Tuple
 
 import numpy as np
@@ -130,6 +131,7 @@ def execute_script_async(source, pixels, width, height, mask=None,
     cancel_event = cancel_event or threading.Event()
 
     def worker():
+        start = time.perf_counter()
         try:
             compile_script(source)
             ctx = ScriptContext(np.asarray(pixels, np.uint8), width, height,
@@ -178,9 +180,13 @@ def execute_script_async(source, pixels, width, height, mask=None,
 
             interp.tick = cancellable_tick
             interp.run(source)
+            elapsed_ms = int((time.perf_counter() - start) * 1000)
+            # Completed carries elapsed_ms like the reference's
+            # ScriptMessage::Completed (scripting.rs:232, :1596-1608)
             messages.put(ScriptMessage(
                 "completed",
-                (ctx.pixels, ctx.width, ctx.height, ctx.console, ctx.canvas_ops),
+                (ctx.pixels, ctx.width, ctx.height, ctx.console,
+                 ctx.canvas_ops, elapsed_ms),
             ))
         except ScriptError as e:
             messages.put(ScriptMessage("error", e))

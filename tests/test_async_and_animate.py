@@ -41,7 +41,7 @@ def test_async_streams_console_and_completes():
     kinds = [m.kind for m in msgs]
     assert "console" in kinds and "progress" in kinds
     assert kinds[-1] == "completed"
-    pixels, w, h, console, _ops = msgs[-1].payload
+    pixels, w, h, console, _ops, _elapsed_ms = msgs[-1].payload
     assert console == ["starting", "done"]
     np.testing.assert_array_equal(
         np.asarray(pixels)[..., 0], 255 - img[..., 0]
@@ -111,3 +111,18 @@ def test_per_band_hsl_identity_and_selectivity():
     out = np.asarray(adj.hue_saturation_per_band(img, 0.0, 0.0, 0.0, reds, zeros, zeros))
     assert not (out[:, 2] == img[:, 2]).all()  # red band shifted
     np.testing.assert_array_equal(out[:, 12], img[:, 12])  # green band untouched
+
+
+def test_async_completed_carries_elapsed_ms():
+    from paintfe_tpu.core import fixtures
+    from paintfe_tpu.scripting.engine import execute_script_async
+
+    img = np.asarray(fixtures.test_gradient(8, 8))
+    thread, q = execute_script_async("apply_invert();", img, 8, 8)
+    thread.join(timeout=30)
+    last = None
+    while not q.empty():
+        last = q.get()
+    assert last.kind == "completed"
+    *_, elapsed_ms = last.payload
+    assert isinstance(elapsed_ms, int) and elapsed_ms >= 0
