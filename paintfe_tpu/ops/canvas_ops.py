@@ -199,3 +199,59 @@ def flatten(canvas: Canvas):
     composite = canvas.composite()
     canvas.layers = [Layer(name="Background", pixels=composite)]
     canvas.active_layer_index = 0
+
+
+# ---------------------------------------------------------------------------
+# Layer alignment (transform.rs:648-745)
+# ---------------------------------------------------------------------------
+
+
+def nontransparent_bounds(img: np.ndarray):
+    """Bounding box of pixels with alpha > 0, or None (transform.rs:696-727)."""
+    alpha = np.asarray(img)[..., 3]
+    ys, xs = np.nonzero(alpha)
+    if ys.size == 0:
+        return None
+    return int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())
+
+
+def translate_image_clipped(img: np.ndarray, dx: int, dy: int) -> np.ndarray:
+    """Shift by (dx, dy), dropping pixels that leave the canvas
+    (transform.rs:729-745)."""
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    out = np.zeros_like(img)
+    sx0, sx1 = max(0, -dx), min(w, w - dx)
+    sy0, sy1 = max(0, -dy), min(h, h - dy)
+    if sx0 < sx1 and sy0 < sy1:
+        out[sy0 + dy:sy1 + dy, sx0 + dx:sx1 + dx] = img[sy0:sy1, sx0:sx1]
+    return out
+
+
+def align_layer_to_anchor(canvas, layer_idx: int, anchor,
+                          target_bounds=None) -> bool:
+    """Align a layer's non-transparent content to a 3x3 anchor grid
+    (transform.rs:648-694).  anchor = (ax, ay) with 0=start 1=center
+    2=end; target_bounds = (x0, y0, x1, y1) inclusive, default canvas."""
+    if layer_idx >= len(canvas.layers):
+        return False
+    flat = np.asarray(canvas.layers[layer_idx].pixels)
+    bounds = nontransparent_bounds(flat)
+    if bounds is None:
+        return False
+    min_x, min_y, max_x, max_y = bounds
+    bw = max_x - min_x + 1
+    bh = max_y - min_y + 1
+    tx0, ty0, tx1, ty1 = (
+        target_bounds if target_bounds is not None
+        else (0, 0, canvas.width - 1, canvas.height - 1)
+    )
+    tw = tx1 - tx0 + 1
+    th = ty1 - ty0 + 1
+    ax, ay = anchor
+    target_min_x = tx0 if ax == 0 else (tx0 + (tw - bw) // 2 if ax == 1 else tx1 + 1 - bw)
+    target_min_y = ty0 if ay == 0 else (ty0 + (th - bh) // 2 if ay == 1 else ty1 + 1 - bh)
+    canvas.layers[layer_idx].pixels = translate_image_clipped(
+        flat, target_min_x - min_x, target_min_y - min_y
+    )
+    return True

@@ -318,3 +318,36 @@ def test_preview_replaces_layer():
     out = c.composite()
     np.testing.assert_array_equal(out[0, 0], [9, 9, 9, 255])
     np.testing.assert_array_equal(c.layers[0].pixels[0, 0], [1, 2, 3, 255])
+
+
+# -- layer alignment (transform.rs:648-745) ------------------------------------
+
+
+def test_align_layer_to_anchor():
+    from paintfe_tpu.ops.canvas_ops import align_layer_to_anchor
+
+    c = Canvas.new(32, 24)
+    px = np.zeros((24, 32, 4), np.uint8)
+    px[10:14, 5:9] = [255, 0, 0, 255]  # 4x4 red square at (5,10)
+    c.layers[0].pixels = px
+    assert align_layer_to_anchor(c, 0, (2, 2))  # bottom-right
+    out = np.asarray(c.layers[0].pixels)
+    assert (out[20:24, 28:32] == [255, 0, 0, 255]).all()
+    assert out[10, 5, 3] == 0  # moved away
+    assert align_layer_to_anchor(c, 0, (1, 1))  # center
+    out = np.asarray(c.layers[0].pixels)
+    assert out[11, 15, 3] == 255  # ((24-4)//2, (32-4)//2) = (10..14, 14..18)
+    # empty layer: no-op
+    c2 = Canvas.new(8, 8)
+    assert not align_layer_to_anchor(c2, 0, (0, 0))
+
+
+def test_translate_image_clipped():
+    from paintfe_tpu.ops.canvas_ops import translate_image_clipped
+
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[0, 0] = [9, 9, 9, 255]
+    out = translate_image_clipped(img, 2, 1)
+    assert (out[1, 2] == [9, 9, 9, 255]).all() and out[0, 0, 3] == 0
+    gone = translate_image_clipped(img, -1, 0)
+    assert (gone[..., 3] == 0).all()
