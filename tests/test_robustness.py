@@ -1,0 +1,116 @@
+"""Property/fuzz tests: container round-trips, parser resilience, engine
+limits.  Complements the golden suite with randomized coverage."""
+
+import numpy as np
+import pytest
+
+from paintfe_tpu.core.blend import BlendMode
+from paintfe_tpu.core.canvas import Canvas, Layer
+from paintfe_tpu.scripting import ScriptError, execute_script_sync
+
+
+def test_pfe_roundtrip_fuzz(tmp_path):
+    from paintfe_tpu.io import pfe
+
+    rng = np.random.default_rng(11)
+    for trial in range(5):
+        w, h = int(rng.integers(1, 200)), int(rng.integers(1, 200))
+        n_layers = int(rng.integers(1, 5))
+        c = Canvas.new(w, h)
+        c.layers = []
+        for i in range(n_layers):
+            layer = Layer.new(f"L{i}", w, h)
+            layer.pixels = rng.integers(0, 256, (h, w, 4), np.uint8)
+            layer.opacity = float(rng.random())
+            layer.blend_mode = BlendMode(int(rng.integers(0, 25)))
+            layer.visible = bool(rng.integers(0, 2))
+            c.layers.append(layer)
+        path = tmp_path / f"fuzz_{trial}.pfe"
+        pfe.save_pfe(c, str(path))
+        back = pfe.load_pfe(str(path))
+        assert (back.width, back.height) == (w, h)
+        assert len(back.layers) == n_layers
+        for a, b in zip(c.layers, back.layers):
+            np.testing.assert_array_equal(np.asarray(a.pixels), np.asarray(b.pixels))
+            assert a.blend_mode == b.blend_mode and a.visible == b.visible
+            assert abs(a.opacity - b.opacity) < 1e-6
+
+
+def test_nrbf_truncated_streams_error_cleanly():
+    from paintfe_tpu.io.nrbf import NrbfError, NrbfReader
+
+    good = open("/root/reference/tests/fixtures/pdn/layers-opacity-additive.pdn", "rb").read()
+    hlen = good[4] | (good[5] << 8) | (good[6] << 16)
+    body_off = 7 + hlen + 2
+    full = NrbfReader(good, body_off).parse()
+    assert full.end_pos is not None
+    # every truncation point must raise NrbfError/ValueError, never hang/crash
+    for cut in (body_off + 3, body_off + 50, full.end_pos - 10):
+        with pytest.raises((NrbfError, ValueError, IndexError)):
+            NrbfReader(good[:cut], body_off).parse()
+
+
+def test_pdn_garbage_bodies_rejected(tmp_path):
+    from paintfe_tpu.io.pdn import PdnError, load_pdn
+
+    rng = np.random.default_rng(3)
+    for trial in range(3):
+        blob = b"PDN3" + bytes([8, 0, 0]) + b"<a></a>\x00" + rng.bytes(200)
+        p = tmp_path / f"junk{trial}.pdn"
+        p.write_bytes(blob)
+        with pytest.raises(PdnError):
+            load_pdn(p)
+
+
+def test_script_operation_budget_enforced():
+    img = np.zeros((4, 4, 4), np.uint8)
+    from paintfe_tpu.scripting.engine import compile_script
+    from paintfe_tpu.scripting.api import ScriptContext, build_host_fns
+    from paintfe_tpu.scripting.interp import Interpreter, RhaiRuntimeError
+
+    ctx = ScriptContext(img, 4, 4, None, rng_seed=0)
+    ref = {}
+    interp = Interpreter(build_host_fns(ctx, ref), max_operations=10_000)
+    ref["interp"] = interp
+    with pytest.raises(RhaiRuntimeError, match="operation limit"):
+        interp.run("let i = 0; while true { i += 1; }")
+
+
+def test_script_recursion_depth_limited():
+    with pytest.raises(ScriptError):
+        execute_script_sync(
+            "fn f(n) { f(n + 1) } f(0);",
+            np.zeros((4, 4, 4), np.uint8), 4, 4,
+        )
+
+
+def test_deep_export_tiff_reader_rejects_garbage(tmp_path):
+    from paintfe_tpu.io.deep_export import read_tiff_deep
+
+    p = tmp_path / "junk.tiff"
+    p.write_bytes(b"definitely not a tiff")
+    with pytest.raises(ValueError):
+        read_tiff_deep(p)
+
+
+def test_blend_u8_property_alpha_zero_and_opaque_normal():
+    """Property over all modes: transparent top == identity; Normal opaque
+    top at full opacity == top."""
+    import jax
+
+    from paintfe_tpu.core.blend import blend_u8
+
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    top = rng.integers(0, 256, (16, 16, 4), np.uint8)
+    clear = top.copy()
+    clear[..., 3] = 0
+    for mode in range(25):
+        out = np.asarray(jax.jit(
+            lambda b, t, m=mode: blend_u8(b, t, m, 1.0)
+        )(base, clear))
+        np.testing.assert_array_equal(out, base, err_msg=f"mode {mode}")
+    opaque = top.copy()
+    opaque[..., 3] = 255
+    out = np.asarray(jax.jit(lambda b, t: blend_u8(b, t, 0, 1.0))(base, opaque))
+    np.testing.assert_array_equal(out, opaque)
