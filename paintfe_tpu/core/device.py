@@ -77,3 +77,47 @@ def composite_device(canvas, cache: DeviceLayerCache):
     opacities = jnp.asarray([l.opacity for _, l in vis], jnp.float32)
     visibles = jnp.ones(len(vis), bool)
     return composite_stack(stack, modes, opacities, visibles)
+
+
+def _bucket(v: int, step: int = 64) -> int:
+    return ((v + step - 1) // step) * step
+
+
+def composite_dirty_rect(canvas, cache: DeviceLayerCache, prev, rect):
+    """Incremental recompute: re-composite only the dirty window and splice
+    it into the previous device-resident composite.
+
+    The reference's interactive loop recomposites and reads back only the
+    dirty rect (canvas_state.rs:1511-1531 mark_dirty, renderer.rs:588
+    dirty readback); the TPU analogue is a windowed composite +
+    lax.dynamic_update_slice, leaving everything in HBM.  Window sizes are
+    bucketed to 64 px so brush-sized edits reuse one compiled program.
+
+    rect = (x0, y0, x1, y1) inclusive; `prev` is a [H, W, 4] device array.
+    """
+    from paintfe_tpu.core.composite import composite_stack_static
+
+    x0, y0, x1, y1 = rect
+    x0 = max(int(x0), 0)
+    y0 = max(int(y0), 0)
+    x1 = min(int(x1), canvas.width - 1)
+    y1 = min(int(y1), canvas.height - 1)
+    if x1 < x0 or y1 < y0:
+        return prev
+    bw = min(_bucket(x1 - x0 + 1), canvas.width - x0)
+    bh = min(_bucket(y1 - y0 + 1), canvas.height - y0)
+
+    vis = [
+        (i, l) for i, l in enumerate(canvas.layers)
+        if canvas.layer_effectively_visible(i) and l.content != "adjustment"
+    ]
+    if not vis:
+        return prev
+    windows = jnp.stack([
+        jax.lax.dynamic_slice(cache.get(l), (y0, x0, 0), (bh, bw, 4))
+        for _, l in vis
+    ])
+    modes = tuple(int(l.blend_mode) for _, l in vis)
+    opacities = jnp.asarray([l.opacity for _, l in vis], jnp.float32)
+    patch = composite_stack_static(windows, modes, opacities)
+    return jax.lax.dynamic_update_slice(prev, patch, (y0, x0, 0))

@@ -351,3 +351,32 @@ def test_translate_image_clipped():
     assert (out[1, 2] == [9, 9, 9, 255]).all() and out[0, 0, 3] == 0
     gone = translate_image_clipped(img, -1, 0)
     assert (gone[..., 3] == 0).all()
+
+
+def test_composite_dirty_rect_matches_full():
+    import jax
+
+    from paintfe_tpu.core.device import DeviceLayerCache, composite_device, composite_dirty_rect
+
+    rng = np.random.default_rng(9)
+    c = Canvas.new(96, 80)
+    c.layers = []
+    for i in range(3):
+        layer = Layer.new(f"L{i}", 96, 80)
+        layer.pixels = rng.integers(0, 256, (80, 96, 4), np.uint8)
+        layer.opacity = [1.0, 0.7, 0.5][i]
+        layer.blend_mode = BlendMode(i * 5)
+        c.layers.append(layer)
+    cache = DeviceLayerCache()
+    full = composite_device(c, cache)
+
+    # edit a region of the middle layer, then dirty-update
+    px = np.asarray(c.layers[1].pixels).copy()
+    px[20:33, 40:57] = rng.integers(0, 256, (13, 17, 4), np.uint8)
+    c.layers[1].pixels = px  # new object -> cache re-uploads on demand
+    updated = composite_dirty_rect(c, cache, full, (40, 20, 56, 32))
+    expected = composite_device(c, cache)
+    np.testing.assert_array_equal(np.asarray(updated), np.asarray(expected))
+    # degenerate rect is a no-op
+    same = composite_dirty_rect(c, cache, updated, (50, 50, 10, 10))
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(updated))
