@@ -41,17 +41,19 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
     any_failure = False
     t0 = time.time()
 
-    # Load everything (host IO), bucketing by shape for static-shape batches.
+    # Load everything (host IO) with the decode-ahead thread pool,
+    # bucketing by shape for static-shape batches.
+    from paintfe_tpu.parallel.prefetch import prefetch_images
+
     buckets = defaultdict(list)  # (h, w) -> [(index, image)]
     loaded = {}
-    for idx, path in enumerate(inputs):
-        try:
-            img = codecs.load_image(path)
-            loaded[idx] = img
-            buckets[img.shape[:2]].append(idx)
-        except codecs.CodecError as e:
-            print(f"  error: {e}", file=sys.stderr)
+    for idx, (path, img) in enumerate(prefetch_images(inputs)):
+        if isinstance(img, Exception):
+            print(f"  error: {img}", file=sys.stderr)
             any_failure = True
+            continue
+        loaded[idx] = img
+        buckets[img.shape[:2]].append(idx)
 
     processed = {}
     for shape, idxs in buckets.items():
