@@ -173,8 +173,16 @@ def _round_up(v, m):
 def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
     # Under interpret the kernel body executes through XLA:CPU, which
     # rewrites x/const into x*(1/const) (1 ulp) unless barriered; Mosaic
-    # lowers the divide directly and cannot lower the barrier primitive.
-    ediv = exact_div if interpret else (lambda x, c: x / jnp.float32(c))
+    # lowers the divide directly (no rewrite) but the TPU VPU divide is not
+    # correctly rounded, so the compiled path applies the same one-step
+    # Newton refinement as utils.quant.exact_div does on TPU.
+    if interpret:
+        ediv = exact_div
+    else:
+        def ediv(x, c):
+            c = jnp.float32(c)
+            q = x / c
+            return q + (x - q * c) / c
     nt = len(taps)
     (brightness, contrast, black, white, gamma, sepia_strength,
      blend_opacity) = params

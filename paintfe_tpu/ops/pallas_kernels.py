@@ -123,15 +123,18 @@ from paintfe_tpu.utils.quant import exact_div
 
 # True-IEEE division in both execution modes: under interpret the kernel
 # body runs through XLA:CPU, which rewrites x/const into x*(1/const) (1 ulp
-# off) unless barriered; Mosaic lowers the divide directly, and the barrier
-# primitive has no TPU lowering, so the compiled path uses a plain divide.
+# off) unless barriered; Mosaic lowers the divide directly (no rewrite) but
+# the TPU VPU divide is not correctly rounded, so the compiled path applies
+# the same one-step Newton refinement as utils.quant.exact_div does on TPU.
 _EDIV_BARRIER = True
 
 
 def _ediv(x, c):
     if _EDIV_BARRIER:
         return exact_div(x, c)
-    return x / jnp.float32(c)
+    c = jnp.float32(c)
+    q = x / c
+    return q + (x - q * c) / c
 
 
 def _u8_to_f32(x):

@@ -19,12 +19,22 @@ import jax.numpy as jnp
 def exact_div(x, c):
     """IEEE-correct division by a compile-time constant.
 
-    XLA's algebraic simplifier rewrites `x / const` into `x * (1/const)`,
-    which is 1 ulp off for non-power-of-two constants and breaks golden
-    parity at u8 rounding boundaries.  Hiding the divisor behind an
-    optimization barrier forces a true divide.
+    Two hardware hazards break golden parity at u8 rounding boundaries:
+    * XLA's algebraic simplifier rewrites `x / const` into `x * (1/const)`
+      (1 ulp off for non-power-of-two constants) — defeated by hiding the
+      divisor behind an optimization barrier, forcing a true divide.
+    * The TPU VPU's divide itself is reciprocal-based and not correctly
+      rounded (measured: 255.0/255.0 -> 0.99999994, wrong for 255 of the
+      256 u8 numerators).  One Newton step (q + (x - q*c)/c) restores the
+      exact IEEE quotient there.  On CPU the hardware divide is already
+      correctly rounded and — without FMA — the refinement can perturb it,
+      so the step is applied only on TPU.
     """
-    return x / jax.lax.optimization_barrier(jnp.float32(c))
+    cb = jax.lax.optimization_barrier(jnp.float32(c))
+    q = x / cb
+    if jax.default_backend() == "tpu":
+        q = q + (x - q * cb) / cb
+    return q
 
 
 def round_u8(x):
