@@ -9,12 +9,20 @@ import os
 import sys
 import pathlib
 
-# Tests must run on the CPU backend even when the session environment points
-# JAX at a TPU (JAX_PLATFORMS=axon): golden parity needs IEEE f32, and tiny
-# 64x64 kernels would eat TPU compile time for nothing.  The environment's
-# platform wrapper force-appends its own platform, so the env var alone is
-# not enough — override the config before any backend initializes.
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Tests run on the CPU backend by default even when the session environment
+# points JAX at a TPU (JAX_PLATFORMS=axon): golden parity needs IEEE f32,
+# and tiny 64x64 kernels would eat TPU compile time for nothing.  The
+# environment's platform wrapper force-appends its own platform, so the env
+# var alone is not enough — override the config before any backend
+# initializes.
+#
+# PAINTFE_TEST_BACKEND=tpu opts into running the suite on the real chip
+# (exact_div's Newton-refined divide makes most goldens bit-exact there;
+# set GOLDEN_TOLERANCE=1 for the residual forced-FMA ulps, and expect long
+# compile times).
+_backend = os.environ.get("PAINTFE_TEST_BACKEND", "cpu")
+if _backend == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags0 = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags0:
     # SSE4_2: XLA:CPU's LLVM backend contracts mul+add into FMA on AVX2+,
@@ -28,6 +36,9 @@ if "xla_force_host_platform_device_count" not in _flags0:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _backend == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+# otherwise leave the session backend (e.g. the TPU) in place; tests that
+# need an 8-device mesh will fail fast rather than silently diverge
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
