@@ -7,9 +7,64 @@ Runs on whatever backend JAX selects (real TPU under the driver).
 
 import functools
 import json
+import sys
 import time
 
 import numpy as np
+
+
+def _measure(run_k, img_d, ov_d, salt, k_lo, k_hi):
+    import jax.numpy as jnp
+
+    def median_of(k, reps=3):
+        int(run_k(img_d, ov_d, jnp.uint8(next(salt)), k))
+        ts = []
+        for _ in range(reps):
+            sv = jnp.uint8(next(salt))
+            t0 = time.perf_counter()
+            int(run_k(img_d, ov_d, sv, k))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    return (median_of(k_hi) - median_of(k_lo)) / (k_hi - k_lo)
+
+
+def table():
+    """Extended per-op honest numbers (same in-program slope methodology).
+    Not the driver contract — run `python bench.py --table` by hand."""
+    import jax
+    import jax.numpy as jnp
+
+    from paintfe_tpu.core.blend import BlendMode, blend_u8
+    from paintfe_tpu.core.composite import composite_stack_static
+    from paintfe_tpu.ops import filters
+    from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
+    from paintfe_tpu.ops.pallas_kernels import composite_stack_pallas, gaussian_blur_fused
+
+    h, w = 2160, 3840
+    rng = np.random.default_rng(0)
+    img_d = jax.device_put(np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8)))
+    ov_d = jax.device_put(np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8)))
+    salt = iter(range(10000))
+
+    cases = [
+        ("chain mega-kernel", lambda a, x: fused_chain_kernel(a, x)),
+        ("chain planar 2-kernel", lambda a, x: fused_chain(a, x)),
+        ("blur pallas fused", lambda a, x: gaussian_blur_fused(x, 2.0)),
+        ("blur xla separable", lambda a, x: filters.gaussian_blur(x, 2.0)),
+        ("median 3x3 network", lambda a, x: filters.median(x, 1)),
+        ("blend soft-light", lambda a, x: blend_u8(a, x, int(BlendMode.SOFT_LIGHT), 0.6)),
+    ]
+    for name, f in cases:
+        @functools.partial(jax.jit, static_argnums=3)
+        def run_k(img, ov, sv, k, f=f):
+            ov = ov.at[0, 0, 0].set(sv)
+            out = jax.lax.fori_loop(0, k, lambda i, x: f(img, x), ov)
+            return out.astype(jnp.uint32).sum()
+
+        per = _measure(run_k, img_d, ov_d, salt, 5, 35)
+        print(f"{name:24s} {per * 1000:7.2f} ms/4K-frame  {h * w / per / 1e9:6.2f} GPix/s")
 
 
 def main():
@@ -80,4 +135,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--table" in sys.argv:
+        table()
+    else:
+        main()
