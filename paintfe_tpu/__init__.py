@@ -18,3 +18,4 @@ __version__ = "0.1.0"
 
 from paintfe_tpu.core.blend import BlendMode  # noqa: F401
 from paintfe_tpu.core.canvas import Canvas, Layer  # noqa: F401
+from paintfe_tpu.core.project import Project  # noqa: F401
