@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paintfe_tpu.utils.quant import exact_div
+from paintfe_tpu.utils.quant import exact_div, exact_div_hw
 
 f32 = np.float32
 
@@ -89,7 +89,9 @@ def _blend_planar_jnp(base, top, mode: int, opacity: float):
         safe = jnp.where(empty, 1.0, xor_a)
         planes = []
         for c in range(3):
-            rgb = (bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a)) / safe
+            rgb = exact_div_hw(
+                bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a), safe
+            )
             planes.append(q(jnp.where(empty, 0.0, rgb)))
         planes.append(q(jnp.where(empty, 0.0, xor_a)))
     else:
@@ -100,7 +102,7 @@ def _blend_planar_jnp(base, top, mode: int, opacity: float):
         safe = jnp.where(empty, 1.0, out_a)
         planes = []
         for c in range(3):
-            rgb = (mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv) / safe
+            rgb = exact_div_hw(mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv, safe)
             planes.append(q(jnp.where(empty, 0.0, rgb)))
         planes.append(q(jnp.where(empty, 0.0, out_a)))
 
@@ -178,9 +180,14 @@ def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
     # Newton refinement as utils.quant.exact_div does on TPU.
     if interpret:
         ediv = exact_div
+        rdiv = lambda x, c: x / c  # CPU divide is correctly rounded
     else:
         def ediv(x, c):
             c = jnp.float32(c)
+            q = x / c
+            return q + (x - q * c) / c
+
+        def rdiv(x, c):
             q = x / c
             return q + (x - q * c) / c
     nt = len(taps)
@@ -275,7 +282,7 @@ def _make_chain_kernel(taps, th, tw, halo_c, params, interpret):
         safe = jnp.where(empty, 1.0, out_a)
         planes = []
         for c in range(3):
-            rgb = (_soft_light(bf[c], tf[c]) * top_a + bf[c] * base_a * inv) / safe
+            rgb = rdiv(_soft_light(bf[c], tf[c]) * top_a + bf[c] * base_a * inv, safe)
             planes.append(jnp.where(empty, 0.0, rgb))
         planes.append(jnp.where(empty, 0.0, out_a))
         clear = ov[3] == 0.0

@@ -137,6 +137,15 @@ def _ediv(x, c):
     return q + (x - q * c) / c
 
 
+def _rdiv(x, c):
+    """Runtime-divisor divide with the TPU Newton step (plain on CPU
+    interpret, where hardware division is already correctly rounded)."""
+    if _EDIV_BARRIER:
+        return x / c
+    q = x / c
+    return q + (x - q * c) / c
+
+
 def _u8_to_f32(x):
     # Mosaic has no direct u8 -> f32 cast; hop through i32
     return x.astype(jnp.int32).astype(jnp.float32)
@@ -170,7 +179,9 @@ def _blend_planar(base, top, mode: int, opacity):
         safe = jnp.where(empty, 1.0, xor_a)
         planes = []
         for c in range(3):
-            rgb = (bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a)) / safe
+            rgb = _rdiv(
+                bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a), safe
+            )
             planes.append(q(jnp.where(empty, 0.0, rgb)))
         planes.append(q(jnp.where(empty, 0.0, xor_a)))
     else:
@@ -181,7 +192,7 @@ def _blend_planar(base, top, mode: int, opacity):
         safe = jnp.where(empty, 1.0, out_a)
         planes = []
         for c in range(3):
-            rgb = (mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv) / safe
+            rgb = _rdiv(mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv, safe)
             planes.append(q(jnp.where(empty, 0.0, rgb)))
         planes.append(q(jnp.where(empty, 0.0, out_a)))
 

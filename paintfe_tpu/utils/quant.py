@@ -37,6 +37,19 @@ def exact_div(x, c):
     return q
 
 
+def exact_div_hw(x, c):
+    """IEEE-correct division by a runtime tensor divisor.
+
+    The TPU VPU divide is ~1 ulp off (see exact_div); one Newton step fixes
+    it.  On CPU the hardware divide is already correctly rounded, and the
+    FMA-less refinement could perturb it, so it applies on TPU only.
+    """
+    q = x / c
+    if jax.default_backend() == "tpu":
+        q = q + (x - q * c) / c
+    return q
+
+
 def round_u8(x):
     """Round-half-up then clamp to [0, 255] and truncate to u8.
 
