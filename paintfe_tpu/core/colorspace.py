@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from paintfe_tpu.utils.quant import exact_div
+from paintfe_tpu.utils.quant import exact_div, exact_div_hw
 
 _EPS = 1e-6
 
@@ -24,15 +24,15 @@ def rgb_to_hsl(r, g, b):
     gray = jnp.abs(d) < _EPS
     safe_d = jnp.where(gray, 1.0, d)
 
-    s_hi = d / jnp.where(gray, 1.0, 2.0 - mx - mn)
-    s_lo = d / jnp.where(gray, 1.0, mx + mn)
+    s_hi = exact_div_hw(d, jnp.where(gray, 1.0, 2.0 - mx - mn))
+    s_lo = exact_div_hw(d, jnp.where(gray, 1.0, mx + mn))
     s = jnp.where(gray, 0.0, jnp.where(l > 0.5, s_hi, s_lo))
 
     # Hue: branch order matches the reference (R first, then G, else B).
-    hr_raw = (g - b) / safe_d
+    hr_raw = exact_div_hw(g - b, safe_d)
     hr = exact_div(jnp.where(hr_raw < 0.0, hr_raw + 6.0, hr_raw), 6.0)
-    hg = exact_div((b - r) / safe_d + 2.0, 6.0)
-    hb = exact_div((r - g) / safe_d + 4.0, 6.0)
+    hg = exact_div(exact_div_hw(b - r, safe_d) + 2.0, 6.0)
+    hb = exact_div(exact_div_hw(r - g, safe_d) + 4.0, 6.0)
     h = jnp.where(
         jnp.abs(mx - r) < _EPS, hr, jnp.where(jnp.abs(mx - g) < _EPS, hg, hb)
     )
