@@ -49,16 +49,13 @@ def stretch_lut(lo: int, hi: int) -> np.ndarray:
     return _round_u8(v)
 
 
-def curves_lut(points) -> np.ndarray:
-    """Monotone cubic (Fritsch-Carlson) interpolation through control points.
-
-    `points` is a sequence of (x, y) in 0..255.  Fewer than 2 points yields
-    identity.
-    """
+def curves_tangents(points):
+    """Fritsch-Carlson control data: (xs, ys, m) f32 arrays, or None for
+    fewer than 2 points (identity)."""
     points = [(f32(x), f32(y)) for x, y in points]
     n = len(points)
     if n < 2:
-        return identity_lut()
+        return None
 
     xs = np.array([p[0] for p in points], f32)
     ys = np.array([p[1] for p in points], f32)
@@ -87,6 +84,20 @@ def curves_lut(points) -> np.ndarray:
                 tau = f32(3.0) / np.sqrt(s, dtype=f32)
                 m[i] = tau * alpha * delta[i]
                 m[i + 1] = tau * beta * delta[i]
+    return xs, ys, m
+
+
+def curves_lut(points) -> np.ndarray:
+    """Monotone cubic (Fritsch-Carlson) interpolation through control points.
+
+    `points` is a sequence of (x, y) in 0..255.  Fewer than 2 points yields
+    identity.
+    """
+    tangents = curves_tangents(points)
+    if tangents is None:
+        return identity_lut()
+    xs, ys, m = tangents
+    n = len(xs)
 
     lut = np.zeros(256, np.uint8)
     for i in range(256):
