@@ -20,7 +20,7 @@ import numpy as np
 
 from paintfe_tpu.core.colorspace import hsl_to_rgb, luma_bt709, rgb_to_hsl
 from paintfe_tpu.ops import luts
-from paintfe_tpu.utils.quant import exact_div, round_u8
+from paintfe_tpu.utils.quant import exact_div, exact_div_hw, round_u8
 
 
 def _f32(x):
@@ -104,21 +104,24 @@ def auto_levels(img, mask=None):
     if mask is not None:
         opaque = jnp.logical_and(opaque, mask > 0)
 
-    def ch_lut(c):
+    def stretch(c):
+        # per-channel affine stretch evaluated directly (the LUT formula on
+        # the pixel itself — gathers don't vectorize on TPU)
         lo = jnp.min(jnp.where(opaque, c, 255)).astype(jnp.int32)
         hi = jnp.max(jnp.where(opaque, c, 0)).astype(jnp.int32)
-        i = jnp.arange(256, dtype=jnp.float32)
+        i = c.astype(jnp.float32)
         rng = (hi - lo).astype(jnp.float32)
-        stretched = (i - lo.astype(jnp.float32)) / rng * 255.0
-        v = jnp.where(i <= lo, 0.0, jnp.where(i >= hi, 255.0, stretched))
-        lut = round_u8(v)
-        return jnp.where(hi <= lo, jnp.arange(256, dtype=jnp.uint8), lut)
+        stretched = exact_div_hw(i - lo.astype(jnp.float32), rng) * 255.0
+        v = jnp.where(i <= lo.astype(jnp.float32), 0.0,
+                      jnp.where(i >= hi.astype(jnp.float32), 255.0, stretched))
+        out = round_u8(v)
+        return jnp.where(hi <= lo, c, out)
 
     out = jnp.stack(
         [
-            ch_lut(img[..., 0])[img[..., 0]],
-            ch_lut(img[..., 1])[img[..., 1]],
-            ch_lut(img[..., 2])[img[..., 2]],
+            stretch(img[..., 0]),
+            stretch(img[..., 1]),
+            stretch(img[..., 2]),
             img[..., 3],
         ],
         axis=-1,
@@ -260,6 +263,42 @@ def gradient_map(img, lut_rgba, mask=None):
     mapped = jnp.asarray(lut_rgba, jnp.uint8)[idx]
     out = jnp.concatenate([mapped[..., 0:3], img[..., 3:4]], axis=-1)
     return _masked(img, out, mask)
+
+
+def gradient_map_stops(img, stops, mask=None):
+    """Gradient map evaluated directly from the color stops on TPU (the LUT
+    gather is pathological there); identical math to luts.gradient_map_lut
+    applied at the truncated-luma integer index."""
+    if jax.default_backend() != "tpu":
+        from paintfe_tpu.ops.luts import gradient_map_lut
+
+        return gradient_map(img, gradient_map_lut(stops), mask)
+
+    stops = sorted(stops, key=lambda st: st[0])
+    ts = [np.float32(st[0]) for st in stops]
+    cols = [np.asarray(st[1], np.float32) for st in stops]
+
+    @jax.jit
+    def run(img):
+        f = img.astype(jnp.float32)
+        lum = luma_bt709(f[..., 0], f[..., 1], f[..., 2])
+        i = jnp.minimum(jnp.floor(lum), 255.0)
+        t = exact_div(i, 255.0)
+        c = jnp.broadcast_to(cols[0], i.shape + (4,))
+        for j in range(len(ts) - 1):
+            span = np.float32(ts[j + 1] - ts[j])
+            if span <= 0:
+                frac = jnp.zeros_like(t)
+            else:
+                frac = exact_div(t - ts[j], span)
+            seg = cols[j][None] * (1.0 - frac[..., None]) + cols[j + 1][None] * frac[..., None]
+            c = jnp.where((t > ts[j])[..., None], seg, c)
+        c = jnp.where((t >= ts[-1])[..., None], jnp.broadcast_to(cols[-1], c.shape), c)
+        c = jnp.where((t <= ts[0])[..., None], jnp.broadcast_to(cols[0], c.shape), c)
+        mapped = jnp.clip(jnp.floor(c + 0.5), 0.0, 255.0)
+        return jnp.concatenate([mapped[..., 0:3].astype(jnp.uint8), img[..., 3:4]], axis=-1)
+
+    return _masked(img, run(img), mask)
 
 
 @jax.jit
