@@ -145,10 +145,102 @@ def _crystallize_fn(cs: float, seed: int, h: int, w: int):
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _crystallize_fn_int(c: int, seed: int, h: int, w: int):
+    """Gather/scatter-free crystallize for integer cell sizes.
+
+    The general formulation (above) gathers jittered seed coordinates and
+    the per-cell averages per pixel — pathological on TPU (~1.3 s per 4K
+    frame).  With an integer cell pitch everything regularizes: seeds are
+    recomputed per pixel from the hash (pure arithmetic), per-cell sums
+    become block reshape-reductions shifted at cell granularity, and the
+    winning cell's average reaches each pixel by cell-level pad/slice +
+    upsample-by-repeat.  Identical integer math and tie order, so results
+    are bit-equal to the general path (and the golden).
+    """
+    cs = f32(c)
+    cells_x = max(int(np.ceil(f32(w) / cs)), 1)
+    cells_y = max(int(np.ceil(f32(h) / cs)), 1)
+    hp, wp = cells_y * c, cells_x * c
+    OFFS = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+
+    @jax.jit
+    def run(img):
+        imgp = jnp.pad(img, ((0, hp - h), (0, wp - w), (0, 0)))
+        valid_px = (
+            (jnp.arange(hp)[:, None] < h) & (jnp.arange(wp)[None, :] < w)
+        )
+        xs = jnp.arange(wp, dtype=jnp.float32)[None, :] * jnp.ones((hp, 1), jnp.float32)
+        ys = jnp.arange(hp, dtype=jnp.float32)[:, None] * jnp.ones((1, wp), jnp.float32)
+        gcx = exact_div(xs, cs).astype(jnp.int32)
+        gcy = exact_div(ys, cs).astype(jnp.int32)
+        px = xs + 0.5
+        py = ys + 0.5
+
+        best_dist = jnp.full((hp, wp), jnp.inf, jnp.float32)
+        best_k = jnp.zeros((hp, wp), jnp.int32)
+        for k, (dy, dx) in enumerate(OFFS):
+            nx = gcx + dx
+            ny = gcy + dy
+            valid = (nx >= 0) & (ny >= 0) & (nx < cells_x) & (ny < cells_y)
+            nxc = jnp.clip(nx, 0, cells_x - 1).astype(jnp.uint32)
+            nyc = jnp.clip(ny, 0, cells_y - 1).astype(jnp.uint32)
+            # same hash the general path evaluates at the cell grid
+            jx = hash_f32(nxc, nyc, seed)
+            jy = hash_f32(nxc, nyc, seed + 77)
+            sx = nxc.astype(jnp.float32) * cs + jx * cs
+            sy = nyc.astype(jnp.float32) * cs + jy * cs
+            d = (px - sx) * (px - sx) + (py - sy) * (py - sy)
+            d = jnp.where(valid, d, jnp.inf)
+            take = d < best_dist
+            best_dist = jnp.where(take, d, best_dist)
+            best_k = jnp.where(take, k, best_k)
+
+        # Per-cell sums/counts: pixels in cell g that chose neighbor g+o
+        # contribute to cell g+o -> block-reduce each offset's mask, then
+        # shift at cell granularity.
+        sums = jnp.zeros((cells_y, cells_x, 4), jnp.uint32)
+        counts = jnp.zeros((cells_y, cells_x), jnp.uint32)
+        for k, (dy, dx) in enumerate(OFFS):
+            m = ((best_k == k) & valid_px).astype(jnp.uint32)
+            s_blk = (imgp.astype(jnp.uint32) * m[..., None]).reshape(
+                cells_y, c, cells_x, c, 4).sum(axis=(1, 3))
+            c_blk = m.reshape(cells_y, c, cells_x, c).sum(axis=(1, 3))
+            # shift by the offset: contribution lands in cell (g + o)
+            s_pad = jnp.pad(s_blk, ((1, 1), (1, 1), (0, 0)))
+            c_pad = jnp.pad(c_blk, ((1, 1), (1, 1)))
+            sums = sums + jax.lax.slice(
+                s_pad, (1 - dy, 1 - dx, 0),
+                (1 - dy + cells_y, 1 - dx + cells_x, 4))
+            counts = counts + jax.lax.slice(
+                c_pad, (1 - dy, 1 - dx), (1 - dy + cells_y, 1 - dx + cells_x))
+
+        safe_c = jnp.maximum(counts, 1)[..., None]
+        avg = ((2 * sums + safe_c) // (2 * safe_c)).astype(jnp.uint8)
+        avg = jnp.where((counts > 0)[..., None], avg, 0)
+
+        # Winner's average back to pixels: cell-level shift + repeat upsample
+        avg_pad = jnp.pad(avg, ((1, 1), (1, 1), (0, 0)))
+        out = jnp.zeros((hp, wp, 4), jnp.uint8)
+        for k, (dy, dx) in enumerate(OFFS):
+            nb = jax.lax.slice(
+                avg_pad, (1 + dy, 1 + dx, 0),
+                (1 + dy + cells_y, 1 + dx + cells_x, 4))
+            up = jnp.repeat(jnp.repeat(nb, c, axis=0), c, axis=1)
+            out = jnp.where((best_k == k)[..., None], up, out)
+        return out[:h, :w]
+
+    return run
+
+
 def crystallize(img, cell_size: float, seed: int = 42, mask=None):
     """Jittered-grid Voronoi cell averaging (distort.rs:26-169)."""
     h, w = img.shape[:2]
-    out = _crystallize_fn(float(cell_size), int(seed), h, w)(img)
+    cs = float(max(cell_size, 2.0))
+    if cs == int(cs):
+        out = _crystallize_fn_int(int(cs), int(seed), h, w)(img)
+    else:
+        out = _crystallize_fn(cs, int(seed), h, w)(img)
     return _masked(img, out, mask)
 
 
