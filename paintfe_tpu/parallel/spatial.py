@@ -73,3 +73,58 @@ def composite_spatial(layers, modes, opacities, mesh: Optional[Mesh] = None):
     opacities = jnp.asarray(opacities, jnp.float32)
     out = composite_stack_static(placed, modes, opacities)
     return out[:h]
+
+
+def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
+    """The headline fused chain (ops/fused_chain.fused_chain_kernel) over a
+    row-sharded mesh: each shard exchanges its r boundary rows with its
+    neighbors over ICI (jax.lax.ppermute), runs the Pallas mega-kernel on
+    its halo-extended block, and crops — the scaling-book recipe (shard,
+    exchange halos, compute locally) applied to an image kernel.  Boundary
+    shards replicate their own edge rows where no neighbor exists, so the
+    result is bit-identical to the single-device kernel.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from paintfe_tpu.ops.fused_chain import fused_chain_kernel
+    from paintfe_tpu.ops.filters import gaussian_kernel
+
+    mesh = mesh if mesh is not None else rows_mesh()
+    n = mesh.devices.size
+    sigma = params.get("sigma", 2.0)
+    r = int(gaussian_kernel(float(sigma)).shape[0] - 1) // 2
+
+    img = jnp.asarray(img, jnp.uint8)
+    overlay = jnp.asarray(overlay, jnp.uint8)
+    h, w = img.shape[0], img.shape[1]
+    pad = (-h) % n
+    if pad:
+        img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
+        overlay = jnp.concatenate(
+            [overlay, jnp.repeat(overlay[-1:], pad, axis=0)], axis=0
+        )
+    sharding = rows_sharding(mesh)
+
+    def local(block, ov_block):
+        idx = jax.lax.axis_index("rows")
+        # neighbor halos over ICI; edge shards fall back to edge-replicate
+        up = jax.lax.ppermute(block[-r:], "rows",
+                              [(i, i + 1) for i in range(n - 1)])
+        down = jax.lax.ppermute(block[:r], "rows",
+                                [(i + 1, i) for i in range(n - 1)])
+        top = jnp.where(idx == 0, jnp.repeat(block[:1], r, axis=0), up)
+        bottom = jnp.where(idx == n - 1, jnp.repeat(block[-1:], r, axis=0), down)
+        extended = jnp.concatenate([top, block, bottom], axis=0)
+        ov_ext = jnp.concatenate(
+            [jnp.zeros_like(top), ov_block, jnp.zeros_like(bottom)], axis=0
+        )
+        out = fused_chain_kernel(extended, ov_ext, **params)
+        return out[r:-r]
+
+    fn = shard_map(local, mesh=mesh, in_specs=(P("rows", None, None),) * 2,
+                   out_specs=P("rows", None, None),
+                   check_rep=False)  # pallas out_shape carries no rep/vma info
+    placed = jax.device_put(img, sharding)
+    ov_placed = jax.device_put(overlay, sharding)
+    out = jax.jit(fn)(placed, ov_placed)
+    return out[:h]

@@ -49,3 +49,18 @@ def test_composite_spatial_matches():
     ref = np.asarray(composite_stack_static(layers, modes, opac))
     out = np.asarray(spatial.composite_spatial(layers, modes, opac, _mesh8()))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_fused_chain_spatial_matches_single_device():
+    """The Pallas mega-kernel under shard_map: ppermute halo exchange must
+    reproduce the single-device result bit-exactly, including edge shards'
+    replicated halos and ragged heights."""
+    from paintfe_tpu.ops.fused_chain import fused_chain
+    from paintfe_tpu.parallel.spatial import fused_chain_spatial
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (61, 80, 4), np.uint8)
+    ov = rng.integers(0, 256, (61, 80, 4), np.uint8)
+    ref = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
+    out = np.asarray(fused_chain_spatial(img, ov, _mesh8()))
+    np.testing.assert_array_equal(ref, out)
