@@ -84,7 +84,10 @@ def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
     shards replicate their own edge rows where no neighbor exists, so the
     result is bit-identical to the single-device kernel.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     from paintfe_tpu.ops.fused_chain import fused_chain_kernel
     from paintfe_tpu.ops.filters import gaussian_kernel
@@ -121,9 +124,16 @@ def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
         out = fused_chain_kernel(extended, ov_ext, **params)
         return out[r:-r]
 
-    fn = shard_map(local, mesh=mesh, in_specs=(P("rows", None, None),) * 2,
-                   out_specs=P("rows", None, None),
-                   check_rep=False)  # pallas out_shape carries no rep/vma info
+    # pallas out_shape carries no replication/vma info, so the checker is
+    # disabled (kwarg renamed check_rep -> check_vma across jax versions)
+    try:
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("rows", None, None),) * 2,
+                       out_specs=P("rows", None, None), check_vma=False)
+    except TypeError:  # pragma: no cover - older jax
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("rows", None, None),) * 2,
+                       out_specs=P("rows", None, None), check_rep=False)
     placed = jax.device_put(img, sharding)
     ov_placed = jax.device_put(overlay, sharding)
     out = jax.jit(fn)(placed, ov_placed)
