@@ -42,6 +42,127 @@ class CanvasOpRequest:
     anchor: tuple = (0, 0)
 
 
+# Host functions with no observable side effects — safe to call once on
+# whole arrays instead of per pixel.  Everything else (rand_* which must
+# advance the xorshift64 state per callback, print/progress/sleep, pixel
+# and selection writes, apply_* effects, script-defined fns) forces the
+# scalar per-pixel path.
+_PURE_HOST_FNS = frozenset({
+    "width", "height", "is_selected", "has_selection",
+    "get_pixel", "get_r", "get_g", "get_b", "get_a",
+    "clamp", "clamp_f", "lerp", "distance",
+    "abs", "min", "max", "abs_i", "min_i", "max_i", "min_f", "max_f",
+    "floor", "ceil", "round", "sqrt", "pow", "sin", "cos", "tan", "atan2",
+    "PI", "rgb_to_hsl", "hsl_to_rgb",
+})
+
+_MUTATING_METHODS = frozenset({
+    "push", "pop", "clear", "remove",
+    # in-place string methods (interp._STRING_INPLACE)
+    "trim", "make_upper", "make_lower", "replace", "truncate",
+})
+
+
+def _base_var(node):
+    """Innermost base of an index/property chain, or None."""
+    while isinstance(node, tuple) and node[0] in ("index", "method"):
+        node = node[1]
+    if isinstance(node, tuple) and node[0] == "var":
+        return node[1]
+    return None
+
+
+def closure_is_pure(cb: Closure) -> bool:
+    """True iff evaluating the closure body can have no side effect
+    observable outside the call: only whitelisted host calls, no nested
+    closures or script-fn calls, and writes only to names bound inside
+    the body (params / `let` locals), in declaration order."""
+
+    ok = True
+
+    def scan_expr(e, loc):
+        nonlocal ok
+        if not ok or not isinstance(e, tuple):
+            return
+        kind = e[0]
+        if kind == "call":
+            if e[1] not in _PURE_HOST_FNS:
+                ok = False
+                return
+            for a in e[2]:
+                scan_expr(a, loc)
+        elif kind == "closure":
+            ok = False  # could capture and be called impurely later
+        elif kind == "method":
+            if e[3] is not None and e[2] in _MUTATING_METHODS and _base_var(e[1]) not in loc:
+                ok = False
+                return
+            scan_expr(e[1], loc)
+            for a in (e[3] or ()):
+                scan_expr(a, loc)
+        elif kind == "if":
+            scan_expr(e[1], loc)
+            scan_block(e[2], loc)
+            if e[3] is not None:
+                scan_block(e[3], loc)
+        elif kind == "block":
+            scan_block(e, loc)
+        elif kind == "switch":
+            scan_expr(e[1], loc)
+            for pats, body in e[2]:
+                for p in pats:
+                    scan_expr(p, loc)
+                (scan_block if body[0] == "block" else scan_expr)(body, loc)
+            if e[3] is not None:
+                (scan_block if e[3][0] == "block" else scan_expr)(e[3], loc)
+        else:
+            for part in e[1:]:
+                if isinstance(part, tuple):
+                    scan_expr(part, loc)
+                elif isinstance(part, list):
+                    for item in part:
+                        scan_expr(item, loc)
+
+    def scan_block(block, outer):
+        nonlocal ok
+        loc = set(outer)
+        for st in block[1]:
+            if not ok:
+                return
+            kind = st[0]
+            if kind in ("let", "const"):
+                scan_expr(st[2], loc)
+                loc.add(st[1])
+            elif kind == "assign":
+                target = st[1]
+                name = target[1] if target[0] == "var" else _base_var(target)
+                if name not in loc:
+                    ok = False  # write to captured state
+                    return
+                scan_expr(st[3], loc)
+            elif kind == "expr":
+                scan_expr(st[1], loc)
+            elif kind in ("while", "dowhile"):
+                scan_expr(st[1], loc)
+                scan_block(st[2], loc)
+            elif kind == "loop":
+                scan_block(st[1], loc)
+            elif kind == "for":
+                scan_expr(st[2], loc)
+                scan_block(st[3], loc | {st[1]})
+            elif kind in ("break", "continue"):
+                pass
+            elif kind == "return":
+                if st[1] is not None:
+                    scan_expr(st[1], loc)
+            else:
+                ok = False  # fn defs or unknown statements: be conservative
+                return
+
+    scan_block(cb.body, set(cb.params))
+    return ok
+
+
 class ScriptContext:
     def __init__(self, pixels: np.ndarray, width: int, height: int,
                  mask: Optional[np.ndarray], rng_seed: Optional[int] = None):
@@ -160,30 +281,38 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
 
     def _bulk_apply(cb, xs, ys, region=None):
         """Vectorized fast path: run the closure once on index/channel arrays.
-        Falls back to the per-pixel interpreter loop when the closure uses
-        data-dependent control flow."""
+
+        Attempted ONLY when a purity scan of the closure AST proves the
+        body is side-effect free (no impure host calls, no writes to
+        captured state) — otherwise the per-pixel interpreter loop runs,
+        which advances the RNG and emits console/progress effects once per
+        pixel exactly like the reference (scripting.rs:437-557,1217-1256).
+        For a pure closure the try/except fallback is harmless: a failed
+        vectorized attempt (e.g. array truthiness in data-dependent `if`)
+        cannot have leaked any observable effect."""
         y0, y1, x0, x1 = region if region else (0, ctx.height, 0, ctx.width)
         px = ctx.pixels[y0:y1, x0:x1].astype(np.int64)
-        try:
-            args = []
-            if xs:
-                gx = np.arange(x0, x1, dtype=np.int64)[None, :] * np.ones((y1 - y0, 1), np.int64)
-                gy = np.arange(y0, y1, dtype=np.int64)[:, None] * np.ones((1, x1 - x0), np.int64)
-                args += [gx, gy]
-            args += [px[..., 0], px[..., 1], px[..., 2], px[..., 3]]
-            res = call_closure(cb, args)
-            if res is UNIT:
+        if closure_is_pure(cb):
+            try:
+                args = []
+                if xs:
+                    gx = np.arange(x0, x1, dtype=np.int64)[None, :] * np.ones((y1 - y0, 1), np.int64)
+                    gy = np.arange(y0, y1, dtype=np.int64)[:, None] * np.ones((1, x1 - x0), np.int64)
+                    args += [gx, gy]
+                args += [px[..., 0], px[..., 1], px[..., 2], px[..., 3]]
+                res = call_closure(cb, args)
+                if res is UNIT:
+                    return
+                if isinstance(res, list) and len(res) >= 4:
+                    out = np.stack(
+                        [np.clip(np.broadcast_to(np.asarray(c), px.shape[:2]), 0, 255) for c in res[:4]],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    ctx.pixels[y0:y1, x0:x1] = out
+                    return
                 return
-            if isinstance(res, list) and len(res) >= 4:
-                out = np.stack(
-                    [np.clip(np.broadcast_to(np.asarray(c), px.shape[:2]), 0, 255) for c in res[:4]],
-                    axis=-1,
-                ).astype(np.uint8)
-                ctx.pixels[y0:y1, x0:x1] = out
-                return
-            return
-        except Exception:
-            pass  # fall through to scalar loop
+            except Exception:
+                pass  # fall through to scalar loop
         for y in range(y0, y1):
             for x in range(x0, x1):
                 p = ctx.pixels[y, x]

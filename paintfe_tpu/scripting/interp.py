@@ -78,6 +78,24 @@ def _debug_display(v) -> str:
     return to_display(v)
 
 
+# Rhai string methods that mutate the receiver in place and return ().
+_STRING_INPLACE = frozenset({"trim", "make_upper", "make_lower", "replace", "truncate"})
+
+
+def _string_inplace(s: str, name: str, args) -> str:
+    if name == "trim":
+        return s.strip()
+    if name == "make_upper":
+        return s.upper()
+    if name == "make_lower":
+        return s.lower()
+    if name == "replace":
+        return s.replace(args[0], args[1])
+    if name == "truncate":
+        return s[: max(int(args[0]), 0)]
+    raise RhaiRuntimeError(f"unknown in-place string method '{name}'")
+
+
 def _truthy(v):
     if isinstance(v, bool):
         return v
@@ -262,7 +280,17 @@ class Interpreter:
             subject = self.eval(subj_e, scopes)
             for pats, body in arms:
                 for pat in pats:
-                    if self.eval(pat, scopes) == subject:
+                    m = self.eval(pat, scopes)
+                    if isinstance(m, RhaiRange):
+                        hi = m.hi + 1 if m.inclusive else m.hi
+                        hit = (
+                            isinstance(subject, int)
+                            and not isinstance(subject, bool)
+                            and m.lo <= subject < hi
+                        )
+                    else:
+                        hit = m == subject
+                    if hit:
                         if body[0] == "block":
                             return self.exec_block(body, scopes + [{}])
                         return self.eval(body, scopes)
@@ -310,10 +338,27 @@ class Interpreter:
         if kind == "method":
             obj = self.eval(e[1], scopes)
             args = None if e[3] is None else [self.eval(a, scopes) for a in e[3]]
+            if (
+                args is not None
+                and isinstance(obj, str)
+                and e[2] in _STRING_INPLACE
+                and e[1][0] == "var"
+            ):
+                # Rhai string methods like trim/replace mutate the receiver
+                # and return (); Python strings are immutable so write back.
+                self._assign(e[1], "=", _string_inplace(obj, e[2], args), scopes)
+                return UNIT
             return self._method(obj, e[2], args)
         raise RhaiRuntimeError(f"unknown expression {kind}")
 
     def call_function(self, name, args, scopes):
+        # A variable holding a closure (FnPtr) is directly callable in Rhai.
+        for scope in reversed(scopes):
+            if name in scope:
+                v = scope[name]
+                if isinstance(v, Closure):
+                    return self.call_closure(v, args)
+                break
         if name in self.user_fns:
             params, body = self.user_fns[name]
             if len(params) != len(args):
@@ -408,6 +453,8 @@ class Interpreter:
     def _method(self, obj, name, args):
         import math
 
+        if isinstance(obj, Closure) and name == "call" and args is not None:
+            return self.call_closure(obj, args)
         if args is None:  # property access
             if name == "len" and isinstance(obj, (list, str)):
                 return len(obj)
@@ -451,6 +498,31 @@ class Interpreter:
                 return obj.lower()
             if name == "contains":
                 return args[0] in obj
+            if name == "starts_with":
+                return obj.startswith(args[0])
+            if name == "ends_with":
+                return obj.endswith(args[0])
+            if name == "index_of":
+                start = int(args[1]) if len(args) > 1 else 0
+                return obj.find(args[0], start)
+            if name == "sub_string":
+                start = int(args[0])
+                if start < 0:
+                    start = max(len(obj) + start, 0)
+                if len(args) > 1:
+                    return obj[start : start + max(int(args[1]), 0)]
+                return obj[start:]
+            if name == "split":
+                if not args:
+                    return obj.split()
+                if isinstance(args[0], int):
+                    at = args[0]
+                    return [obj[:at], obj[at:]]
+                return obj.split(args[0])
+            if name in _STRING_INPLACE:
+                # receiver was a temporary (not a variable): mutate the
+                # copy and discard, like Rhai
+                return UNIT
         if isinstance(obj, float) or isinstance(obj, int):
             if name == "abs":
                 return abs(obj)

@@ -311,6 +311,18 @@ class Parser:
                 if self.at_punct(";"):
                     self.next()
                 return ("return", expr)
+        # Block-like constructs at statement position are complete
+        # statements (Rhai 1.25 rules): `if c { … } [r,g,b,a]` is an
+        # if-STATEMENT followed by a new array-expression statement, not
+        # an index into the if's value.  Postfix/binary continuation only
+        # applies in expression position (e.g. `let x = if c {1} else {2}`).
+        if (t.kind == "kw" and t.value in ("if", "switch")) or self.at_punct("{"):
+            expr = self.parse_primary()
+            has_semi = False
+            if self.at_punct(";"):
+                self.next()
+                has_semi = True
+            return ("expr", expr, has_semi)
         # expression statement (possibly assignment)
         expr = self.parse_expr()
         if self.peek().kind == "punct" and self.peek().value in (

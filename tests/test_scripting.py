@@ -355,3 +355,263 @@ def test_do_while_until():
         """
     )
     assert console == ["10", "3", "1"]
+
+
+# -- vectorized-closure correctness (round-2 regressions) --------------------
+# The for_each_pixel/map_channels fast path may only run when a purity scan
+# proves the closure has no observable side effects; rand_* must advance the
+# xorshift64 state once per pixel exactly like scripting.rs:1217-1256.
+
+
+def run_seeded(source, size=4, seed=12345):
+    img = fixtures.test_gradient(size, size)
+    out, w, h, console, _ops = execute_script_sync(
+        source, img, size, size, None, rng_seed=seed
+    )
+    return np.asarray(out).reshape(h, w, 4), console
+
+
+def test_rand_in_closure_is_per_pixel():
+    result, _ = run_seeded(
+        """
+        for_each_pixel(|x, y, r, g, b, a| [rand_int(0, 200), g, b, a]);
+        """,
+        size=8,
+    )
+    rs = result[..., 0].ravel()
+    # 64 independent draws from [0,200) collide sometimes but can't all be
+    # one value (the round-1 bug: a single broadcast draw).
+    assert len(set(rs.tolist())) > 16, rs
+
+
+def test_rand_in_closure_matches_scalar_semantics():
+    # Reproduce the exact per-pixel xorshift64 stream on the host and
+    # compare: row-major order, one advance per callback.
+    seed = 987654321
+    result, _ = run_seeded(
+        "for_each_pixel(|x, y, r, g, b, a| [rand_int(0, 200), g, b, a]);",
+        size=4,
+        seed=seed,
+    )
+    mask64 = (1 << 64) - 1
+    s = seed
+    expect = []
+    for _ in range(16):
+        s ^= (s << 13) & mask64
+        s ^= s >> 7
+        s ^= (s << 17) & mask64
+        expect.append(s % 200)
+    np.testing.assert_array_equal(result[..., 0].ravel(), expect)
+
+
+def test_closure_console_effects_exact():
+    # print-then-data-dependent-branch: the round-1 bug emitted the print
+    # from the abandoned vectorized attempt too (17 lines instead of 16).
+    _, console = run_seeded(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            print_line(`${x},${y}`);
+            if r > 100 { [255, g, b, a] } else { [0, g, b, a] }
+        });
+        """,
+        size=4,
+    )
+    assert len(console) == 16
+    assert console[0] == "0,0" and console[-1] == "3,3"
+
+
+def test_block_statement_then_array_literal_parses():
+    # Rhai parses `{ if c { … } [r,g,b,a] }` as an if-STATEMENT followed by
+    # an array expression (the closure's value) — not indexing into the if.
+    result, _ = run_script(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let rr = r;
+            if rr > 100 { rr = 255; }
+            [rr, g, b, a]
+        });
+        """
+    )
+    img = fixtures.test_gradient(64, 64)
+    expect = img.copy()
+    expect[..., 0] = np.where(img[..., 0] > 100, 255, img[..., 0])
+    np.testing.assert_array_equal(result, expect)
+
+
+def test_pure_closure_with_branch_matches_numpy():
+    # Data-dependent control flow in a pure closure: vectorized attempt
+    # fails on array truthiness and falls back to the scalar loop; output
+    # must match the reference semantics exactly.
+    result, console = run_script(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            if (x + y) % 2 == 0 { [r, 0, 0, a] } else { [0, g, 0, a] }
+        });
+        """
+    )
+    assert console == []
+    img = fixtures.test_gradient(64, 64)
+    yy, xx = np.mgrid[0:64, 0:64]
+    even = (xx + yy) % 2 == 0
+    expect = np.zeros_like(img)
+    expect[..., 0] = np.where(even, img[..., 0], 0)
+    expect[..., 1] = np.where(even, 0, img[..., 1])
+    expect[..., 3] = img[..., 3]
+    np.testing.assert_array_equal(result, expect)
+
+
+def test_captured_mutation_not_vectorized():
+    # A closure accumulating into a captured variable must run per pixel.
+    _, console = run_script(
+        """
+        let total = 0;
+        for_each_pixel(|x, y, r, g, b, a| { total += 1; });
+        print_line(`${total}`);
+        """
+    )
+    assert console == [f"{64 * 64}"]
+
+
+def test_purity_scanner_classification():
+    from paintfe_tpu.scripting.api import closure_is_pure
+    from paintfe_tpu.scripting.interp import Closure
+    from paintfe_tpu.scripting.rhai_ast import parse
+
+    def closure_of(src):
+        prog = parse(src)
+        expr = prog[1][0][1]  # ('expr', ('closure', …), …)
+        assert expr[0] == "closure"
+        return Closure(expr[1], expr[2], [])
+
+    pure = closure_of("|x, y, r, g, b, a| [255 - r, g, b, a]")
+    assert closure_is_pure(pure)
+    pure_math = closure_of("|r, g, b, a| { let l = clamp(r + 10, 0, 255); [l, g, b, a] }")
+    assert closure_is_pure(pure_math)
+    local_mut = closure_of("|r, g, b, a| { let v = r; v += 1; [v, g, b, a] }")
+    assert closure_is_pure(local_mut)
+    rng = closure_of("|r, g, b, a| [rand_int(0, 10), g, b, a]")
+    assert not closure_is_pure(rng)
+    prints = closure_of("|r, g, b, a| { print_line(`x`); [r, g, b, a] }")
+    assert not closure_is_pure(prints)
+    setter = closure_of("|x, y, r, g, b, a| { set_pixel(x, y, 0, 0, 0, 255); }")
+    assert not closure_is_pure(setter)
+
+
+# -- language-tail conformance (switch ranges, string methods, nesting) ------
+
+
+def test_switch_range_patterns():
+    _, console = run_script(
+        """
+        for v in [3, 15, 120, 255] {
+            let label = switch v {
+                0..10 => "low",
+                10..=100 => "mid",
+                _ => "high",
+            };
+            print_line(label);
+        }
+        """
+    )
+    assert console == ["low", "mid", "high", "high"]
+
+
+def test_string_method_tail():
+    _, console = run_script(
+        """
+        let s = "  Paint FE  ";
+        s.trim();
+        print_line(`[${s}]`);
+        print_line(`${s.index_of("FE")}`);
+        print_line(`${s.sub_string(6, 2)}`);
+        print_line(`${s.sub_string(6)}`);
+        print_line(`${s.starts_with("Paint")} ${s.ends_with("FE")}`);
+        s.replace("FE", "TPU");
+        print_line(s);
+        s.make_upper();
+        print_line(s);
+        s.truncate(5);
+        print_line(s);
+        let parts = "a,b,c".split(",");
+        print_line(`${parts.len} ${parts[1]}`);
+        """
+    )
+    assert console == [
+        "[Paint FE]", "6", "FE", "FE", "true true",
+        "Paint TPU", "PAINT TPU", "PAINT", "3 b",
+    ]
+
+
+def test_nested_closures_capture():
+    _, console = run_script(
+        """
+        let make_adder = |n| |x| x + n;
+        let add5 = make_adder.call(5);
+        print_line(`${add5.call(10)}`);
+        let fns = [];
+        for i in 0..3 {
+            fns.push(make_adder.call(i * 100));
+        }
+        print_line(`${fns[0].call(1)} ${fns[1].call(1)} ${fns[2].call(1)}`);
+        """
+    )
+    assert console == ["15", "1 101 201"]
+
+
+def test_differential_vectorized_vs_scalar_fuzz():
+    """Differential fuzz: random pure closures run once vectorized and once
+    with a print_line prepended (which forces the scalar per-pixel path).
+    Pixels must be bit-identical between the two paths."""
+    import random
+
+    rng = random.Random(20260816)
+    leaves = ["x", "y", "r", "g", "b", "a", "17", "3", "128", "255"]
+
+    def gen_expr(depth):
+        if depth == 0:
+            return rng.choice(leaves)
+        op = rng.choice(["+", "-", "*", "%", "min", "max", "clamp"])
+        a = gen_expr(depth - 1)
+        bch = gen_expr(depth - 1)
+        if op == "min":
+            return f"min_i({a}, {bch})"
+        if op == "max":
+            return f"max_i({a}, {bch})"
+        if op == "clamp":
+            return f"clamp({a}, 0, 255)"
+        if op == "%":
+            return f"(({a}) % 251 + 251) % 251"
+        return f"(({a}) {op} ({bch}))"
+
+    for trial in range(12):
+        chans = [gen_expr(rng.randint(1, 3)) for _ in range(3)]
+        body = f"[clamp({chans[0]},0,255), clamp({chans[1]},0,255), clamp({chans[2]},0,255), a]"
+        fast = f"for_each_pixel(|x, y, r, g, b, a| {body});"
+        slow = (
+            "for_each_pixel(|x, y, r, g, b, a| {\n"
+            '  print("");\n'
+            f"  {body}\n"
+            "});"
+        )
+        out_fast, _ = run_seeded(fast, size=8)
+        out_slow, _ = run_seeded(slow, size=8)
+        np.testing.assert_array_equal(out_fast, out_slow, err_msg=f"trial {trial}: {body}")
+
+
+def test_parser_fuzz_no_crashes():
+    """Parser robustness: random token soup must raise ScriptError, never
+    an unhandled Python exception."""
+    import random
+
+    rng = random.Random(42)
+    atoms = [
+        "let", "if", "else", "{", "}", "(", ")", "[", "]", "|", "==", "=",
+        "+", "-", "*", "/", "fn", "for", "in", "..", ";", ",", "x", "1",
+        "2.5", '"s"', "`t${x}`", "while", "return", "=>", "switch", "#{", ":",
+    ]
+    for _ in range(300):
+        src = " ".join(rng.choice(atoms) for _ in range(rng.randint(1, 25)))
+        try:
+            execute_script_sync(src, fixtures.test_gradient(4, 4), 4, 4, None)
+        except ScriptError:
+            pass  # expected for garbage
