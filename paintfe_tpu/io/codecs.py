@@ -121,29 +121,52 @@ def gif_delay_cs(fps: float) -> int:
     return max(int(round(100.0 / max(fps, 0.001))), 1)
 
 
+def apng_delay_ms(fps: float) -> int:
+    """fps -> APNG ms delay: round(1000/fps) clamped to [1, 65535]
+    (io.rs:2837-2839; the APNG fcTL num/den pair is delay_ms/1000)."""
+    return int(np.clip(round(1000.0 / max(fps, 0.001)), 1, 65535))
+
+
+def webp_delay_ms(fps: float) -> int:
+    """fps -> WebP ms delay: fps floored at 1.0 before the divide
+    (io.rs:2921 `fps.max(1.0)`), rounded, at least 1."""
+    return max(int(round(1000.0 / max(fps, 1.0))), 1)
+
+
 def save_animation(frames: List[np.ndarray], path, fmt: str = "gif",
-                   fps: float = 10.0, quality: int = 90):
+                   fps: float = 10.0, quality: int = 90,
+                   max_colors: int = 256):
     """Encode frames as animated GIF / APNG / WebP ("each visible layer = one
-    frame")."""
+    frame", io.rs:2774-2940).  GIF: infinite repeat, per-frame adaptive
+    palettes of `max_colors` clamped to 2..256 (io.rs:2794); all frames must
+    share the first frame's dimensions."""
     if not frames:
         raise CodecError("no frames to encode")
-    pils = [Image.fromarray(np.asarray(fr, np.uint8), "RGBA") for fr in frames]
+    frames = [np.asarray(fr, np.uint8) for fr in frames]
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    if any(fr.shape[0] != h or fr.shape[1] != w for fr in frames):
+        raise CodecError("all animation frames must have the same dimensions")
+    pils = [Image.fromarray(fr, "RGBA") for fr in frames]
     path = str(path)
     if fmt == "gif":
+        if w > 65535 or h > 65535:
+            raise CodecError("image dimensions exceed GIF maximum (65535x65535)")
         delay_ms = gif_delay_cs(fps) * 10
-        base = [p.convert("P", palette=Image.ADAPTIVE) for p in pils]
+        colors = int(np.clip(max_colors, 2, 256))
+        base = [p.convert("P", palette=Image.ADAPTIVE, colors=colors)
+                for p in pils]
         base[0].save(
             path, format="GIF", save_all=True, append_images=base[1:],
             duration=delay_ms, loop=0, disposal=2,
         )
     elif fmt in ("apng", "png"):
-        delay_ms = int(round(1000.0 / max(fps, 0.001)))
+        delay_ms = apng_delay_ms(fps)
         pils[0].save(
             path, format="PNG", save_all=True, append_images=pils[1:],
             duration=delay_ms, loop=0, default_image=False,
         )
     elif fmt == "webp":
-        delay_ms = int(round(1000.0 / max(fps, 0.001)))
+        delay_ms = webp_delay_ms(fps)
         pils[0].save(
             path, format="WEBP", save_all=True, append_images=pils[1:],
             duration=delay_ms, loop=0, quality=int(quality),

@@ -126,3 +126,131 @@ def test_async_completed_carries_elapsed_ms():
     assert last.kind == "completed"
     *_, elapsed_ms = last.payload
     assert isinstance(elapsed_ms, int) and elapsed_ms >= 0
+
+
+# ---------------------------------------------------------------------------
+# Animated-encode parity (io.rs:2774-2940): delays, loop flag, frame count,
+# GIF palette clamping, dimension validation.
+# ---------------------------------------------------------------------------
+
+def _frames(n=3, w=16, h=12, colors=None):
+    rng = np.random.default_rng(7)
+    out = []
+    for i in range(n):
+        if colors is not None:
+            # few-color frames so palette size is observable
+            idx = rng.integers(0, len(colors), (h, w))
+            fr = np.asarray(colors, np.uint8)[idx]
+        else:
+            fr = rng.integers(0, 256, (h, w, 4), np.uint8)
+        fr[..., 3] = 255
+        out.append(fr)
+    return out
+
+
+def test_gif_delay_formula():
+    # max(round(100/fps), 1) centiseconds (io.rs:2789)
+    assert codecs.gif_delay_cs(10.0) == 10
+    assert codecs.gif_delay_cs(24.0) == 4      # round(4.1666)
+    assert codecs.gif_delay_cs(7.0) == 14      # round(14.285)
+    assert codecs.gif_delay_cs(1000.0) == 1    # clamp to >= 1
+    assert codecs.gif_delay_cs(0.5) == 200
+
+
+def test_apng_delay_formula():
+    # round(1000/fps) clamped to [1, 65535] (io.rs:2837)
+    assert codecs.apng_delay_ms(10.0) == 100
+    assert codecs.apng_delay_ms(3.0) == 333
+    assert codecs.apng_delay_ms(100000.0) == 1
+    assert codecs.apng_delay_ms(0.01) == 65535
+
+
+def test_webp_delay_formula():
+    # fps floored at 1.0 before the divide (io.rs:2921)
+    assert codecs.webp_delay_ms(10.0) == 100
+    assert codecs.webp_delay_ms(0.5) == 1000   # NOT 2000: fps.max(1.0)
+    assert codecs.webp_delay_ms(40.0) == 25
+
+
+def test_gif_roundtrip_frames_delays_loop(tmp_path):
+    from PIL import Image
+
+    p = str(tmp_path / "anim.gif")
+    codecs.save_animation(_frames(4), p, "gif", fps=24.0)
+    with Image.open(p) as im:
+        assert im.n_frames == 4
+        assert im.info.get("loop", None) == 0  # infinite repeat
+        for i in range(im.n_frames):
+            im.seek(i)
+            # 24 fps -> 4 cs -> 40 ms on every frame
+            assert im.info["duration"] == 40
+
+
+def test_gif_palette_max_colors(tmp_path):
+    from PIL import Image
+
+    colors = [(255, 0, 0, 255), (0, 255, 0, 255), (0, 0, 255, 255),
+              (255, 255, 0, 255), (0, 255, 255, 255), (255, 0, 255, 255),
+              (255, 255, 255, 255), (0, 0, 0, 255)]
+    p = str(tmp_path / "pal.gif")
+    codecs.save_animation(_frames(2, colors=colors), p, "gif", fps=10,
+                          max_colors=4)
+    with Image.open(p) as im:
+        # adaptive quantization respects the clamp (distinct indices used)
+        for i in range(im.n_frames):
+            im.seek(i)
+            assert len(im.getcolors(maxcolors=256)) <= 4
+    # clamp lower bound: 2 colors minimum (io.rs:2794)
+    p2 = str(tmp_path / "pal2.gif")
+    codecs.save_animation(_frames(2, colors=colors), p2, "gif", fps=10,
+                          max_colors=0)
+    with Image.open(p2) as im:
+        assert len(im.getcolors(maxcolors=256)) <= 2
+
+
+def test_apng_roundtrip_frames_delays_loop(tmp_path):
+    from PIL import Image
+
+    p = str(tmp_path / "anim.png")
+    codecs.save_animation(_frames(3), p, "apng", fps=5.0)
+    with Image.open(p) as im:
+        assert im.n_frames == 3
+        assert im.info.get("loop", None) == 0
+        for i in range(im.n_frames):
+            im.seek(i)
+            assert im.info["duration"] == 200.0
+
+
+def test_webp_roundtrip_frames_loop(tmp_path):
+    from PIL import Image
+
+    p = str(tmp_path / "anim.webp")
+    codecs.save_animation(_frames(3), p, "webp", fps=10.0)
+    with Image.open(p) as im:
+        assert im.n_frames == 3
+        assert im.info.get("loop", None) == 0
+        # (PIL's WebP decoder does not surface per-frame durations; the
+        # delay formula itself is covered by test_webp_delay_formula)
+
+
+def test_animation_errors(tmp_path):
+    import pytest
+
+    with pytest.raises(codecs.CodecError):
+        codecs.save_animation([], str(tmp_path / "x.gif"), "gif")
+    bad = [np.zeros((8, 8, 4), np.uint8), np.zeros((9, 8, 4), np.uint8)]
+    with pytest.raises(codecs.CodecError):
+        codecs.save_animation(bad, str(tmp_path / "y.gif"), "gif")
+    with pytest.raises(codecs.CodecError):
+        codecs.save_animation(_frames(1), str(tmp_path / "z.xyz"), "xyz")
+
+
+def test_load_frames_matches_saved_animation(tmp_path):
+    # decode side: frame count + per-frame delays survive the round trip
+    p = str(tmp_path / "rt.gif")
+    frames = _frames(3, colors=[(255, 0, 0, 255), (0, 0, 255, 255)])
+    codecs.save_animation(frames, p, "gif", fps=10)
+    decoded, delays = codecs.load_frames(p)
+    assert len(decoded) == 3
+    assert all(d == 100 for d in delays)
+    assert all(fr.shape == frames[0].shape for fr in decoded)
