@@ -2,19 +2,88 @@
 
 Behavioral contract: src/ops/clipboard.rs — internal RGBA clipboard with
 selection-aware copy (unselected pixels transparent), cut = copy + delete,
-paste as new layer.  The OS clipboard bridge (arboard in the reference) is
-environment-dependent and intentionally absent here; the internal clipboard
-is the data model the GUI bridge would feed.
+paste as new layer.  The OS bridge (arboard in the reference) is a
+best-effort shell-out to the platform clipboard tools (wl-clipboard on
+Wayland, xclip/xsel on X11) with the image carried as PNG; when no tool or
+display is available the bridge reports unavailable and the internal
+clipboard still works.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+import io as _io
+import shutil
+import subprocess
+from typing import List, Optional, Tuple
 
 import numpy as np
 
 from paintfe_tpu.core.canvas import Canvas, Layer
 from paintfe_tpu.core.selection import delete_selected
+
+
+# ---------------------------------------------------------------------------
+# OS clipboard bridge (clipboard.rs / arboard analogue)
+# ---------------------------------------------------------------------------
+
+_COPY_TOOLS: List[List[str]] = [
+    ["wl-copy", "-t", "image/png"],
+    ["xclip", "-selection", "clipboard", "-t", "image/png", "-i"],
+]
+_PASTE_TOOLS: List[List[str]] = [
+    ["wl-paste", "-t", "image/png"],
+    ["xclip", "-selection", "clipboard", "-t", "image/png", "-o"],
+]
+
+
+def _find_tool(candidates: List[List[str]]) -> Optional[List[str]]:
+    for cmd in candidates:
+        if shutil.which(cmd[0]):
+            return cmd
+    return None
+
+
+def os_clipboard_available() -> bool:
+    """True when both a copy and a paste tool exist on PATH."""
+    return _find_tool(_COPY_TOOLS) is not None and _find_tool(_PASTE_TOOLS) is not None
+
+
+def os_copy_image(img: np.ndarray, timeout: float = 5.0) -> bool:
+    """Put an RGBA u8 image on the OS clipboard as PNG; False if no tool,
+    no display, or the tool failed."""
+    cmd = _find_tool(_COPY_TOOLS)
+    if cmd is None:
+        return False
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.asarray(img, np.uint8), "RGBA").save(buf, format="PNG")
+    try:
+        proc = subprocess.run(cmd, input=buf.getvalue(), capture_output=True,
+                              timeout=timeout)
+        return proc.returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
+def os_paste_image(timeout: float = 5.0) -> Optional[np.ndarray]:
+    """Read an image off the OS clipboard; None when unavailable/empty."""
+    cmd = _find_tool(_PASTE_TOOLS)
+    if cmd is None:
+        return None
+    try:
+        proc = subprocess.run(cmd, capture_output=True, timeout=timeout)
+    except (OSError, subprocess.TimeoutExpired):
+        return None
+    if proc.returncode != 0 or not proc.stdout:
+        return None
+    from PIL import Image
+
+    try:
+        with Image.open(_io.BytesIO(proc.stdout)) as im:
+            return np.asarray(im.convert("RGBA"), np.uint8)
+    except Exception:
+        return None
 
 
 class Clipboard:
@@ -71,3 +140,20 @@ class Clipboard:
         canvas.layers.insert(idx, layer)
         canvas.active_layer_index = idx
         return idx
+
+    # -- OS bridge -----------------------------------------------------
+
+    def copy_to_os(self) -> bool:
+        """Push the internal clipboard image to the OS clipboard."""
+        if self.image is None:
+            return False
+        return os_copy_image(self.image)
+
+    def paste_from_os(self) -> bool:
+        """Pull the OS clipboard image into the internal clipboard."""
+        img = os_paste_image()
+        if img is None:
+            return False
+        self.image = img
+        self.origin = (0, 0)
+        return True

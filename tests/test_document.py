@@ -1,6 +1,8 @@
 """Document-model tests: layer ops, selection, history, clipboard, color
 removal (mirror of layer_ops.rs + selection.rs)."""
 
+import os
+
 import numpy as np
 
 from paintfe_tpu.core import fixtures, selection as sel
@@ -380,3 +382,39 @@ def test_composite_dirty_rect_matches_full():
     # degenerate rect is a no-op
     same = composite_dirty_rect(c, cache, updated, (50, 50, 10, 10))
     np.testing.assert_array_equal(np.asarray(same), np.asarray(updated))
+
+
+def test_os_clipboard_bridge_roundtrip(tmp_path, monkeypatch):
+    """Plumbing test with stub wl-copy/wl-paste tools backed by a file."""
+    from paintfe_tpu.ops import clipboard as cb
+
+    store = tmp_path / "clip.bin"
+    wl_copy = tmp_path / "wl-copy"
+    wl_copy.write_text(f"#!/bin/sh\ncat > '{store}'\n")
+    wl_copy.chmod(0o755)
+    wl_paste = tmp_path / "wl-paste"
+    wl_paste.write_text(f"#!/bin/sh\ncat '{store}'\n")
+    wl_paste.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{tmp_path}:{os.environ['PATH']}")
+
+    assert cb.os_clipboard_available()
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (9, 13, 4), np.uint8)
+    clip = Clipboard()
+    clip.image = img.copy()
+    assert clip.copy_to_os()
+
+    other = Clipboard()
+    assert other.paste_from_os()
+    assert np.array_equal(other.image, img)
+
+
+def test_os_clipboard_bridge_unavailable(tmp_path, monkeypatch):
+    from paintfe_tpu.ops import clipboard as cb
+
+    monkeypatch.setenv("PATH", str(tmp_path))  # empty dir: no tools
+    assert not cb.os_clipboard_available()
+    assert cb.os_paste_image() is None
+    clip = Clipboard()
+    clip.image = np.zeros((4, 4, 4), np.uint8)
+    assert not clip.copy_to_os()
