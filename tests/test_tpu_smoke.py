@@ -1,0 +1,90 @@
+"""On-chip Mosaic smoke: compile + run every Pallas kernel for real.
+
+The main suite runs the Pallas kernels in interpret mode on the CPU
+backend (conftest.py), which validates semantics but not Mosaic
+compilation.  These tests force `interpret=False` so each kernel goes
+through the real Mosaic pipeline; they only run when the session backend
+is a TPU:
+
+    PAINTFE_TEST_BACKEND=tpu python -m pytest tests/test_tpu_smoke.py -q
+
+Shapes are kept small so each kernel compiles in seconds.  Every test
+asserts bit-identity against the XLA (non-Pallas) formulation, so this is
+a correctness check, not just a does-it-compile check.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+tpu_only = pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="Mosaic smoke needs the TPU backend (PAINTFE_TEST_BACKEND=tpu)",
+)
+
+pytestmark = [pytest.mark.tpu_smoke, tpu_only]
+
+
+def _img(h=96, w=200, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+
+
+def test_mosaic_conv_pass_blur():
+    from paintfe_tpu.ops.filters import gaussian_blur
+    from paintfe_tpu.ops.pallas_kernels import gaussian_blur_pallas
+
+    img = _img()
+    got = np.asarray(gaussian_blur_pallas(img, 2.5, interpret=False))
+    want = np.asarray(gaussian_blur(img, 2.5))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_fused_blur2d():
+    from paintfe_tpu.ops.filters import gaussian_blur
+    from paintfe_tpu.ops.pallas_kernels import gaussian_blur_fused
+
+    img = _img(seed=1)
+    got = np.asarray(gaussian_blur_fused(img, 2.0, interpret=False))
+    want = np.asarray(gaussian_blur(img, 2.0))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_composite_stack():
+    from paintfe_tpu.core.blend import BlendMode
+    from paintfe_tpu.core.composite import composite_stack_static
+    from paintfe_tpu.ops.pallas_kernels import composite_stack_pallas
+
+    rng = np.random.default_rng(2)
+    layers = np.asarray(rng.integers(0, 256, (3, 64, 160, 4), np.uint8))
+    modes = (int(BlendMode.NORMAL), int(BlendMode.MULTIPLY),
+             int(BlendMode.SOFT_LIGHT))
+    opac = (1.0, 0.8, 0.6)
+    got = np.asarray(composite_stack_pallas(layers, modes, opac,
+                                            interpret=False))
+    want = np.asarray(composite_stack_static(layers, modes, opac))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_chain_mega_kernel():
+    from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
+
+    img, ov = _img(seed=3), _img(seed=4)
+    got = np.asarray(fused_chain_kernel(img, ov, interpret=False))
+    want = np.asarray(fused_chain(img, ov, interpret=False))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_chain_kernel_respecialized():
+    """A second Mosaic specialization of the mega kernel (different sigma =
+    different tap count/halo, different params) stays bit-identical to the
+    XLA formulation."""
+    from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
+
+    img, ov = _img(seed=5), _img(seed=6)
+    kw = dict(sigma=3.5, brightness=-5.0, contrast=35.0, black=4.0,
+              white=250.0, gamma=0.8, sepia_strength=0.2, blend_opacity=0.9)
+    got = np.asarray(fused_chain_kernel(img, ov, interpret=False, **kw))
+    want = np.asarray(fused_chain(img, ov, interpret=False, **kw))
+    assert np.array_equal(got, want)
