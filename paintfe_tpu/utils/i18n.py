@@ -12,12 +12,24 @@ import pathlib
 import threading
 from typing import Dict, List, Tuple
 
+# Same 15-language roster as the reference (src/i18n.rs:20-36), including
+# its two novelty locales ("be" Bogan English, "fe" Fancy English).
 LANGUAGES: List[Tuple[str, str]] = [
     ("en", "English"),
     ("es", "Español"),
     ("fr", "Français"),
     ("de", "Deutsch"),
+    ("pt", "Português"),
+    ("it", "Italiano"),
     ("ja", "日本語"),
+    ("zh-CN", "中文(简体)"),
+    ("zh-TW", "中文(繁體)"),
+    ("ru", "Русский"),
+    ("nl", "Nederlands"),
+    ("pl", "Polski"),
+    ("tr", "Türkçe"),
+    ("be", "Bogan English"),
+    ("fe", "Fancy English"),
 ]
 
 _LOCALES_DIR = pathlib.Path(__file__).resolve().parent.parent / "locales"
