@@ -33,8 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
         prog="paintfe-tpu",
         description="PaintFE-compatible headless batch processor (TPU-native)",
     )
-    p.add_argument("-i", "--input", nargs="+", required=True,
-                   help="input file(s); glob patterns accepted")
+    p.add_argument("-i", "--input", nargs="+", action="extend", required=True,
+                   help="input file(s); glob patterns accepted; the flag "
+                        "may be repeated (cli.rs:43-48 semantics)")
     p.add_argument("-s", "--script", metavar="SCRIPT.rhai",
                    help="script to execute on each input image")
     p.add_argument("-o", "--output", metavar="FILE",
@@ -218,8 +219,20 @@ def main(argv: Optional[List[str]] = None) -> int:
         return _run_animate(inputs, args, script_source)
 
     if args.shard and len(inputs) > 1:
+        from paintfe_tpu.parallel import distributed
         from paintfe_tpu.parallel.batch import run_sharded_batch
 
+        # Multi-host launch (PAINTFE_COORDINATOR/NUM_PROCESSES/PROCESS_ID or
+        # cluster auto-detect): each host takes its deterministic slice of
+        # the glob list and runs it on its local devices; exit codes are
+        # agreed globally so every process reports any peer's failure.
+        multi_host = distributed.maybe_initialize(verbose=args.verbose)
+        if multi_host:
+            inputs = distributed.shard_inputs(inputs)
+            if args.verbose:
+                print(f"[distributed] this host handles {len(inputs)} input(s)")
+            rc = run_sharded_batch(inputs, args, fmt, script_source) if inputs else 0
+            return 0 if distributed.all_processes_ok(rc == 0) else 1
         return run_sharded_batch(inputs, args, fmt, script_source)
 
     from paintfe_tpu.utils.profiling import StageTimer, jax_trace

@@ -17,8 +17,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def batch_mesh(devices: Optional[Sequence] = None) -> Mesh:
-    """1-D mesh over all (or the given) devices, axis name 'batch'."""
-    devices = list(devices if devices is not None else jax.devices())
+    """1-D mesh over this process's devices, axis name 'batch'.
+
+    Local (not global) devices on purpose: the CLI batch path shards the
+    *file list* across hosts (parallel.distributed.shard_inputs), so each
+    host computes its own images on its own chips.  For job-wide compute
+    over every chip use parallel.distributed.global_batch_mesh()."""
+    devices = list(devices if devices is not None else jax.local_devices())
     return Mesh(np.array(devices), ("batch",))
 
 
