@@ -36,10 +36,17 @@ def format_extension(fmt: str) -> str:
 def load_image(path) -> np.ndarray:
     """Load any supported raster file as RGBA u8 [H, W, 4]."""
     ext = pathlib.Path(path).suffix.lower().lstrip(".")
+    if ext == "dng":
+        from paintfe_tpu.io import raw
+
+        try:
+            return raw.load_dng(path)
+        except raw.RawError as e:
+            raise CodecError(f"failed to decode DNG '{path}': {e}")
     if ext in RAW_EXTS:
         raise CodecError(
             f"RAW camera format '.{ext}' requires a raw decoder not present in "
-            "this environment"
+            "this environment (the TIFF-based DNG subset is supported natively)"
         )
     try:
         img = Image.open(path)
