@@ -390,7 +390,12 @@ def _warp_fn(h, w, src_h, src_w):
 
 def warp_displacement(src, field):
     """Full-image displacement warp (transform.rs:1288-1345): transparent
-    outside the source, bilinear with zero-padded corners."""
+    outside the source, bilinear with zero-padded corners.
+
+    On TPU this routes through the Pallas sweep-gather kernel
+    (ops/warp_kernel.py, bit-identical; the GPU analogue is LIQUIFY_WARP,
+    shaders.rs:1390-1462) and falls back to the XLA gather formulation
+    when the field's per-tile spans exceed the kernel's buckets."""
     src = np.asarray(src)
     if isinstance(field, DisplacementField):
         disp = field.data
@@ -398,6 +403,16 @@ def warp_displacement(src, field):
     else:
         disp = np.asarray(field, f32)
         h, w = disp.shape[:2]
+    if jax.default_backend() == "tpu":
+        from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
+
+        xs = np.arange(w, dtype=f32)[None, :]
+        ys = np.arange(h, dtype=f32)[:, None]
+        sx = (xs - disp[..., 0]).astype(f32)
+        sy = (ys - disp[..., 1]).astype(f32)
+        out = gather_bilinear_u8(src, sx, sy, mode="zero", interpret=False)
+        if out is not None:
+            return out
     return _warp_fn(h, w, src.shape[0], src.shape[1])(src, disp)
 
 
