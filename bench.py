@@ -66,6 +66,39 @@ def table():
         per = _measure(run_k, img_d, ov_d, salt, 5, 35)
         print(f"{name:24s} {per * 1000:7.2f} ms/4K-frame  {h * w / per / 1e9:6.2f} GPix/s")
 
+    # Warp family (liquify/mesh-warp field): the Pallas sweep-gather kernel
+    # vs the XLA gather formulation.  The kernel path crosses the host once
+    # per call (bucket planning), so it is timed with block_until_ready
+    # loops rather than the in-program k-loop.
+    import time as _time
+
+    from paintfe_tpu.ops import transform as tfm
+    from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sx = jax.device_put((xx - 20 * np.sin(yy / 97.0)).astype(np.float32))
+    sy = jax.device_put((yy - 20 * np.cos(xx / 131.0)).astype(np.float32))
+    disp = jax.device_put(
+        np.stack([xx - np.asarray(sx), yy - np.asarray(sy)], axis=-1).astype(np.float32))
+
+    def timed(fn, reps=5):
+        jax.block_until_ready(fn())
+        ts = []
+        for _ in range(reps):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(fn())
+            ts.append(_time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2]
+
+    per = timed(lambda: gather_bilinear_u8(img_d, sx, sy, interpret=False))
+    print(f"{'warp pallas sweep-gather':24s} {per * 1000:7.2f} ms/4K-frame  "
+          f"{h * w / per / 1e9:6.2f} GPix/s")
+    xla_warp = tfm._warp_fn(h, w, h, w)
+    per = timed(lambda: xla_warp(img_d, disp))
+    print(f"{'warp xla gather':24s} {per * 1000:7.2f} ms/4K-frame  "
+          f"{h * w / per / 1e9:6.2f} GPix/s")
+
 
 def main():
     import jax

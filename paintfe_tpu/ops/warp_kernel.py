@@ -95,7 +95,7 @@ def _prologue(sx, sy, src_h, src_w, h, w):
     sspan = jnp.maximum(rxmax - rxmin + 1, 1)
     ox = jnp.arange(wp // TW, dtype=jnp.int32)[None, :] * TW + rxmin
     ox = jnp.clip(ox, -PAD_L, src_w - 1)  # all-invalid tiles: keep DMA legal
-    return (sxp, syp, oy.astype(jnp.int32), ox.astype(jnp.int32),
+    return (oy.astype(jnp.int32), ox.astype(jnp.int32),
             jnp.max(jnp.where(sspan < _BIG, vspan, 1)),
             jnp.max(jnp.where(sspan < _BIG, sspan, 1)))
 
@@ -103,17 +103,18 @@ def _prologue(sx, sy, src_h, src_w, h, w):
 def plan(sx, sy, src_h: int, src_w: int):
     """Window parameters + bucket choice; None when infeasible."""
     h, w = sx.shape
-    sxp, syp, oy, ox, vmax, smax = _prologue(
+    oy, ox, vmax, smax = _prologue(
         jnp.asarray(sx, jnp.float32), jnp.asarray(sy, jnp.float32),
         src_h, src_w, h, w)
-    vmax = int(jax.device_get(vmax))
-    smax = int(jax.device_get(smax))
+    # ONE host sync for both maxima: on a tunneled device every device_get
+    # is a round trip
+    vmax, smax = (int(v) for v in jax.device_get((vmax, smax)))
     # +8: the DMA window start is aligned down to a multiple of 8 rows
     wh = next((b for b in WH_BUCKETS if b >= vmax + 8), None)
     s = next((b for b in S_BUCKETS if b >= smax), None)
     if wh is None or s is None or (wh // 8) * s > 1536:
         return None
-    return sxp, syp, oy, ox, wh, s
+    return oy, ox, wh, s
 
 
 def _make_kernel(wh, s_sweep, th, tw, ww, src_h, src_w, gw, mode):
@@ -246,8 +247,18 @@ def _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
     gh, gw = hp // TH, wp // TW
     kernel = _make_kernel(wh, s_sweep, TH, TW, ww, src_h, src_w, gw, mode)
 
-    def run(packed_padded, sxp, syp, oy_flat, oxal_flat, oxb_flat):
-        return pl.pallas_call(
+    def run(src_u8, sx, sy, oy, ox, h, w):
+        # whole prologue-to-epilogue in ONE program: on a remote/tunneled
+        # device every eager op is a round trip, so pads/bitcasts/alignment
+        # math must not run op-by-op
+        sxp = jnp.pad(sx, ((0, hp - h), (0, wp - w)))
+        syp = jnp.pad(sy, ((0, hp - h), (0, wp - w)))
+        packed = jax.lax.bitcast_convert_type(src_u8, jnp.uint32)
+        packed = jnp.pad(packed, ((0, wh), (PAD_L, ww)))
+        oy_al = (oy.reshape(-1) // 8) * 8          # DMA row alignment
+        oxb = ox.reshape(-1) + PAD_L               # biased (>= 0) col start
+        oxb_al = (oxb // 128) * 128                # DMA col alignment
+        out = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=3,
@@ -267,9 +278,10 @@ def _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-        )(oy_flat, oxal_flat, oxb_flat, packed_padded, sxp, syp)
+        )(oy_al, oxb_al, oxb, packed, sxp, syp)
+        return jax.lax.bitcast_convert_type(out[:h, :w], jnp.uint8)
 
-    return jax.jit(run)
+    return jax.jit(run, static_argnums=(5, 6))
 
 
 def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
@@ -290,18 +302,8 @@ def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
     planned = plan(sx, sy, src_h, src_w)
     if planned is None:
         return None
-    sxp, syp, oy, ox, wh, s_sweep = planned
-    hp, wp = sxp.shape
-    ww = _round_up(TW + s_sweep + 136, 128)
-
-    packed = jax.lax.bitcast_convert_type(jnp.asarray(src, jnp.uint8),
-                                          jnp.uint32)
-    # left pad: window starts reach back to -PAD_L; right/bottom pads keep
-    # every window DMA in range
-    packed = jnp.pad(packed, ((0, wh), (PAD_L, ww)))
-    oy_al = (oy.reshape(-1) // 8) * 8          # DMA row alignment
-    oxb = ox.reshape(-1) + PAD_L               # biased (>= 0) col start
-    oxb_al = (oxb // 128) * 128                # DMA col alignment
+    oy, ox, wh, s_sweep = planned
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
     fn = _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret)
-    out = fn(packed, sxp, syp, oy_al, oxb_al, oxb)
-    return jax.lax.bitcast_convert_type(out[:h, :w], jnp.uint8)
+    return fn(jnp.asarray(src, jnp.uint8), jnp.asarray(sx, jnp.float32),
+              jnp.asarray(sy, jnp.float32), oy, ox, h, w)

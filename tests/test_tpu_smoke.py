@@ -76,6 +76,33 @@ def test_mosaic_chain_mega_kernel():
     assert np.array_equal(got, want)
 
 
+def test_mosaic_warp_sweep_gather():
+    """The displacement-aware sweep-gather kernel, both modes, on-chip."""
+    from paintfe_tpu.ops import transform as tfm
+    from paintfe_tpu.ops.effects.distort import sample_bilinear
+    from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
+    from paintfe_tpu.utils.quant import round_u8
+    import jax.numpy as jnp
+
+    h, w = 96, 280
+    src = _img(h, w, seed=7)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    sx = (xx - 5 * np.sin(yy / 11.0)).astype(np.float32)
+    sy = (yy - 5 * np.cos(xx / 13.0)).astype(np.float32)
+
+    got = gather_bilinear_u8(src, sx, sy, mode="zero", interpret=False)
+    assert got is not None
+    disp = np.stack([xx - sx, yy - sy], axis=-1).astype(np.float32)
+    want = np.asarray(tfm._warp_fn(h, w, h, w)(src, disp))
+    assert np.array_equal(np.asarray(got), want)
+
+    gotc = gather_bilinear_u8(src, sx, sy, mode="clamp", interpret=False)
+    wantc = np.asarray(jax.jit(
+        lambda i, a, b: round_u8(sample_bilinear(i, a, b)))(
+        src, jnp.asarray(sx), jnp.asarray(sy)))
+    assert np.array_equal(np.asarray(gotc), wantc)
+
+
 def test_mosaic_chain_kernel_respecialized():
     """A second Mosaic specialization of the mega kernel (different sigma =
     different tap count/halo, different params) stays bit-identical to the

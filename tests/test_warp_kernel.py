@@ -100,7 +100,7 @@ def test_plan_buckets_monotonic():
     xx, yy = _grids()
     small = plan(xx - 2, yy - 2, H, W)
     assert small is not None
-    assert small[4] == WH_BUCKETS[0] and small[5] == S_BUCKETS[0]
+    assert small[2] == WH_BUCKETS[0] and small[3] == S_BUCKETS[0]
     big = plan(xx - 40 * np.sin(yy / 11.0), yy, H, W)
     assert big is not None
-    assert big[5] >= S_BUCKETS[1]
+    assert big[3] >= S_BUCKETS[1]
