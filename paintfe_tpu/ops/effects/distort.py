@@ -249,45 +249,95 @@ def crystallize(img, cell_size: float, seed: int = 42, mask=None):
 # ---------------------------------------------------------------------------
 
 
-@functools.lru_cache(maxsize=64)
-def _bulge_fn(amount: float, ox: float, oy: float, h: int, w: int):
+def _kernel_clamp_warp(img, src_x, src_y):
+    """TPU fast path for the inverse-mapped samplers: the Pallas sweep
+    gather in clamp mode (bit-exact with round_u8(sample_bilinear)).
+    Returns None off-TPU, for small images (the XLA gather is cheap there
+    and each kernel specialization costs a Mosaic compile), or when the
+    field is infeasible."""
+    if jax.default_backend() != "tpu":
+        return None
+    if img.shape[0] * img.shape[1] < (1 << 19):  # < 0.5 Mpix: XLA path
+        return None
+    from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
+
+    return gather_bilinear_u8(img, src_x, src_y, mode="clamp",
+                              interpret=False)
+
+
+def _bulge_coords(amount, cx, cy, max_r, strength, h, w):
+    xs, ys = _coord_grids(h, w)
+    dx = xs - cx
+    dy = ys - cy
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    norm = jnp.minimum(exact_div(dist, max_r), 1.0)
+    falloff = 1.0 - norm
+    if amount > 0.0:
+        factor = 1.0 - falloff * strength * f32(0.5)
+    elif amount < 0.0:
+        factor = 1.0 + falloff * strength * f32(0.5)
+    else:
+        factor = jnp.ones_like(falloff)
+    return cx + dx * factor, cy + dy * factor, norm
+
+
+def _bulge_params(amount: float, ox: float, oy: float, h: int, w: int):
     wf, hf = f32(w), f32(h)
     cx = f32(np.clip(ox, 0.0, 1.0)) * max(wf - 1.0, 0.0)
     cy = f32(np.clip(oy, 0.0, 1.0)) * max(hf - 1.0, 0.0)
     max_r = f32(max(max(cx, wf - cx), max(cy, hf - cy), 1.0))
     strength = f32(max(abs(amount), 0.0001))
+    return cx, cy, max_r, strength
+
+
+@functools.lru_cache(maxsize=64)
+def _bulge_fn(amount: float, ox: float, oy: float, h: int, w: int):
+    cx, cy, max_r, strength = _bulge_params(amount, ox, oy, h, w)
 
     @jax.jit
     def run(img):
-        xs, ys = _coord_grids(h, w)
-        dx = xs - cx
-        dy = ys - cy
-        dist = jnp.sqrt(dx * dx + dy * dy)
-        norm = jnp.minimum(exact_div(dist, max_r), 1.0)
-        falloff = 1.0 - norm
-        if amount > 0.0:
-            factor = 1.0 - falloff * strength * f32(0.5)
-        elif amount < 0.0:
-            factor = 1.0 + falloff * strength * f32(0.5)
-        else:
-            factor = jnp.ones_like(falloff)
-        src_x = cx + dx * factor
-        src_y = cy + dy * factor
+        src_x, src_y, norm = _bulge_coords(amount, cx, cy, max_r, strength, h, w)
         warped = round_u8(sample_bilinear(img, src_x, src_y))
         return jnp.where((norm >= 1.0)[..., None], img, warped)
 
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _bulge_coords_fn(amount: float, ox: float, oy: float, h: int, w: int):
+    cx, cy, max_r, strength = _bulge_params(amount, ox, oy, h, w)
+    return jax.jit(functools.partial(_bulge_coords, amount, cx, cy, max_r,
+                                     strength, h, w))
+
+
 def bulge(img, amount: float, origin=(0.5, 0.5), mask=None):
     """Radial scale about origin, inverse-mapped bilinear (distort.rs:396-458)."""
     h, w = img.shape[:2]
+    if jax.default_backend() == "tpu":
+        src_x, src_y, norm = _bulge_coords_fn(
+            float(amount), float(origin[0]), float(origin[1]), h, w)()
+        warped = _kernel_clamp_warp(img, src_x, src_y)
+        if warped is not None:
+            out = jax.jit(
+                lambda i, wv, n: jnp.where((n >= 1.0)[..., None], i, wv)
+            )(jnp.asarray(img), warped, norm)
+            return _masked(img, out, mask)
     out = _bulge_fn(float(amount), float(origin[0]), float(origin[1]), h, w)(img)
     return _masked(img, out, mask)
 
 
-@functools.lru_cache(maxsize=64)
-def _twist_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
+def _twist_coords(cx, cy, max_r, twist_amount, h, w):
+    xs, ys = _coord_grids(h, w)
+    dx = xs - cx
+    dy = ys - cy
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    rotation = twist_amount * (1.0 - exact_div(dist, max_r))
+    cos_r = jnp.cos(rotation)
+    sin_r = jnp.sin(rotation)
+    return cx + dx * cos_r - dy * sin_r, cy + dx * sin_r + dy * cos_r
+
+
+def _twist_params(angle_deg: float, ox: float, oy: float, h: int, w: int):
     wf, hf = f32(w), f32(h)
     cx = f32(np.clip(ox, 0.0, 1.0)) * max(wf - 1.0, 0.0)
     cy = f32(np.clip(oy, 0.0, 1.0)) * max(hf - 1.0, 0.0)
@@ -295,28 +345,67 @@ def _twist_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
     my = max(cy, hf - cy)
     max_r = f32(max(np.sqrt(f32(mx * mx + my * my)), 1.0))
     twist_amount = f32(f32(angle_deg) * (f32(np.pi) / f32(180.0)))
+    return cx, cy, max_r, twist_amount
+
+
+@functools.lru_cache(maxsize=64)
+def _twist_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
+    cx, cy, max_r, twist_amount = _twist_params(angle_deg, ox, oy, h, w)
 
     @jax.jit
     def run(img):
-        xs, ys = _coord_grids(h, w)
-        dx = xs - cx
-        dy = ys - cy
-        dist = jnp.sqrt(dx * dx + dy * dy)
-        rotation = twist_amount * (1.0 - exact_div(dist, max_r))
-        cos_r = jnp.cos(rotation)
-        sin_r = jnp.sin(rotation)
-        src_x = cx + dx * cos_r - dy * sin_r
-        src_y = cy + dx * sin_r + dy * cos_r
+        src_x, src_y = _twist_coords(cx, cy, max_r, twist_amount, h, w)
         return round_u8(sample_bilinear(img, src_x, src_y))
 
     return run
 
 
+@functools.lru_cache(maxsize=64)
+def _twist_coords_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
+    cx, cy, max_r, twist_amount = _twist_params(angle_deg, ox, oy, h, w)
+    return jax.jit(functools.partial(_twist_coords, cx, cy, max_r,
+                                     twist_amount, h, w))
+
+
 def twist(img, angle_deg: float, origin=(0.5, 0.5), mask=None):
     """Rotation by angle*(1-dist/max_r) about center (distort.rs:460-500)."""
     h, w = img.shape[:2]
+    if jax.default_backend() == "tpu":
+        src_x, src_y = _twist_coords_fn(
+            float(angle_deg), float(origin[0]), float(origin[1]), h, w)()
+        warped = _kernel_clamp_warp(img, src_x, src_y)
+        if warped is not None:
+            return _masked(img, warped, mask)
     out = _twist_fn(float(angle_deg), float(origin[0]), float(origin[1]), h, w)(img)
     return _masked(img, out, mask)
+
+
+def _dents_coords(scale, amount, seed, oct_n, roughness, pinch, wrap,
+                  inv_scale, h, w):
+    xs, ys = _coord_grids(h, w)
+    nx_raw = turbulence_2d(xs * inv_scale, ys * inv_scale, seed, oct_n, roughness) * 2.0 - 1.0
+    ny_raw = (
+        turbulence_2d(xs * inv_scale, ys * inv_scale, (seed + 9999) & 0xFFFFFFFF, oct_n, roughness)
+        * 2.0
+        - 1.0
+    )
+    if pinch:
+        cx = f32(w) * f32(0.5)
+        cy = f32(h) * f32(0.5)
+        dx = xs - cx
+        dy = ys - cy
+        dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1.0)
+        factor = (1.0 - exact_div(dist, f32(max(cx, cy)))) * 0.5
+        nx = nx_raw + dx / dist * factor
+        ny = ny_raw + dy / dist * factor
+    else:
+        nx, ny = nx_raw, ny_raw
+    src_x = xs + nx * f32(amount) * f32(scale)
+    src_y = ys + ny * f32(amount) * f32(scale)
+    if wrap:
+        src_x = src_x - jnp.floor(exact_div(src_x, f32(w))) * f32(w)
+        src_y = src_y - jnp.floor(exact_div(src_y, f32(h))) * f32(h)
+    return src_x, src_y
 
 
 @functools.lru_cache(maxsize=32)
@@ -326,40 +415,32 @@ def _dents_fn(scale, amount, seed, octaves, roughness, pinch, wrap, h, w):
 
     @jax.jit
     def run(img):
-        xs, ys = _coord_grids(h, w)
-        nx_raw = turbulence_2d(xs * inv_scale, ys * inv_scale, seed, oct_n, roughness) * 2.0 - 1.0
-        ny_raw = (
-            turbulence_2d(xs * inv_scale, ys * inv_scale, (seed + 9999) & 0xFFFFFFFF, oct_n, roughness)
-            * 2.0
-            - 1.0
-        )
-        if pinch:
-            cx = f32(w) * f32(0.5)
-            cy = f32(h) * f32(0.5)
-            dx = xs - cx
-            dy = ys - cy
-            dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1.0)
-            factor = (1.0 - exact_div(dist, f32(max(cx, cy)))) * 0.5
-            nx = nx_raw + dx / dist * factor
-            ny = ny_raw + dy / dist * factor
-        else:
-            nx, ny = nx_raw, ny_raw
-        src_x = xs + nx * f32(amount) * f32(scale)
-        src_y = ys + ny * f32(amount) * f32(scale)
-        if wrap:
-            src_x = src_x - jnp.floor(exact_div(src_x, f32(w))) * f32(w)
-            src_y = src_y - jnp.floor(exact_div(src_y, f32(h))) * f32(h)
+        src_x, src_y = _dents_coords(scale, amount, seed, oct_n, roughness,
+                                     pinch, wrap, inv_scale, h, w)
         return round_u8(sample_bilinear(img, src_x, src_y))
 
     return run
+
+
+@functools.lru_cache(maxsize=32)
+def _dents_coords_fn(scale, amount, seed, octaves, roughness, pinch, wrap, h, w):
+    inv_scale = f32(1.0) / f32(max(scale, 0.5))
+    oct_n = int(np.clip(octaves, 1, 8))
+    return jax.jit(functools.partial(_dents_coords, scale, amount, seed,
+                                     oct_n, roughness, pinch, wrap,
+                                     inv_scale, h, w))
 
 
 def dents(img, scale, amount, seed=42, octaves=2, roughness=0.5, pinch=False,
           wrap=False, mask=None):
     """Turbulence-field displacement warp (distort.rs:248-310)."""
     h, w = img.shape[:2]
-    out = _dents_fn(
-        float(scale), float(amount), int(seed), int(octaves), float(roughness),
-        bool(pinch), bool(wrap), h, w
-    )(img)
+    key = (float(scale), float(amount), int(seed), int(octaves),
+           float(roughness), bool(pinch), bool(wrap), h, w)
+    if jax.default_backend() == "tpu":
+        src_x, src_y = _dents_coords_fn(*key)()
+        warped = _kernel_clamp_warp(img, src_x, src_y)
+        if warped is not None:
+            return _masked(img, warped, mask)
+    out = _dents_fn(*key)(img)
     return _masked(img, out, mask)

@@ -403,7 +403,9 @@ def warp_displacement(src, field):
     else:
         disp = np.asarray(field, f32)
         h, w = disp.shape[:2]
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and h * w >= (1 << 19):
+        # big frames only: below ~0.5 Mpix the XLA gather is cheap and a
+        # fresh Mosaic specialization costs far more than it saves
         from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
 
         xs = np.arange(w, dtype=f32)[None, :]

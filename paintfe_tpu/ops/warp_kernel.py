@@ -241,9 +241,22 @@ def _make_kernel(wh, s_sweep, th, tw, ww, src_h, src_w, gw, mode):
     return kernel
 
 
+def _window_width(s_sweep: int) -> int:
+    """Window lane count: the next power-of-two multiple of 128 that fits
+    tw + sweep + alignment slack.  Mosaic's dynamic lane roll (used to undo
+    the 128-lane DMA alignment) produces wrong results on non-power-of-two
+    vreg counts (measured: 384/640 wrong for every nonzero shift, 256/512/
+    1024 correct), so only power-of-two widths are legal here."""
+    need = TW + s_sweep + 136
+    ww = 256
+    while ww < need:
+        ww *= 2
+    return ww
+
+
 @functools.lru_cache(maxsize=64)
 def _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
-    ww = _round_up(TW + s_sweep + 136, 128)  # +128: DMA col alignment slack
+    ww = _window_width(s_sweep)
     gh, gw = hp // TH, wp // TW
     kernel = _make_kernel(wh, s_sweep, TH, TW, ww, src_h, src_w, gw, mode)
 
