@@ -441,9 +441,22 @@ def _median_fn(r: int, h: int, w: int):
 
 
 def median(img, radius: int, mask=None):
-    """Per-channel window-sort median (effects/noise.rs:357-411)."""
+    """Per-channel window-sort median (effects/noise.rs:357-411).
+
+    Radius >= 2 on TPU routes through the tiled Pallas kernel
+    (pallas_kernels.median_pallas): the XLA network keeps (2r+1)^2
+    full-frame taps live in HBM, which blows up past radius 1 (~10 s per
+    4K frame at radius 4); the kernel keeps them VMEM-resident and prunes
+    the network to the median output.  Bit-identical results."""
+    import jax as _jax
+
     h, w = img.shape[:2]
-    out = _median_fn(max(int(radius), 1), h, w)(img)
+    r = max(int(radius), 1)
+    if r >= 2 and _jax.default_backend() == "tpu" and h * w >= (1 << 19):
+        from paintfe_tpu.ops.pallas_kernels import median_pallas
+
+        return _masked(img, median_pallas(img, r, interpret=False), mask)
+    out = _median_fn(r, h, w)(img)
     return _masked(img, out, mask)
 
 

@@ -379,3 +379,118 @@ def gaussian_blur_fused(img, sigma: float, th: int = 128, tw: int = 1024,
     planar = jnp.transpose(img, (2, 0, 1))
     out = gaussian_blur_fused_planar(planar, h, w, sigma, th, tw, interpret)
     return jnp.transpose(out, (1, 2, 0))
+
+
+# ---------------------------------------------------------------------------
+# Tiled median: the reference GPU median (shaders.rs:1199) as a VMEM kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA formulation keeps (2r+1)^2 full-frame taps live through a Batcher
+# network — HBM-resident intermediates make radius 4 cost ~10 s per 4K
+# frame.  Here each tile's taps live in VMEM and the network is *pruned to
+# the single median output*: walking the comparator list backward from the
+# median index keeps only compare-exchanges that can influence it (~halves
+# the network).  Identical min/max algebra, so results are bit-equal to the
+# XLA path and the reference's per-pixel window sort.
+
+
+def _median_network(k2: int):
+    """Batcher network for k2 inputs, pruned to output index k2 // 2."""
+    full = _oe_network(k2)
+    live = {k2 // 2}
+    kept = []
+    for (a, b) in reversed(full):
+        if a in live or b in live:
+            kept.append((a, b))
+            live.add(a)
+            live.add(b)
+    kept.reverse()
+    return kept
+
+
+def _oe_network(n: int):
+    from paintfe_tpu.ops.filters import _oddeven_merge_network
+
+    return _oddeven_merge_network(n)
+
+
+def _make_median_kernel(r: int, th: int, tw: int, halo_c: int):
+    k = 2 * r + 1
+    comparators = _median_network(k * k)
+    m_idx = (k * k) // 2
+
+    def kernel(src_hbm, out_ref, scratch, sem):
+        c = pl.program_id(0)
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        cp = pltpu.make_async_copy(
+            src_hbm.at[c, pl.ds(i * th, scratch.shape[0]),
+                       pl.ds(j * tw, halo_c)],
+            scratch, sem,
+        )
+        cp.start()
+        cp.wait()
+        tile = scratch[...].astype(jnp.int32)
+        rolls = [pltpu.roll(tile, halo_c - dx, axis=1) if dx else tile
+                 for dx in range(k)]
+        taps = []
+        for dy in range(k):
+            for dx in range(k):
+                taps.append(rolls[dx][dy:dy + th, 0:tw])
+        for a, b in comparators:
+            lo = jnp.minimum(taps[a], taps[b])
+            hi = jnp.maximum(taps[a], taps[b])
+            taps[a], taps[b] = lo, hi
+        out_ref[0] = taps[m_idx].astype(jnp.uint8)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _median_pallas_fn(r: int, h: int, w: int, th: int, tw: int,
+                      interpret: bool):
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+    halo_r = _round_up(th + 2 * r, 8)
+    halo_c = _round_up(tw + 2 * r, 128)
+    grid = (4, hp // th, wp // tw)
+
+    def run(planar):  # u8 [4, hp + (halo_r - th), wp + (halo_c - tw)]
+        return pl.pallas_call(
+            _make_median_kernel(r, th, tw, halo_c),
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, th, tw), lambda c, i, j: (c, i, j)),
+            out_shape=jax.ShapeDtypeStruct((4, hp, wp), jnp.uint8),
+            scratch_shapes=[
+                pltpu.VMEM((halo_r, halo_c), jnp.uint8),
+                pltpu.SemaphoreType.DMA,
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(planar)
+
+    return jax.jit(run)
+
+
+def median_pallas(img, r: int, th: int = 32, tw: int = 256,
+                  interpret: bool = None):
+    """Bit-exact per-channel window median with the taps VMEM-resident.
+    img: u8 [H, W, 4]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    img = jnp.asarray(img, jnp.uint8)
+    h, w = img.shape[0], img.shape[1]
+    planar = jnp.transpose(img, (2, 0, 1))
+    th = min(th, _round_up(h, 8))
+    tw = min(tw, _round_up(w, 128))
+    hp = _round_up(h, th)
+    wp = _round_up(w, tw)
+    halo_r = _round_up(th + 2 * r, 8)
+    halo_c = _round_up(tw + 2 * r, 128)
+    bottom = (hp - th) + halo_r - (h + r)
+    right = (wp - tw) + halo_c - (w + r)
+    padded = jnp.pad(planar, ((0, 0), (r, bottom), (r, right)), mode="edge")
+    out = _median_pallas_fn(r, h, w, th, tw, interpret)(padded)
+    return jnp.transpose(out[:, :h, :w], (1, 2, 0))

@@ -261,3 +261,32 @@ def test_median_network_matches_numpy_sort_any_radius():
         expect = np.sort(wins, axis=0)[wins.shape[0] // 2]
         out = np.asarray(filters.median(img, r))
         np.testing.assert_array_equal(out, expect, err_msg=f"r={r}")
+
+
+def test_median_pallas_matches_network():
+    """The tiled Pallas median (pruned selection network, VMEM taps) is
+    bit-equal to the XLA full-network formulation for every radius."""
+    from paintfe_tpu.ops.pallas_kernels import median_pallas
+
+    rng = np.random.default_rng(11)
+    img = np.asarray(rng.integers(0, 256, (40, 180, 4), np.uint8))
+    for r in (1, 2, 3):
+        want = np.asarray(filters._median_fn(r, 40, 180)(img))
+        got = np.asarray(median_pallas(img, r, interpret=True))
+        assert np.array_equal(got, want), f"radius {r} diverged"
+
+
+def test_median_network_prune_is_exact():
+    """Pruning the Batcher network to the median output keeps it exact."""
+    from paintfe_tpu.ops.pallas_kernels import _median_network
+
+    rng = np.random.default_rng(5)
+    for k2 in (9, 25, 49):
+        comparators = _median_network(k2)
+        for _ in range(50):
+            vals = list(rng.integers(0, 256, k2))
+            work = vals[:]
+            for a, b in comparators:
+                lo, hi = min(work[a], work[b]), max(work[a], work[b])
+                work[a], work[b] = lo, hi
+            assert work[k2 // 2] == sorted(vals)[k2 // 2]

@@ -76,6 +76,17 @@ def test_mosaic_chain_mega_kernel():
     assert np.array_equal(got, want)
 
 
+def test_mosaic_median_tiled():
+    """The tiled median kernel (pruned network, VMEM taps) on-chip."""
+    from paintfe_tpu.ops import filters
+    from paintfe_tpu.ops.pallas_kernels import median_pallas
+
+    img = _img(96, 256, seed=9)
+    want = np.asarray(filters._median_fn(2, 96, 256)(img))
+    got = np.asarray(median_pallas(img, 2, interpret=False))
+    assert np.array_equal(got, want)
+
+
 def test_mosaic_warp_sweep_gather():
     """The displacement-aware sweep-gather kernel, both modes, on-chip."""
     from paintfe_tpu.ops import transform as tfm
