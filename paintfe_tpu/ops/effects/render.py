@@ -178,14 +178,16 @@ def _outline_fn(width, color, mode, anti_alias, h, w):
         INF = jnp.int32(2**30)
         best_fill = jnp.full((h, w), INF)
         best_empty = jnp.full((h, w), INF)
-        for dy in range(-search_radius, search_radius + 1):
-            for dx in range(-search_radius, search_radius + 1):
+        # pad + static-slice taps (XLA fuses them); per-tap advanced-index
+        # gathers are pathological on TPU (~1.2 s per 4K frame for w=3)
+        sr = search_radius
+        fpad = jnp.pad(filled, sr, constant_values=False)
+        inbpad = jnp.pad(jnp.ones((h, w), bool), sr, constant_values=False)
+        for dy in range(-sr, sr + 1):
+            for dx in range(-sr, sr + 1):
                 d2 = jnp.int32(dx * dx + dy * dy)
-                xi = np.arange(w) + dx
-                yi = np.arange(h) + dy
-                inb = ((yi >= 0) & (yi < h))[:, None] & ((xi >= 0) & (xi < w))[None, :]
-                samp = filled[np.clip(yi, 0, h - 1)][:, np.clip(xi, 0, w - 1)]
-                inb = jnp.asarray(inb)
+                samp = fpad[sr + dy:sr + dy + h, sr + dx:sr + dx + w]
+                inb = inbpad[sr + dy:sr + dy + h, sr + dx:sr + dx + w]
                 fill_d = jnp.where(inb & samp, d2, INF)
                 empty_d = jnp.where(inb & ~samp, d2, INF)
                 best_fill = jnp.minimum(best_fill, fill_d)
@@ -252,12 +254,15 @@ def _outline_fn(width, color, mode, anti_alias, h, w):
 
 
 def outline(img, width, color, mode=OutlineMode.OUTSIDE, anti_alias=True, mask=None):
-    img_np = np.asarray(img)
-    if not (img_np[..., 3] > 0).any():
+    imj = jnp.asarray(img)
+    # transparency check as a device reduction: np.asarray here would pull
+    # the whole frame to the host (and re-upload it), which dwarfs the
+    # actual kernel on a tunneled device
+    if not bool(jnp.any(imj[..., 3] > 0)):
         return img  # fully transparent -> unchanged (render.rs:436-438)
-    h, w = img_np.shape[:2]
+    h, w = imj.shape[0], imj.shape[1]
     out = _outline_fn(
         int(width), tuple(int(c) for c in color), OutlineMode(mode),
         bool(anti_alias), h, w
-    )(img_np)
+    )(imj)
     return _masked(img, out, mask)
