@@ -67,35 +67,64 @@ def table():
         print(f"{name:24s} {per * 1000:7.2f} ms/4K-frame  {h * w / per / 1e9:6.2f} GPix/s")
 
     # Warp family (liquify/mesh-warp field): the Pallas sweep-gather kernel
-    # vs the XLA gather formulation.  The kernel path crosses the host once
-    # per call (bucket planning), so it is timed with block_until_ready
-    # loops rather than the in-program k-loop.
+    # vs the XLA gather formulation.
     import time as _time
 
     from paintfe_tpu.ops import transform as tfm
     from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
 
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    sx = jax.device_put((xx - 20 * np.sin(yy / 97.0)).astype(np.float32))
-    sy = jax.device_put((yy - 20 * np.cos(xx / 131.0)).astype(np.float32))
-    disp = jax.device_put(
-        np.stack([xx - np.asarray(sx), yy - np.asarray(sy)], axis=-1).astype(np.float32))
+    sx_np = (xx - 20 * np.sin(yy / 97.0)).astype(np.float32)
+    sy_np = (yy - 20 * np.cos(xx / 131.0)).astype(np.float32)
 
-    def timed(fn, reps=5):
-        jax.block_until_ready(fn())
-        ts = []
-        for _ in range(reps):
-            t0 = _time.perf_counter()
-            jax.block_until_ready(fn())
-            ts.append(_time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
-
-    per = timed(lambda: gather_bilinear_u8(img_d, sx, sy, interpret=False))
+    # The kernel path inherently crosses the host each call (the bucket
+    # plan syncs two scalars), so the in-program k-loop cannot apply;
+    # instead rotate through pre-uploaded DISTINCT field variants (sub-ulp
+    # jitter keeps the buckets identical) so no layer can elide repeats,
+    # and consume a scalar from each result.
+    variants = [
+        (jax.device_put(sx_np + np.float32(1e-4) * i),
+         jax.device_put(sy_np - np.float32(1e-4) * i))
+        for i in range(5)
+    ]
+    jax.block_until_ready(variants)
+    int(jnp.asarray(gather_bilinear_u8(img_d, *variants[0], interpret=False))
+        .astype(jnp.uint32).sum())
+    ts = []
+    for sxv, syv in variants[1:]:
+        t0 = _time.perf_counter()
+        out = gather_bilinear_u8(img_d, sxv, syv, interpret=False)
+        int(jnp.asarray(out).astype(jnp.uint32).sum())
+        ts.append(_time.perf_counter() - t0)
+    ts.sort()
+    per = ts[len(ts) // 2]
     print(f"{'warp pallas sweep-gather':24s} {per * 1000:7.2f} ms/4K-frame  "
           f"{h * w / per / 1e9:6.2f} GPix/s")
+
+    # XLA gather row: standard salted in-program k-chain (output feeds the
+    # next frame's input; constant displacement field).
     xla_warp = tfm._warp_fn(h, w, h, w)
-    per = timed(lambda: xla_warp(img_d, disp))
+    disp_d = jax.device_put(
+        np.stack([xx - sx_np, yy - sy_np], axis=-1).astype(np.float32))
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run_warp_k(img, disp, sv, k):
+        img = img.at[0, 0, 0].set(sv)
+        out = jax.lax.fori_loop(0, k, lambda i, x: xla_warp(x, disp), img)
+        return out.astype(jnp.uint32).sum()
+
+    def _wmed(k, reps=3):
+        int(run_warp_k(img_d, disp_d, jnp.uint8(next(salt)), k))
+        ws = []
+        for _ in range(reps):
+            sv = jnp.uint8(next(salt))
+            t0 = _time.perf_counter()
+            int(run_warp_k(img_d, disp_d, sv, k))
+            ws.append(_time.perf_counter() - t0)
+        ws.sort()
+        return ws[len(ws) // 2]
+
+    per = (_wmed(4) - _wmed(1)) / 3
     print(f"{'warp xla gather':24s} {per * 1000:7.2f} ms/4K-frame  "
           f"{h * w / per / 1e9:6.2f} GPix/s")
 

@@ -201,6 +201,17 @@ def load_dng(path) -> np.ndarray:
     """Decode a minimal DNG into RGBA u8 [H, W, 4]."""
     with open(path, "rb") as fh:
         blob = fh.read()
+    try:
+        return _decode_dng(blob)
+    except RawError:
+        raise
+    except (struct.error, KeyError, ValueError, IndexError) as e:
+        # truncated/malformed containers must surface as RawError so the
+        # CLI's per-file keep-going handling applies (not a crash)
+        raise RawError(f"malformed DNG: {type(e).__name__}: {e}")
+
+
+def _decode_dng(blob: bytes) -> np.ndarray:
     end, ifds = _all_ifds(blob)
     if not any(T_DNG_VERSION in t for t in ifds):
         # Plain TIFFs also land here via the normal codec; be explicit.

@@ -249,15 +249,24 @@ def crystallize(img, cell_size: float, seed: int = 42, mask=None):
 # ---------------------------------------------------------------------------
 
 
+def _kernel_warp_eligible(h: int, w: int) -> bool:
+    """TPU + big frame only: below ~0.5 Mpix the XLA gather is cheap and a
+    fresh Mosaic specialization costs far more than it saves."""
+    return jax.default_backend() == "tpu" and h * w >= (1 << 19)
+
+
+@jax.jit
+def _keep_outside_norm(img, warped, norm):
+    return jnp.where((norm >= 1.0)[..., None], img, warped)
+
+
 def _kernel_clamp_warp(img, src_x, src_y):
     """TPU fast path for the inverse-mapped samplers: the Pallas sweep
     gather in clamp mode (bit-exact with round_u8(sample_bilinear)).
     Returns None off-TPU, for small images (the XLA gather is cheap there
     and each kernel specialization costs a Mosaic compile), or when the
     field is infeasible."""
-    if jax.default_backend() != "tpu":
-        return None
-    if img.shape[0] * img.shape[1] < (1 << 19):  # < 0.5 Mpix: XLA path
+    if not _kernel_warp_eligible(img.shape[0], img.shape[1]):
         return None
     from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
 
@@ -313,14 +322,12 @@ def _bulge_coords_fn(amount: float, ox: float, oy: float, h: int, w: int):
 def bulge(img, amount: float, origin=(0.5, 0.5), mask=None):
     """Radial scale about origin, inverse-mapped bilinear (distort.rs:396-458)."""
     h, w = img.shape[:2]
-    if jax.default_backend() == "tpu":
+    if _kernel_warp_eligible(h, w):
         src_x, src_y, norm = _bulge_coords_fn(
             float(amount), float(origin[0]), float(origin[1]), h, w)()
         warped = _kernel_clamp_warp(img, src_x, src_y)
         if warped is not None:
-            out = jax.jit(
-                lambda i, wv, n: jnp.where((n >= 1.0)[..., None], i, wv)
-            )(jnp.asarray(img), warped, norm)
+            out = _keep_outside_norm(jnp.asarray(img), warped, norm)
             return _masked(img, out, mask)
     out = _bulge_fn(float(amount), float(origin[0]), float(origin[1]), h, w)(img)
     return _masked(img, out, mask)
@@ -370,7 +377,7 @@ def _twist_coords_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
 def twist(img, angle_deg: float, origin=(0.5, 0.5), mask=None):
     """Rotation by angle*(1-dist/max_r) about center (distort.rs:460-500)."""
     h, w = img.shape[:2]
-    if jax.default_backend() == "tpu":
+    if _kernel_warp_eligible(h, w):
         src_x, src_y = _twist_coords_fn(
             float(angle_deg), float(origin[0]), float(origin[1]), h, w)()
         warped = _kernel_clamp_warp(img, src_x, src_y)
@@ -437,7 +444,7 @@ def dents(img, scale, amount, seed=42, octaves=2, roughness=0.5, pinch=False,
     h, w = img.shape[:2]
     key = (float(scale), float(amount), int(seed), int(octaves),
            float(roughness), bool(pinch), bool(wrap), h, w)
-    if jax.default_backend() == "tpu":
+    if _kernel_warp_eligible(h, w):
         src_x, src_y = _dents_coords_fn(*key)()
         warped = _kernel_clamp_warp(img, src_x, src_y)
         if warped is not None:

@@ -72,11 +72,13 @@ def _base_var(node):
     return None
 
 
-def closure_is_pure(cb: Closure) -> bool:
+def closure_is_pure(cb: Closure, user_fns=frozenset()) -> bool:
     """True iff evaluating the closure body can have no side effect
-    observable outside the call: only whitelisted host calls, no nested
-    closures or script-fn calls, and writes only to names bound inside
-    the body (params / `let` locals), in declaration order."""
+    observable outside the call: only whitelisted host calls (and never a
+    script-defined function, which may shadow a host name and do
+    anything), no nested closures, and writes only to names bound inside
+    the body (params / `let` locals), in declaration order.  Index
+    expressions of assignment targets are scanned too."""
 
     ok = True
 
@@ -86,7 +88,7 @@ def closure_is_pure(cb: Closure) -> bool:
             return
         kind = e[0]
         if kind == "call":
-            if e[1] not in _PURE_HOST_FNS:
+            if e[1] in user_fns or e[1] not in _PURE_HOST_FNS:
                 ok = False
                 return
             for a in e[2]:
@@ -94,6 +96,9 @@ def closure_is_pure(cb: Closure) -> bool:
         elif kind == "closure":
             ok = False  # could capture and be called impurely later
         elif kind == "method":
+            if e[3] is not None and e[2] in user_fns:
+                ok = False  # fn-call syntax sugar may hit a script fn
+                return
             if e[3] is not None and e[2] in _MUTATING_METHODS and _base_var(e[1]) not in loc:
                 ok = False
                 return
@@ -139,6 +144,7 @@ def closure_is_pure(cb: Closure) -> bool:
                 if name not in loc:
                     ok = False  # write to captured state
                     return
+                scan_expr(target, loc)  # index exprs can hide impure calls
                 scan_expr(st[3], loc)
             elif kind == "expr":
                 scan_expr(st[1], loc)
@@ -292,7 +298,7 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
         cannot have leaked any observable effect."""
         y0, y1, x0, x1 = region if region else (0, ctx.height, 0, ctx.width)
         px = ctx.pixels[y0:y1, x0:x1].astype(np.int64)
-        if closure_is_pure(cb):
+        if closure_is_pure(cb, frozenset(interp_ref["interp"].user_fns)):
             try:
                 args = []
                 if xs:

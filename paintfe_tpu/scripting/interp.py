@@ -36,6 +36,18 @@ class _Return(Exception):
         self.value = value
 
 
+def _rhai_copy(v):
+    """Rhai value semantics: arrays and maps are values — `let t = log`,
+    assignments, and function-argument binding all clone (the reference
+    embeds Rhai 1.25, where Dynamic is clone-on-assign).  Scalars,
+    strings, closures, and host arrays pass through."""
+    if isinstance(v, list):
+        return [_rhai_copy(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _rhai_copy(x) for k, x in v.items()}
+    return v
+
+
 class Closure:
     def __init__(self, params, body, scope_chain):
         self.params = params
@@ -144,13 +156,14 @@ class Interpreter:
         self.tick()
         kind = stmt[0]
         if kind in ("let", "const"):
-            scopes[-1][stmt[1]] = self.eval(stmt[2], scopes)
+            scopes[-1][stmt[1]] = _rhai_copy(self.eval(stmt[2], scopes))
             return UNIT
         if kind == "fn":
             self.user_fns[stmt[1]] = (stmt[2], stmt[3])
             return UNIT
         if kind == "assign":
-            self._assign(stmt[1], stmt[2], self.eval(stmt[3], scopes), scopes)
+            self._assign(stmt[1], stmt[2],
+                         _rhai_copy(self.eval(stmt[3], scopes)), scopes)
             return UNIT
         if kind == "expr":
             v = self.eval(stmt[1], scopes)
@@ -342,7 +355,8 @@ class Interpreter:
                 args is not None
                 and isinstance(obj, str)
                 and e[2] in _STRING_INPLACE
-                and e[1][0] == "var"
+                and (e[1][0] in ("var", "index")
+                     or (e[1][0] == "method" and e[1][3] is None))
             ):
                 # Rhai string methods like trim/replace mutate the receiver
                 # and return (); Python strings are immutable so write back.
@@ -368,7 +382,7 @@ class Interpreter:
                 self.depth -= 1
                 raise RhaiRuntimeError("maximum call depth exceeded")
             try:
-                local = dict(zip(params, args))
+                local = dict(zip(params, [_rhai_copy(a) for a in args]))
                 try:
                     return self.exec_block(body, [self.globals, local])
                 except _Return as r:
@@ -385,7 +399,7 @@ class Interpreter:
             raise RhaiRuntimeError(
                 f"closure expects {len(closure.params)} args, got {len(args)}"
             )
-        local = dict(zip(closure.params, args))
+        local = dict(zip(closure.params, [_rhai_copy(a) for a in args]))
         try:
             return self.exec_block(closure.body, list(closure.scope_chain) + [local])
         except _Return as r:

@@ -37,7 +37,13 @@ def test_composite_stack_pallas_all_modes_bit_exact():
     modes = tuple(range(25)) + (0,)  # every blend mode once
     opac = rng.random(n).astype(np.float32)
     ref = np.asarray(composite_stack_static(layers, modes, opac))
-    out = np.asarray(composite_stack_pallas(layers, modes, opac, interpret=True))
+    # interpret mode emulates the kernel through the ACTIVE backend: its
+    # barriered-divide path is exact on XLA:CPU but not on XLA:TPU, where
+    # the real Mosaic kernel (Newton-refined divides) is the correct
+    # configuration — so compile for real when the suite runs on-chip.
+    import jax as _jax
+    interp = _jax.default_backend() != "tpu"
+    out = np.asarray(composite_stack_pallas(layers, modes, opac, interpret=interp))
     np.testing.assert_array_equal(ref, out)
 
 

@@ -184,3 +184,24 @@ def test_unsupported_paths_clear_errors(tmp_path):
         t = tmp_path / "plain.tiff"
         I.fromarray(np.zeros((4, 4, 3), np.uint8)).save(t, format="TIFF")
         raw.load_dng(t)
+
+
+def test_malformed_dng_raises_rawerror(tmp_path):
+    """Truncated/corrupt containers surface as RawError -> CodecError, so
+    the CLI's keep-going semantics apply instead of a crash."""
+    lin = np.zeros((4, 4, 3), np.uint16)
+    p = tmp_path / "ok.dng"
+    write_dng(p, lin, photometric=34892)
+    blob = p.read_bytes()
+    # truncate mid-IFD
+    p2 = tmp_path / "trunc.dng"
+    p2.write_bytes(blob[:16])
+    with pytest.raises(raw.RawError):
+        raw.load_dng(p2)
+    with pytest.raises(codecs.CodecError):
+        codecs.load_image(p2)
+    # garbage body with a valid TIFF magic
+    p3 = tmp_path / "garbage.dng"
+    p3.write_bytes(b"II*\0" + b"\xff" * 64)
+    with pytest.raises((raw.RawError,)):
+        raw.load_dng(p3)

@@ -615,3 +615,82 @@ def test_parser_fuzz_no_crashes():
             execute_script_sync(src, fixtures.test_gradient(4, 4), 4, 4, None)
         except ScriptError:
             pass  # expected for garbage
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review regressions: purity-scanner soundness + Rhai value semantics
+# ---------------------------------------------------------------------------
+
+
+def test_impure_call_in_assignment_target_index():
+    """rand_* hidden in an assignment-target index forces the scalar path
+    (per-pixel RNG advance), not one broadcast draw."""
+    out, console = run_script(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let v = [0, 0, 0, 0];
+            v[rand_int(0, 3)] = 120;
+            [clamp(r + v[0], 0, 255), g, b, a]
+        });
+        """
+    )
+    vals = set(np.asarray(out)[..., 0].reshape(-1).tolist())
+    # gradient base values plus +120 on a random per-pixel subset: many
+    # distinct outcomes, not a single broadcast value
+    assert len(vals) > 8
+
+
+def test_let_copies_arrays_value_semantics():
+    """Rhai clones on assignment: `let t = log` must not alias."""
+    _, console = run_script(
+        """
+        let log = [];
+        for_each_pixel(|x, y, r, g, b, a| {
+            let t = log;
+            t.push(1);
+            [r, g, b, a]
+        });
+        print_line(`${log.len()}`);
+        """
+    )
+    assert console[-1] == "0"
+
+
+def test_script_fn_args_are_copied():
+    _, console = run_script(
+        """
+        fn stomp(arr) { arr.push(99); arr.len() }
+        let a = [1, 2];
+        let n = stomp(a);
+        print_line(`${n} ${a.len()}`);
+        """
+    )
+    assert console[-1] == "3 2"
+
+
+def test_user_fn_shadowing_host_name_runs_scalar():
+    """A script fn shadowing a host name is impure by assumption: the
+    closure runs per pixel and its prints appear exactly once per pixel."""
+    _, console = run_script(
+        """
+        fn tag() { print_line("hi"); 1 }
+        for_region(0, 0, 4, 4, |x, y, r, g, b, a| {
+            let q = tag();
+            [r, g, b, a]
+        });
+        """
+    )
+    assert sum(1 for line in console if line == "hi") == 16
+
+
+def test_string_inplace_on_indexed_receiver():
+    _, console = run_script(
+        """
+        let a = ["hello"];
+        a[0].make_upper();
+        let m = #{ s: "world" };
+        m.s.make_upper();
+        print_line(a[0] + " " + m.s);
+        """
+    )
+    assert console[-1] == "HELLO WORLD"
