@@ -66,6 +66,22 @@ def table():
         per = _measure(run_k, img_d, ov_d, salt, 5, 35)
         print(f"{name:24s} {per * 1000:7.2f} ms/4K-frame  {h * w / per / 1e9:6.2f} GPix/s")
 
+    # Rank/histogram family (jittable wrappers, same k-loop methodology)
+    from paintfe_tpu.ops.effects import artistic, distort
+
+    for name, f in [
+        ("oil painting r3 l20", lambda a, x: artistic.oil_painting(x, 3, 20)),
+        ("crystallize 16", lambda a, x: distort.crystallize(x, 16.0)),
+    ]:
+        @functools.partial(jax.jit, static_argnums=3)
+        def run_k(img, ov, sv, k, f=f):
+            ov = ov.at[0, 0, 0].set(sv)
+            out = jax.lax.fori_loop(0, k, lambda i, x: f(img, x), ov)
+            return out.astype(jnp.uint32).sum()
+
+        per = _measure(run_k, img_d, ov_d, salt, 1, 4)
+        print(f"{name:24s} {per * 1000:7.2f} ms/4K-frame  {h * w / per / 1e9:6.2f} GPix/s")
+
     # Warp family (liquify/mesh-warp field): the Pallas sweep-gather kernel
     # vs the XLA gather formulation.
     import time as _time

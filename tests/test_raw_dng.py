@@ -205,3 +205,27 @@ def test_malformed_dng_raises_rawerror(tmp_path):
     p3.write_bytes(b"II*\0" + b"\xff" * 64)
     with pytest.raises((raw.RawError,)):
         raw.load_dng(p3)
+
+
+def test_dng_parser_fuzz_never_crashes(tmp_path):
+    """Random mutations of a valid DNG either decode or raise RawError —
+    never an unhandled exception (keep-going contract)."""
+    rng = np.random.default_rng(99)
+    lin = rng.integers(0, 65536, (6, 9, 3)).astype(np.uint16)
+    p = tmp_path / "base.dng"
+    write_dng(p, lin, photometric=34892)
+    base = bytearray(p.read_bytes())
+    for trial in range(60):
+        blob = bytearray(base)
+        for _ in range(rng.integers(1, 6)):
+            pos = int(rng.integers(0, len(blob)))
+            blob[pos] = int(rng.integers(0, 256))
+        if rng.random() < 0.3:
+            blob = blob[: int(rng.integers(4, len(blob)))]
+        q = tmp_path / f"fuzz{trial}.dng"
+        q.write_bytes(bytes(blob))
+        try:
+            out = raw.load_dng(q)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except raw.RawError:
+            pass  # the only acceptable failure mode
