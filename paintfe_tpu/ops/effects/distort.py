@@ -197,37 +197,48 @@ def _crystallize_fn_int(c: int, seed: int, h: int, w: int):
             best_k = jnp.where(take, k, best_k)
 
         # Per-cell sums/counts: pixels in cell g that chose neighbor g+o
-        # contribute to cell g+o -> block-reduce each offset's mask, then
-        # shift at cell granularity.
-        sums = jnp.zeros((cells_y, cells_x, 4), jnp.uint32)
-        counts = jnp.zeros((cells_y, cells_x), jnp.uint32)
+        # contribute to cell g+o.  Whole-cell shifts commute with the block
+        # reduction, so route every offset's contribution at PIXEL level
+        # (static slices of one padded accumulator) and block-reduce ONCE —
+        # 2 strided reductions instead of 45 (~4x faster at 4K).  Integer
+        # sums are order-free, so results stay bit-equal.
+        imgu = imgp.astype(jnp.uint32)
+        acc_s = jnp.zeros((hp, wp, 4), jnp.uint32)
+        acc_c = jnp.zeros((hp, wp), jnp.uint32)
         for k, (dy, dx) in enumerate(OFFS):
             m = ((best_k == k) & valid_px).astype(jnp.uint32)
-            s_blk = (imgp.astype(jnp.uint32) * m[..., None]).reshape(
-                cells_y, c, cells_x, c, 4).sum(axis=(1, 3))
-            c_blk = m.reshape(cells_y, c, cells_x, c).sum(axis=(1, 3))
-            # shift by the offset: contribution lands in cell (g + o)
-            s_pad = jnp.pad(s_blk, ((1, 1), (1, 1), (0, 0)))
-            c_pad = jnp.pad(c_blk, ((1, 1), (1, 1)))
-            sums = sums + jax.lax.slice(
-                s_pad, (1 - dy, 1 - dx, 0),
-                (1 - dy + cells_y, 1 - dx + cells_x, 4))
-            counts = counts + jax.lax.slice(
-                c_pad, (1 - dy, 1 - dx), (1 - dy + cells_y, 1 - dx + cells_x))
+            contrib = imgu * m[..., None]
+            s_pad = jnp.pad(contrib, ((c, c), (c, c), (0, 0)))
+            c_pad = jnp.pad(m, ((c, c), (c, c)))
+            # routed[p] = contrib[p - o*c]: lands in the block of cell g+o
+            acc_s = acc_s + jax.lax.slice(
+                s_pad, (c - dy * c, c - dx * c, 0),
+                (c - dy * c + hp, c - dx * c + wp, 4))
+            acc_c = acc_c + jax.lax.slice(
+                c_pad, (c - dy * c, c - dx * c),
+                (c - dy * c + hp, c - dx * c + wp))
+        sums = acc_s.reshape(cells_y, c, cells_x, c, 4).sum(axis=(1, 3))
+        counts = acc_c.reshape(cells_y, c, cells_x, c).sum(axis=(1, 3))
 
         safe_c = jnp.maximum(counts, 1)[..., None]
         avg = ((2 * sums + safe_c) // (2 * safe_c)).astype(jnp.uint8)
         avg = jnp.where((counts > 0)[..., None], avg, 0)
 
-        # Winner's average back to pixels: cell-level shift + repeat upsample
-        avg_pad = jnp.pad(avg, ((1, 1), (1, 1), (0, 0)))
+        # Winner's average back to pixels: upsample the cell table ONCE
+        # (broadcast-reshape; repeat x18 materialized gather-lowered frames
+        # and dominated the op at ~200 ms/4K), then per-offset PIXEL-level
+        # static shifts by whole cells — u[p + o*c] == avg[cell(p) + o]
+        # because cells are aligned to multiples of c.
+        u = jnp.broadcast_to(
+            avg[:, None, :, None, :], (cells_y, c, cells_x, c, 4)
+        ).reshape(hp, wp, 4)
+        u_pad = jnp.pad(u, ((c, c), (c, c), (0, 0)))
         out = jnp.zeros((hp, wp, 4), jnp.uint8)
         for k, (dy, dx) in enumerate(OFFS):
-            nb = jax.lax.slice(
-                avg_pad, (1 + dy, 1 + dx, 0),
-                (1 + dy + cells_y, 1 + dx + cells_x, 4))
-            up = jnp.repeat(jnp.repeat(nb, c, axis=0), c, axis=1)
-            out = jnp.where((best_k == k)[..., None], up, out)
+            sh = jax.lax.slice(
+                u_pad, (c + dy * c, c + dx * c, 0),
+                (c + dy * c + hp, c + dx * c + wp, 4))
+            out = jnp.where((best_k == k)[..., None], sh, out)
         return out[:h, :w]
 
     return run
