@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import glob as globlib
+import os
 import pathlib
 import sys
 import time
@@ -218,7 +219,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.animate:
         return _run_animate(inputs, args, script_source)
 
-    if args.shard and len(inputs) > 1:
+    # Engage the sharded path whenever --shard was asked for (any input
+    # count — shard_inputs handles length-1 lists) OR the process was
+    # launched as part of an explicitly-wired multi-process job: without
+    # this, every host would process the same files, write the same
+    # outputs concurrently, and exit codes would never be agreed.
+    if args.shard or os.environ.get("PAINTFE_COORDINATOR"):
         from paintfe_tpu.parallel import distributed
         from paintfe_tpu.parallel.batch import run_sharded_batch
 

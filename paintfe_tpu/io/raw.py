@@ -1,21 +1,31 @@
-"""Minimal RAW camera ingestion: the DNG (TIFF-container) path.
+"""RAW camera ingestion: DNG (uncompressed + lossless-JPEG, strips +
+tiles), Canon CR2, and Nikon NEF.
 
-The reference reads ten RAW families through the `rawloader` crate
-(src/io.rs:36-80).  That decoder stack doesn't exist in this environment,
-so this module implements the common-interchange subset natively: DNG
-files whose raw IFD is **uncompressed** (Compression=1), either linear
-RGB/gray (PhotometricInterpretation 34892 LinearRaw / 2 RGB / 1 gray) or
-a 2x2 CFA mosaic (32803) with bilinear demosaic.  Lossless-JPEG and
-tiled DNGs, and the proprietary formats (CR2/CR3/NEF/ARW/ORF/RW2/SRW/
-PEF/RAF), raise a clear CodecError naming what's missing.
+The reference reads its RAW families through the `rawloader` crate
+(src/io.rs:36-80).  That decoder stack doesn't exist here, so this module
+implements the interchange formats natively:
+
+- **DNG**: uncompressed (Compression=1) and lossless-JPEG (Compression=7)
+  raw IFDs, strip- or tile-organised, linear RGB/gray or 2x2 CFA mosaics,
+  per-plane black levels (BlackLevelRepeatDim), ActiveArea crop, and the
+  ColorMatrix1 camera->sRGB transform when present.
+- **CR2**: TIFF container whose raw IFD points at a lossless-JPEG stream
+  (Compression=6/7) with Canon's vertical slice layout (tag 0xc640) and
+  SensorInfo-based active-area crop + masked-border black estimation.
+- **NEF**: TIFF container with packed 12/14-bit uncompressed raw SubIFDs.
+
+The SOF3 entropy decoder itself is native C++ (native/ljpeg.cpp), spec-
+implemented and fuzzed against an independent test-side encoder.
+Remaining families (CR3/ARW/ORF/RW2/SRW/PEF/RAF) raise a clear CodecError.
 
 Pipeline (host-side, numpy): black-level subtract -> white-level
-normalize -> (CFA) white balance from AsShotNeutral + bilinear
-demosaic -> sRGB encode -> RGBA u8.
+normalize -> (CFA) white balance + bilinear demosaic -> optional camera
+matrix -> sRGB encode -> RGBA u8.
 """
 
 from __future__ import annotations
 
+import ctypes
 import struct
 from typing import Dict, List, Optional, Tuple
 
@@ -30,18 +40,29 @@ T_HEIGHT = 257
 T_BITS = 258
 T_COMPRESSION = 259
 T_PHOTOMETRIC = 262
+T_MAKE = 271
 T_STRIP_OFFSETS = 273
 T_SPP = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_COUNTS = 279
 T_PLANAR = 284
+T_TILE_WIDTH = 322
+T_TILE_LENGTH = 323
+T_TILE_OFFSETS = 324
+T_TILE_COUNTS = 325
 T_SUB_IFDS = 330
 T_CFA_DIM = 33421
 T_CFA_PATTERN = 33422
+T_EXIF_IFD = 34665
+T_MAKER_NOTE = 37500
 T_DNG_VERSION = 50706
+T_BLACK_REPEAT = 50713
 T_BLACK_LEVEL = 50714
 T_WHITE_LEVEL = 50717
+T_COLOR_MATRIX1 = 50721
 T_AS_SHOT_NEUTRAL = 50728
+T_ACTIVE_AREA = 50829
+T_CR2_SLICES = 50752  # 0xc640: Canon raw slice widths [n, wa, wb]
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
                11: 4, 12: 8}
@@ -138,31 +159,142 @@ def _pick_raw_ifd(ifds: List[Dict[int, list]]) -> Dict[int, list]:
     return max(candidates, key=area)
 
 
+# ---------------------------------------------------------------------------
+# Lossless-JPEG entropy decode (native)
+# ---------------------------------------------------------------------------
+
+def ljpeg_decode(stream: bytes) -> np.ndarray:
+    """Decode one SOF3 lossless-JPEG stream to a (lines, samples) u16 array
+    (components interleaved along the row) via the native decoder."""
+    from paintfe_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        raise RawError("lossless-JPEG decode needs the native library "
+                       f"(build failed: {native.build_error()})")
+    buf = (ctypes.c_uint8 * len(stream)).from_buffer_copy(stream)
+    info = (ctypes.c_uint32 * 4)()
+    rc = lib.ljpeg_info(buf, len(stream), info)
+    if rc != 0:
+        raise RawError(_LJPEG_ERRORS.get(rc, f"LJPEG error {rc}"))
+    w, h, nc, _prec = (int(v) for v in info)
+    out = np.zeros(h * w * nc, np.uint16)
+    rc = lib.ljpeg_decode(
+        buf, len(stream),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size)
+    if rc != 0:
+        raise RawError(_LJPEG_ERRORS.get(rc, f"LJPEG error {rc}"))
+    return out.reshape(h, w * nc)
+
+
+_LJPEG_ERRORS = {
+    -1: "malformed lossless-JPEG stream",
+    -2: "unsupported lossless-JPEG feature (lossy SOF / sampling != 1x1)",
+    -3: "truncated lossless-JPEG entropy data",
+    -4: "lossless-JPEG output capacity mismatch",
+}
+
+
+# ---------------------------------------------------------------------------
+# Sample plane assembly (strips / tiles, uncompressed / LJPEG)
+# ---------------------------------------------------------------------------
+
 def _read_samples(blob: bytes, end: str, tags: Dict[int, list]) -> np.ndarray:
     w = tags[T_WIDTH][0]
     h = tags[T_HEIGHT][0]
     bits = tags.get(T_BITS, [16])[0]
     spp = tags.get(T_SPP, [1])[0]
     comp = tags.get(T_COMPRESSION, [1])[0]
-    if comp == 7:
-        raise RawError("lossless-JPEG-compressed DNG is not supported "
-                       "(only Compression=1 uncompressed)")
-    if comp != 1:
-        raise RawError(f"DNG compression {comp} is not supported "
-                       "(only Compression=1 uncompressed)")
     if tags.get(T_PLANAR, [1])[0] != 1:
         raise RawError("planar DNG layout is not supported")
+    tiled = T_TILE_OFFSETS in tags
+
+    if comp == 7:
+        return _read_ljpeg_samples(blob, tags, w, h, spp, tiled)
+    if comp != 1:
+        raise RawError(f"DNG compression {comp} is not supported "
+                       "(Compression=1 uncompressed or =7 lossless JPEG)")
     if bits not in (8, 16):
-        raise RawError(f"{bits}-bit DNG samples are not supported")
+        raise RawError(f"{bits}-bit uncompressed DNG samples are not supported")
+    dt = np.dtype(("<" if end == "<" else ">") + ("u2" if bits == 16 else "u1"))
+
+    if tiled:
+        return _assemble_tiles(
+            blob, tags, w, h, spp,
+            lambda payload, tw, tl: np.frombuffer(
+                payload, dt, count=tw * tl * spp
+            ).astype(np.float32).reshape(tl, tw * spp))
     offsets = tags.get(T_STRIP_OFFSETS)
     counts = tags.get(T_STRIP_COUNTS)
     if not offsets or not counts:
-        raise RawError("tiled DNGs are not supported (no strip offsets)")
+        raise RawError("DNG raw IFD has neither strip nor tile offsets")
     payload = b"".join(blob[o:o + c] for o, c in zip(offsets, counts))
-    dt = np.dtype(("<" if end == "<" else ">") + ("u2" if bits == 16 else "u1"))
     need = w * h * spp
     arr = np.frombuffer(payload, dt, count=need).astype(np.float32)
     return arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+
+
+def _read_ljpeg_samples(blob: bytes, tags, w, h, spp, tiled) -> np.ndarray:
+    """Compression=7: every strip/tile is an independent SOF3 stream whose
+    flattened sample order equals the sensor raster order (DNG spec ch.3:
+    components interleave along the row)."""
+    if tiled:
+        def decode_tile(payload, tw, tl):
+            dec = ljpeg_decode(payload)
+            if dec.size != tw * tl * spp:
+                raise RawError(
+                    f"LJPEG tile decodes to {dec.size} samples, expected "
+                    f"{tw * tl * spp}")
+            return dec.reshape(-1).astype(np.float32).reshape(tl, tw * spp)
+        return _assemble_tiles(blob, tags, w, h, spp, decode_tile)
+
+    offsets = tags.get(T_STRIP_OFFSETS)
+    counts = tags.get(T_STRIP_COUNTS)
+    if not offsets or not counts:
+        raise RawError("DNG raw IFD has neither strip nor tile offsets")
+    rows_per = tags.get(T_ROWS_PER_STRIP, [h])[0] or h
+    out = np.zeros((h, w * spp), np.float32)
+    y = 0
+    for o, c in zip(offsets, counts):
+        dec = ljpeg_decode(blob[o:o + c])
+        rows = min(rows_per, h - y)
+        if dec.size != rows * w * spp:
+            raise RawError(
+                f"LJPEG strip decodes to {dec.size} samples, expected "
+                f"{rows * w * spp}")
+        out[y:y + rows] = dec.reshape(-1).astype(np.float32).reshape(
+            rows, w * spp)
+        y += rows
+    if y < h:
+        raise RawError("LJPEG strips cover fewer rows than ImageLength")
+    return out.reshape(h, w, spp) if spp > 1 else out
+
+
+def _assemble_tiles(blob, tags, w, h, spp, decode_fn) -> np.ndarray:
+    """Tiles are stored left-to-right, top-to-bottom, each padded to the
+    full TileWidth x TileLength; edge tiles are cropped on placement."""
+    tw = tags.get(T_TILE_WIDTH, [0])[0]
+    tl = tags.get(T_TILE_LENGTH, [0])[0]
+    offsets = tags.get(T_TILE_OFFSETS, [])
+    counts = tags.get(T_TILE_COUNTS, [])
+    if tw <= 0 or tl <= 0 or not offsets or len(offsets) != len(counts):
+        raise RawError("malformed tiled DNG (tile geometry/offsets)")
+    tiles_x = (w + tw - 1) // tw
+    tiles_y = (h + tl - 1) // tl
+    if len(offsets) < tiles_x * tiles_y:
+        raise RawError("tiled DNG is missing tiles")
+    out = np.zeros((h, w * spp), np.float32)
+    i = 0
+    for ty in range(tiles_y):
+        for tx in range(tiles_x):
+            tile = decode_fn(blob[offsets[i]:offsets[i] + counts[i]], tw, tl)
+            i += 1
+            y0 = ty * tl
+            rows = min(tl, h - y0)
+            cols = min(tw, w - tx * tw) * spp
+            out[y0:y0 + rows, tx * tw * spp:tx * tw * spp + cols] = \
+                tile[:rows, :cols]
+    return out.reshape(h, w, spp) if spp > 1 else out
 
 
 def _srgb_encode(linear: np.ndarray) -> np.ndarray:
@@ -198,7 +330,7 @@ def _demosaic_bilinear(mosaic: np.ndarray, pattern: np.ndarray) -> np.ndarray:
 
 
 def load_dng(path) -> np.ndarray:
-    """Decode a minimal DNG into RGBA u8 [H, W, 4]."""
+    """Decode a DNG into RGBA u8 [H, W, 4]."""
     with open(path, "rb") as fh:
         blob = fh.read()
     try:
@@ -221,12 +353,17 @@ def _decode_dng(blob: bytes) -> np.ndarray:
     bits = tags.get(T_BITS, [16])[0]
     photometric = tags.get(T_PHOTOMETRIC, [1])[0]
 
-    black = tags.get(T_BLACK_LEVEL, [0.0])
-    white = tags.get(T_WHITE_LEVEL, [float(2 ** bits - 1)])
-    black0 = f32(black[0])
-    white0 = f32(white[0])
-    scale = f32(1.0) / np.maximum(white0 - black0, f32(1.0))
-    norm = np.clip((data.astype(np.float32) - black0) * scale, 0.0, 1.0)
+    # ActiveArea = [top, left, bottom, right]; CFAPattern is defined
+    # relative to the active-area origin (DNG spec), so crop first.
+    area = tags.get(T_ACTIVE_AREA)
+    if area and len(area) == 4:
+        top, left, bottom, right = (int(v) for v in area)
+        if not (0 <= top < bottom <= data.shape[0]
+                and 0 <= left < right <= data.shape[1]):
+            raise RawError("DNG ActiveArea outside image bounds")
+        data = data[top:bottom, left:right]
+
+    norm = _normalize_levels(data, tags, bits)
 
     if photometric == 32803:  # CFA mosaic
         dim = tags.get(T_CFA_DIM, [2, 2])
@@ -250,6 +387,70 @@ def _decode_dng(blob: bytes) -> np.ndarray:
         raise RawError(f"DNG photometric interpretation {photometric} "
                        "is not supported")
 
+    cm = tags.get(T_COLOR_MATRIX1)
+    if cm and len(cm) == 9:
+        rgb = _apply_color_matrix(rgb, np.array(cm, np.float32).reshape(3, 3))
+    return _finish_srgb(rgb)
+
+
+def _normalize_levels(data: np.ndarray, tags: Dict[int, list],
+                      bits: int) -> np.ndarray:
+    """Black-subtract + white-normalize, honoring per-CFA-plane black
+    levels (BlackLevelRepeatDim, common on real cameras)."""
+    black = tags.get(T_BLACK_LEVEL, [0.0])
+    white = tags.get(T_WHITE_LEVEL, [float(2 ** bits - 1)])
+    if len(set(float(v) for v in white)) > 1:
+        raise RawError("per-sample DNG WhiteLevel values are not supported")
+    white0 = f32(white[0])
+
+    if len(black) == 1:
+        black_map: np.ndarray = np.full((1, 1), f32(black[0]), np.float32)
+    else:
+        rep = tags.get(T_BLACK_REPEAT, [0, 0])
+        rh, rw = (int(rep[0]), int(rep[1])) if len(rep) >= 2 else (0, 0)
+        if rh * rw == len(black) and rh > 0:
+            black_map = np.array(black, np.float32).reshape(rh, rw)
+        elif data.ndim == 3 and len(black) == data.shape[2]:
+            # per-sample black for linear multi-channel raws
+            sub = data - np.array(black, np.float32)
+            scale = f32(1.0) / np.maximum(white0 - f32(min(black)), f32(1.0))
+            return np.clip(sub * scale, 0.0, 1.0)
+        else:
+            raise RawError(
+                f"DNG BlackLevel with {len(black)} values needs a matching "
+                "BlackLevelRepeatDim")
+        if data.ndim != 2:
+            raise RawError("patterned BlackLevel on a non-mosaic image")
+    h, w = data.shape[:2]
+    bh, bw = black_map.shape
+    tiledb = np.tile(black_map, ((h + bh - 1) // bh, (w + bw - 1) // bw))[:h, :w]
+    if data.ndim == 3:
+        tiledb = tiledb[..., None]
+    scale = f32(1.0) / np.maximum(white0 - f32(black_map.max()), f32(1.0))
+    return np.clip((data - tiledb) * scale, 0.0, 1.0)
+
+
+def _apply_color_matrix(rgb: np.ndarray, cm_xyz_to_cam: np.ndarray) -> np.ndarray:
+    """Camera RGB -> linear sRGB via ColorMatrix1 (XYZ->camera), using the
+    standard normalized-inverse recipe: rgb_cam = inv(CM . M_srgb->xyz)
+    with rows scaled so white maps to white."""
+    m_srgb_to_xyz = np.array(
+        [[0.4124564, 0.3575761, 0.1804375],
+         [0.2126729, 0.7151522, 0.0721750],
+         [0.0193339, 0.1191920, 0.9503041]], np.float32)
+    cam_from_srgb = cm_xyz_to_cam @ m_srgb_to_xyz
+    rows = cam_from_srgb.sum(axis=1, keepdims=True)
+    if np.any(np.abs(rows) < 1e-8):
+        return rgb  # degenerate matrix: skip color transform
+    cam_from_srgb = cam_from_srgb / rows  # white-preserving normalization
+    try:
+        srgb_from_cam = np.linalg.inv(cam_from_srgb).astype(np.float32)
+    except np.linalg.LinAlgError:
+        return rgb
+    return np.clip(rgb @ srgb_from_cam.T, 0.0, 1.0)
+
+
+def _finish_srgb(rgb: np.ndarray) -> np.ndarray:
     out8 = np.clip(np.floor(_srgb_encode(rgb) * f32(255.0) + f32(0.5)),
                    0, 255).astype(np.uint8)
     h, w = out8.shape[:2]

@@ -17,7 +17,7 @@ import threading
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _LIB_PATH = _DIR / "libpaintfe_native.so"
-_SOURCES = [_DIR / "inpaint.cpp"]
+_SOURCES = [_DIR / "inpaint.cpp", _DIR / "ljpeg.cpp"]
 _lock = threading.Lock()
 _lib = None
 _build_error = None
@@ -63,6 +63,16 @@ def load():
             ctypes.c_float,
         ]
         lib.inpaint_instant_brush.restype = None
+        lib.ljpeg_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.ljpeg_info.restype = ctypes.c_int
+        lib.ljpeg_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
+        ]
+        lib.ljpeg_decode.restype = ctypes.c_int
         _lib = lib
         return _lib
 

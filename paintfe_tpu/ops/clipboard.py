@@ -4,9 +4,10 @@ Behavioral contract: src/ops/clipboard.rs — internal RGBA clipboard with
 selection-aware copy (unselected pixels transparent), cut = copy + delete,
 paste as new layer.  The OS bridge (arboard in the reference) is a
 best-effort shell-out to the platform clipboard tools (wl-clipboard on
-Wayland, xclip/xsel on X11) with the image carried as PNG; when no tool or
-display is available the bridge reports unavailable and the internal
-clipboard still works.
+Wayland, xclip on X11 — xsel is text-only and cannot carry image/png
+targets, so it is deliberately not a fallback) with the image carried as
+PNG; when no tool or display is available the bridge reports unavailable
+and the internal clipboard still works.
 """
 
 from __future__ import annotations

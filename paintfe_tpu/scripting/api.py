@@ -88,7 +88,17 @@ def closure_is_pure(cb: Closure, user_fns=frozenset()) -> bool:
             return
         kind = e[0]
         if kind == "call":
-            if e[1] in user_fns or e[1] not in _PURE_HOST_FNS:
+            # call_function (interp.py:368-375) resolves scope variables
+            # BEFORE host fns: a let-bound closure shadowing a pure host
+            # name (`let abs = |v| { log.push(v); v }`) would execute the
+            # captured closure.  Any name bound in the captured scope
+            # chain or declared locally so far is therefore unprovable.
+            if (
+                e[1] in user_fns
+                or e[1] not in _PURE_HOST_FNS
+                or e[1] in loc
+                or any(e[1] in s for s in cb.scope_chain)
+            ):
                 ok = False
                 return
             for a in e[2]:

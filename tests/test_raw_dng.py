@@ -14,12 +14,13 @@ from paintfe_tpu.io import codecs, raw
 
 def _entry(tag, typ, count, value, data_blocks, data_offset):
     """Build a 12-byte IFD entry; large values get appended to data_blocks."""
-    sizes = {1: 1, 3: 2, 4: 4, 5: 8, 11: 4}
+    sizes = {1: 1, 3: 2, 4: 4, 5: 8, 10: 8, 11: 4}
     fmt = {1: "B", 3: "H", 4: "I"}
     size = sizes[typ]
     total = size * count
-    if typ == 5:  # rational pairs
-        payload = b"".join(struct.pack("<II", n, d) for n, d in value)
+    if typ in (5, 10):  # (signed) rational pairs
+        pair_fmt = "<II" if typ == 5 else "<ii"
+        payload = b"".join(struct.pack(pair_fmt, n, d) for n, d in value)
     elif typ == 11:
         payload = struct.pack(f"<{count}f", *value)
     else:
@@ -32,53 +33,104 @@ def _entry(tag, typ, count, value, data_blocks, data_offset):
 
 
 def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
-              bits=16, black=0, white=None):
-    """Single-IFD little-endian uncompressed DNG."""
+              bits=16, black=0, white=None, compression=1, tile=None,
+              ljpeg_components=2):
+    """Single-IFD little-endian DNG.
+
+    compression=1 writes uncompressed strips; compression=7 encodes each
+    segment with the test-side lossless-JPEG encoder (ljpeg_writer.py).
+    tile=(tw, tl) switches from one strip to a TileWidth/TileLength grid.
+    """
+    from tests.ljpeg_writer import encode_ljpeg
+
     h, w = samples.shape[:2]
     spp = 1 if samples.ndim == 2 else samples.shape[2]
     white = white if white is not None else 2 ** bits - 1
     dt = np.uint16 if bits == 16 else np.uint8
-    strip = np.ascontiguousarray(samples.astype(dt)).tobytes()
 
+    def encode_segment(seg: np.ndarray) -> bytes:
+        if compression == 1:
+            return np.ascontiguousarray(seg.astype(dt)).tobytes()
+        flat = seg.reshape(seg.shape[0], -1)  # (rows, cols*spp)
+        nc = ljpeg_components if flat.shape[1] % ljpeg_components == 0 else 1
+        return encode_ljpeg(
+            flat.reshape(flat.shape[0], flat.shape[1] // nc, nc).astype(
+                np.uint16),
+            precision=bits, predictor=1)
+
+    segments = []
+    if tile is None:
+        segments.append(encode_segment(samples))
+    else:
+        tw, tl = tile
+        padded = np.zeros(
+            ((h + tl - 1) // tl * tl, (w + tw - 1) // tw * tw)
+            + samples.shape[2:], samples.dtype)
+        padded[:h, :w] = samples
+        for ty in range(0, padded.shape[0], tl):
+            for tx in range(0, padded.shape[1], tw):
+                segments.append(encode_segment(padded[ty:ty + tl, tx:tx + tw]))
+
+    nseg = len(segments)
     tags = [
         (254, 4, 1, [0]),                     # NewSubfileType: full raw
         (256, 4, 1, [w]),
         (257, 4, 1, [h]),
         (258, 3, spp, [bits] * spp),
-        (259, 3, 1, [1]),                     # uncompressed
+        (259, 3, 1, [compression]),
         (262, 3, 1, [photometric]),
         (277, 3, 1, [spp]),
-        (278, 4, 1, [h]),
         (50706, 1, 4, [1, 4, 0, 0]),          # DNGVersion
-        (50714, 3, 1, [black]),               # BlackLevel
         (50717, 3, 1, [white]),               # WhiteLevel
     ]
+    if not any(t[0] == 50714 for t in (extra_tags or [])):
+        tags.append((50714, 3, 1, [black]))   # BlackLevel
+    if tile is None:
+        tags.append((278, 4, 1, [h]))         # RowsPerStrip
+        off_tag, cnt_tag = 273, 279
+    else:
+        tags.append((322, 4, 1, [tile[0]]))
+        tags.append((323, 4, 1, [tile[1]]))
+        off_tag, cnt_tag = 324, 325
     tags.extend(extra_tags or [])
-    # strip offset/count appended after layout is known
-    n = len(tags) + 2
+    tags.append((off_tag, 4, nseg, None))     # placeholder offsets
+    tags.append((cnt_tag, 4, nseg, [len(s) for s in segments]))
+    tags.sort(key=lambda t: t[0])
+
+    n = len(tags)
     header = 8
     ifd_size = 2 + n * 12 + 4
     data_offset = header + ifd_size
-    blocks = []
-    entries = []
-    tags.append((273, 4, 1, None))  # placeholder StripOffsets
-    tags.append((279, 4, 1, [len(strip)]))
-    tags.sort(key=lambda t: t[0])
-
-    # first pass to find where out-of-line data lands; strip goes last
-    strip_tag_index = [i for i, t in enumerate(tags) if t[0] == 273][0]
-    # compute data blocks for all but strip, then strip offset
+    off_tag_index = [i for i, t in enumerate(tags) if t[0] == off_tag][0]
+    # lay out all out-of-line value blocks first, reserving room for the
+    # offsets array itself when nseg > 1; segment data goes last
     tmp_blocks = []
     off = data_offset
     rendered = []
-    for i, (tag, typ, count, value) in enumerate(tags):
-        if tag == 273:
-            rendered.append(None)  # fill later
+    for tag, typ, count, value in tags:
+        if tag == off_tag:
+            rendered.append(None)
+            if nseg > 1:  # the offsets array lives out-of-line
+                tmp_blocks.append(None)  # placeholder block
+                off += 4 * nseg
             continue
         e, off = _entry(tag, typ, count, value, tmp_blocks, off)
         rendered.append(e)
-    strip_offset = off
-    rendered[strip_tag_index] = struct.pack("<HHII", 273, 4, 1, strip_offset)
+    seg_offsets = []
+    pos = off
+    for s in segments:
+        seg_offsets.append(pos)
+        pos += len(s)
+    if nseg == 1:
+        rendered[off_tag_index] = struct.pack(
+            "<HHII", off_tag, 4, 1, seg_offsets[0])
+    else:
+        arr_off = [i for i, b in enumerate(tmp_blocks) if b is None][0]
+        payload = struct.pack(f"<{nseg}I", *seg_offsets)
+        # recompute where the placeholder landed
+        loc = data_offset + sum(len(b) for b in tmp_blocks[:arr_off])
+        tmp_blocks[arr_off] = payload
+        rendered[off_tag_index] = struct.pack("<HHII", off_tag, 4, nseg, loc)
 
     with open(path, "wb") as fh:
         fh.write(b"II" + struct.pack("<HI", 42, 8))
@@ -88,7 +140,8 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
         fh.write(struct.pack("<I", 0))
         for b in tmp_blocks:
             fh.write(b)
-        fh.write(strip)
+        for s in segments:
+            fh.write(s)
 
 
 def _srgb(linear):
@@ -159,19 +212,219 @@ def test_cfa_white_balance(tmp_path):
     assert inner[..., 0].mean() > inner[..., 2].mean() > inner[..., 1].mean()
 
 
+def test_ljpeg_dng_matches_uncompressed(tmp_path):
+    """A lossless-JPEG DNG (Compression=7) must decode bit-identically to
+    the same samples stored uncompressed."""
+    rng = np.random.default_rng(7)
+    mosaic = rng.integers(0, 1 << 16, (18, 26)).astype(np.uint16)
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [0, 1, 1, 2]),
+        (50728, 5, 3, [(1, 2), (1, 1), (2, 3)]),
+    ]
+    p1 = tmp_path / "plain.dng"
+    p2 = tmp_path / "lj.dng"
+    write_dng(p1, mosaic, photometric=32803, extra_tags=extra)
+    write_dng(p2, mosaic, photometric=32803, extra_tags=extra, compression=7)
+    assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
+
+
+def test_ljpeg_dng_multi_strip(tmp_path):
+    """Multiple strips, each an independent LJPEG stream."""
+    from tests.ljpeg_writer import encode_ljpeg
+
+    rng = np.random.default_rng(8)
+    lin = rng.integers(0, 1 << 16, (12, 10, 3)).astype(np.uint16)
+    p1 = tmp_path / "plain.dng"
+    write_dng(p1, lin, photometric=34892)
+    # hand-build the 3-strip variant: rows 0-3 / 4-7 / 8-11
+    p2 = tmp_path / "strips.dng"
+    strips = [encode_ljpeg(lin[y:y + 4].reshape(4, 15, 2), 16) for y in (0, 4, 8)]
+    _write_multistrip_dng(p2, strips, w=10, h=12, spp=3, rows_per_strip=4)
+    assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
+
+
+def _write_multistrip_dng(path, strips, w, h, spp, rows_per_strip):
+    tags = [
+        (254, 4, 1, [0]),
+        (256, 4, 1, [w]),
+        (257, 4, 1, [h]),
+        (258, 3, spp, [16] * spp),
+        (259, 3, 1, [7]),
+        (262, 3, 1, [34892]),
+        (277, 3, 1, [spp]),
+        (278, 4, 1, [rows_per_strip]),
+        (50706, 1, 4, [1, 4, 0, 0]),
+        (50714, 3, 1, [0]),
+        (50717, 3, 1, [65535]),
+        (273, 4, len(strips), None),
+        (279, 4, len(strips), [len(s) for s in strips]),
+    ]
+    tags.sort(key=lambda t: t[0])
+    n = len(tags)
+    data_offset = 8 + 2 + n * 12 + 4
+    tmp_blocks = []
+    rendered = []
+    off = data_offset
+    oti = [i for i, t in enumerate(tags) if t[0] == 273][0]
+    for tag, typ, count, value in tags:
+        if tag == 273:
+            rendered.append(None)
+            if len(strips) > 1:
+                tmp_blocks.append(None)
+                off += 4 * len(strips)
+            continue
+        e, off = _entry(tag, typ, count, value, tmp_blocks, off)
+        rendered.append(e)
+    offs = []
+    pos = off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    if len(strips) == 1:
+        rendered[oti] = struct.pack("<HHII", 273, 4, 1, offs[0])
+    else:
+        ph = [i for i, b in enumerate(tmp_blocks) if b is None][0]
+        loc = data_offset + sum(len(b) for b in tmp_blocks[:ph])
+        tmp_blocks[ph] = struct.pack(f"<{len(strips)}I", *offs)
+        rendered[oti] = struct.pack("<HHII", 273, 4, len(strips), loc)
+    with open(path, "wb") as fh:
+        fh.write(b"II" + struct.pack("<HI", 42, 8))
+        fh.write(struct.pack("<H", n))
+        for e in rendered:
+            fh.write(e)
+        fh.write(struct.pack("<I", 0))
+        for b in tmp_blocks:
+            fh.write(b)
+        for s in strips:
+            fh.write(s)
+
+
+@pytest.mark.parametrize("compression", [1, 7])
+def test_tiled_dng_matches_strip(tmp_path, compression):
+    """Tiled layout (TileWidth/TileLength), incl. edge-tile cropping,
+    decodes identically to the single-strip layout."""
+    rng = np.random.default_rng(9)
+    mosaic = rng.integers(0, 1 << 16, (22, 30)).astype(np.uint16)
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [0, 1, 1, 2]),
+    ]
+    p1 = tmp_path / "strip.dng"
+    p2 = tmp_path / "tiled.dng"
+    write_dng(p1, mosaic, photometric=32803, extra_tags=extra)
+    # 16x8 tiles -> 2x3 grid with cropped right/bottom edges
+    write_dng(p2, mosaic, photometric=32803, extra_tags=extra,
+              compression=compression, tile=(16, 8))
+    assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
+
+
+def test_per_plane_black_levels(tmp_path):
+    """BlackLevel count=4 + BlackLevelRepeatDim 2x2 (common on real
+    cameras) subtracts per CFA position."""
+    h, w = 8, 8
+    blacks = np.array([[100, 200], [300, 400]], np.uint16)
+    ys, xs = np.mgrid[0:h, 0:w]
+    # value = per-site black + 10000 -> normalized value is constant
+    mosaic = (blacks[ys % 2, xs % 2] + 10000).astype(np.uint16)
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [1, 0, 2, 1]),          # GRBG
+        (50713, 3, 2, [2, 2]),                # BlackLevelRepeatDim
+        (50714, 3, 4, [100, 200, 300, 400]),
+    ]
+    p = tmp_path / "pb.dng"
+    write_dng(p, mosaic, photometric=32803, extra_tags=extra, white=30000)
+    out = raw.load_dng(p)
+    v = 10000.0 / (30000.0 - 400.0)
+    expect = int(np.clip(np.floor(_srgb(np.float32(v)) * 255.0 + 0.5), 0, 255))
+    assert (np.abs(out[2:-2, 2:-2, :3].astype(int) - expect) <= 1).all()
+
+
+def test_mismatched_black_repeat_raises(tmp_path):
+    mosaic = np.full((8, 8), 500, np.uint16)
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [0, 1, 1, 2]),
+        (50714, 3, 4, [1, 2, 3, 4]),          # count 4, no repeat dim
+    ]
+    p = tmp_path / "bad.dng"
+    write_dng(p, mosaic, photometric=32803, extra_tags=extra)
+    with pytest.raises(raw.RawError, match="BlackLevelRepeatDim"):
+        raw.load_dng(p)
+
+
+def test_active_area_crop(tmp_path):
+    """ActiveArea crops masked borders before demosaic; the CFA pattern is
+    relative to the active-area origin."""
+    full = np.zeros((20, 24), np.uint16)
+    rng = np.random.default_rng(11)
+    inner = rng.integers(5000, 60000, (16, 18)).astype(np.uint16)
+    full[3:19, 4:22] = inner
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [0, 1, 1, 2]),
+        (50829, 3, 4, [3, 4, 19, 22]),        # top, left, bottom, right
+    ]
+    p1 = tmp_path / "aa.dng"
+    write_dng(p1, full, photometric=32803, extra_tags=extra)
+    p2 = tmp_path / "inner.dng"
+    write_dng(p2, inner, photometric=32803,
+              extra_tags=[(33421, 3, 2, [2, 2]), (33422, 1, 4, [0, 1, 1, 2])])
+    a = raw.load_dng(p1)
+    b = raw.load_dng(p2)
+    assert a.shape == b.shape == (16, 18, 4)
+    assert np.array_equal(a, b)
+
+
+def test_color_matrix_applied(tmp_path):
+    """ColorMatrix1 (XYZ->camera) engages the camera->sRGB transform; an
+    sRGB-like camera (CM = sRGB->XYZ inverse chain) leaves pixels within
+    rounding of the no-matrix decode."""
+    rng = np.random.default_rng(12)
+    lin = rng.integers(0, 1 << 16, (10, 14, 3)).astype(np.uint16)
+    p0 = tmp_path / "nomatrix.dng"
+    write_dng(p0, lin, photometric=34892)
+    base = raw.load_dng(p0)
+    # camera == sRGB: cam_from_srgb = I, so CM = inv(M_srgb2xyz) row-scaled.
+    m = np.linalg.inv(np.array(
+        [[0.4124564, 0.3575761, 0.1804375],
+         [0.2126729, 0.7151522, 0.0721750],
+         [0.0193339, 0.1191920, 0.9503041]]))
+    cm = [(int(round(v * 10000)), 10000) for v in m.flatten()]
+    p1 = tmp_path / "matrix.dng"
+    write_dng(p1, lin, photometric=34892,
+              extra_tags=[(50721, 10, 9, cm)])
+    out = raw.load_dng(p1)
+    assert np.abs(out.astype(int) - base.astype(int)).max() <= 1
+    # a red-scaling camera matrix must change the red channel
+    m2 = m.copy()
+    m2[:, 0] *= 2.0  # camera red responds 2x -> inverse halves red
+    cm2 = [(int(round(v * 10000)), 10000) for v in m2.flatten()]
+    p2 = tmp_path / "matrix2.dng"
+    write_dng(p2, lin, photometric=34892, extra_tags=[(50721, 10, 9, cm2)])
+    out2 = raw.load_dng(p2)
+    assert not np.array_equal(out2, base)
+
+
 def test_unsupported_paths_clear_errors(tmp_path):
-    # compressed DNG
+    # unsupported compression scheme (8 = deflate)
     lin = np.zeros((4, 4, 3), np.uint16)
     p = tmp_path / "comp.dng"
     write_dng(p, lin, photometric=34892)
     blob = bytearray(p.read_bytes())
-    # flip the Compression entry value from 1 to 7 (lossless JPEG)
     idx = blob.find(struct.pack("<HHI", 259, 3, 1))
-    blob[idx + 8] = 7
-    p2 = tmp_path / "ljpeg.dng"
+    blob[idx + 8] = 8
+    p2 = tmp_path / "deflate.dng"
     p2.write_bytes(bytes(blob))
-    with pytest.raises(codecs.CodecError, match="lossless-JPEG"):
+    with pytest.raises(codecs.CodecError, match="compression 8"):
         codecs.load_image(p2)
+    # Compression=7 whose payload is not actually an LJPEG stream
+    blob[idx + 8] = 7
+    p3 = tmp_path / "badljpeg.dng"
+    p3.write_bytes(bytes(blob))
+    with pytest.raises(codecs.CodecError, match="lossless-JPEG"):
+        codecs.load_image(p3)
     # proprietary RAW still gives the targeted message
     cr2 = tmp_path / "x.cr2"
     cr2.write_bytes(b"II*\0")
@@ -205,6 +458,32 @@ def test_malformed_dng_raises_rawerror(tmp_path):
     p3.write_bytes(b"II*\0" + b"\xff" * 64)
     with pytest.raises((raw.RawError,)):
         raw.load_dng(p3)
+
+
+def test_ljpeg_dng_fuzz_never_crashes(tmp_path):
+    """Mutations of a lossless-JPEG DNG hit the native decoder's error
+    paths (bad markers, truncated entropy data, bogus Huffman tables) and
+    must surface as RawError, never a crash or unhandled exception."""
+    rng = np.random.default_rng(123)
+    mosaic = rng.integers(0, 1 << 16, (10, 12)).astype(np.uint16)
+    p = tmp_path / "base.dng"
+    write_dng(p, mosaic, photometric=32803, compression=7,
+              extra_tags=[(33421, 3, 2, [2, 2]), (33422, 1, 4, [0, 1, 1, 2])])
+    base = bytearray(p.read_bytes())
+    for trial in range(80):
+        blob = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            pos = int(rng.integers(0, len(blob)))
+            blob[pos] = int(rng.integers(0, 256))
+        if rng.random() < 0.3:
+            blob = blob[: int(rng.integers(4, len(blob)))]
+        q = tmp_path / f"ljfuzz{trial}.dng"
+        q.write_bytes(bytes(blob))
+        try:
+            out = raw.load_dng(q)
+            assert out.dtype == np.uint8 and out.ndim == 3
+        except raw.RawError:
+            pass  # the only acceptable failure mode
 
 
 def test_dng_parser_fuzz_never_crashes(tmp_path):

@@ -683,6 +683,24 @@ def test_user_fn_shadowing_host_name_runs_scalar():
     assert sum(1 for line in console if line == "hi") == 16
 
 
+def test_let_bound_closure_shadowing_host_name_runs_scalar():
+    """A let-bound closure shadowing a pure host name must defeat the
+    vectorized fast path: interp.call_function resolves scope variables
+    before host fns, so `abs` here is the side-effecting closure and its
+    prints must appear exactly once per pixel (reference Rhai semantics).
+    Mirrors the fn-shadow case above for variable bindings."""
+    _, console = run_script(
+        """
+        let abs = |v| { print_line("shadow"); v };
+        for_region(0, 0, 4, 4, |x, y, r, g, b, a| {
+            let q = abs(r);
+            [q, g, b, a]
+        });
+        """
+    )
+    assert sum(1 for line in console if line == "shadow") == 16
+
+
 def test_string_inplace_on_indexed_receiver():
     _, console = run_script(
         """
