@@ -36,17 +36,19 @@ def format_extension(fmt: str) -> str:
 def load_image(path) -> np.ndarray:
     """Load any supported raster file as RGBA u8 [H, W, 4]."""
     ext = pathlib.Path(path).suffix.lower().lstrip(".")
-    if ext == "dng":
+    if ext in ("dng", "cr2", "nef"):
         from paintfe_tpu.io import raw
 
+        loader = {"dng": raw.load_dng, "cr2": raw.load_cr2,
+                  "nef": raw.load_nef}[ext]
         try:
-            return raw.load_dng(path)
+            return loader(path)
         except raw.RawError as e:
-            raise CodecError(f"failed to decode DNG '{path}': {e}")
+            raise CodecError(f"failed to decode {ext.upper()} '{path}': {e}")
     if ext in RAW_EXTS:
         raise CodecError(
             f"RAW camera format '.{ext}' requires a raw decoder not present in "
-            "this environment (the TIFF-based DNG subset is supported natively)"
+            "this environment (DNG/CR2/NEF decode natively)"
         )
     try:
         img = Image.open(path)

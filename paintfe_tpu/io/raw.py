@@ -325,7 +325,9 @@ def _demosaic_bilinear(mosaic: np.ndarray, pattern: np.ndarray) -> np.ndarray:
         mask = (cfa_idx == c).astype(np.float32)
         num = conv3(mosaic * mask)
         den = conv3(mask)
-        planes.append(num / np.maximum(den, 1e-9))
+        interp = num / np.maximum(den, 1e-9)
+        # measured samples pass through exactly at their own CFA sites
+        planes.append(np.where(cfa_idx == c, mosaic, interp))
     return np.stack(planes, axis=-1)
 
 
@@ -428,6 +430,245 @@ def _normalize_levels(data: np.ndarray, tags: Dict[int, list],
         tiledb = tiledb[..., None]
     scale = f32(1.0) / np.maximum(white0 - f32(black_map.max()), f32(1.0))
     return np.clip((data - tiledb) * scale, 0.0, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Canon CR2
+# ---------------------------------------------------------------------------
+
+def load_cr2(path) -> np.ndarray:
+    """Decode a Canon CR2 into RGBA u8 [H, W, 4].
+
+    CR2 = TIFF container ("CR\\x02" at offset 8) whose raw IFD stores one
+    lossless-JPEG stream (Compression=6) cut into Canon's vertical slices
+    (tag 0xc640).  Active area + masked-border black level come from the
+    MakerNote SensorInfo (0x00e0); as-shot WB is probed from ColorData
+    (0x4001) at the known per-generation offsets.  CFA is RGGB at the
+    active-area origin (the Canon norm).
+    """
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    try:
+        return _decode_cr2(blob)
+    except RawError:
+        raise
+    except (struct.error, KeyError, ValueError, IndexError) as e:
+        raise RawError(f"malformed CR2: {type(e).__name__}: {e}")
+
+
+def _decode_cr2(blob: bytes) -> np.ndarray:
+    if blob[:2] != b"II":
+        raise RawError("CR2 must be a little-endian TIFF container")
+    end = "<"
+    (magic,) = struct.unpack(end + "H", blob[2:4])
+    if magic != 42 or blob[8:10] != b"CR":
+        raise RawError("not a CR2 (missing CR magic)")
+    # chained IFDs (no SubIFD recursion needed: CR2 keeps all four in the
+    # top-level chain, raw last)
+    ifds = []
+    (off,) = struct.unpack(end + "I", blob[4:8])
+    seen = set()
+    while off and off not in seen and off + 2 <= len(blob):
+        seen.add(off)
+        tags, off2 = _parse_ifd(blob, end, off)
+        ifds.append(tags)
+        off = off2
+    raw_ifds = [t for t in ifds
+                if t.get(T_COMPRESSION, [0])[0] == 6 and T_STRIP_OFFSETS in t]
+    if not raw_ifds:
+        raise RawError("no lossless-JPEG raw IFD found in CR2")
+    rtags = raw_ifds[-1]
+    offs = rtags[T_STRIP_OFFSETS]
+    cnts = rtags.get(T_STRIP_COUNTS, [len(blob) - offs[0]])
+    dec = ljpeg_decode(blob[offs[0]:offs[0] + cnts[0]])
+    h, w = dec.shape
+
+    slices = rtags.get(T_CR2_SLICES)
+    if slices and len(slices) >= 3 and slices[0] > 0:
+        n, wa, wb = int(slices[0]), int(slices[1]), int(slices[2])
+        widths = [wa] * n + [wb]
+        if sum(widths) != w or min(widths) <= 0:
+            raise RawError("CR2 slice widths do not cover the sensor width")
+        flat = dec.reshape(-1)
+        out = np.empty((h, w), np.uint16)
+        pos = 0
+        x0 = 0
+        for sw in widths:
+            out[:, x0:x0 + sw] = flat[pos:pos + h * sw].reshape(h, sw)
+            pos += h * sw
+            x0 += sw
+        dec = out
+
+    mn = _canon_makernote(blob, end, ifds)
+    data = dec.astype(np.float32)
+    black = 0.0
+    sensor = mn.get(0x00E0) if mn else None
+    if sensor and len(sensor) >= 9:
+        left, top = int(sensor[5]), int(sensor[6])
+        right, bottom = int(sensor[7]), int(sensor[8])
+        if 0 <= top < bottom < h and 0 <= left < right < w:
+            if left >= 4:  # masked border = optically black reference
+                black = float(np.mean(data[top:bottom + 1, :left - 2]))
+            data = data[top:bottom + 1, left:right + 1]
+
+    prec = 14 if data.max(initial=0.0) > 4095 else 12
+    white = float((1 << prec) - 1)
+    norm = np.clip((data - f32(black)) / max(white - black, 1.0), 0.0, 1.0)
+
+    gains = np.array([1.0, 1.0, 1.0], np.float32)
+    wb = _canon_as_shot_wb(mn.get(0x4001)) if mn else None
+    if wb is not None:
+        gains = wb
+    pattern = np.array([[0, 1], [1, 2]], np.int32)  # RGGB
+    ys, xs = np.mgrid[0:norm.shape[0], 0:norm.shape[1]]
+    site_gain = gains[pattern[ys % 2, xs % 2]]
+    rgb = _demosaic_bilinear(np.clip(norm * site_gain, 0.0, 1.0), pattern)
+    return _finish_srgb(rgb)
+
+
+def _canon_makernote(blob, end, ifds) -> Dict[int, list]:
+    """Canon MakerNote = a plain IFD with absolute file offsets, reached
+    via IFD0 -> ExifIFD(34665) -> MakerNote(37500)."""
+    for t in ifds:
+        exif_off = t.get(T_EXIF_IFD, [0])[0]
+        if not exif_off:
+            continue
+        mn_off = _entry_data_offset(blob, end, exif_off, T_MAKER_NOTE)
+        if mn_off:
+            try:
+                tags, _ = _parse_ifd(blob, end, mn_off)
+                return tags
+            except (struct.error, IndexError):
+                return {}
+    return {}
+
+
+def _entry_data_offset(blob, end, ifd_off, want_tag) -> int:
+    """Byte offset of a tag's out-of-line value area (0 if absent)."""
+    if ifd_off + 2 > len(blob):
+        return 0
+    (n_tags,) = struct.unpack(end + "H", blob[ifd_off:ifd_off + 2])
+    for k in range(n_tags):
+        base = ifd_off + 2 + k * 12
+        if base + 12 > len(blob):
+            return 0
+        tag, typ, count = struct.unpack(end + "HHI", blob[base:base + 8])
+        if tag == want_tag:
+            size = _TYPE_SIZES.get(typ, 1) * count
+            if size <= 4:
+                return base + 8
+            (off,) = struct.unpack(end + "I", blob[base + 8:base + 12])
+            return off
+    return 0
+
+
+def _canon_as_shot_wb(colordata) -> Optional[np.ndarray]:
+    """Probe ColorData (0x4001 shorts) for the as-shot RGGB levels at the
+    known per-generation offsets; green-normalized gains or None."""
+    if not colordata:
+        return None
+    for probe in (63, 126, 25, 78):  # ColorData4 / 7-9 / 1 / 2-3
+        if probe + 4 > len(colordata):
+            continue
+        r, g1, g2, b = (float(v) for v in colordata[probe:probe + 4])
+        if not all(64 <= v <= 8192 for v in (r, g1, g2, b)):
+            continue
+        g = 0.5 * (g1 + g2)
+        if g <= 0 or abs(g1 - g2) > 0.25 * g:
+            continue
+        if not (0.2 <= r / g <= 5.0 and 0.2 <= b / g <= 5.0):
+            continue
+        return np.array([r / g, 1.0, b / g], np.float32)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Nikon NEF (packed uncompressed)
+# ---------------------------------------------------------------------------
+
+def load_nef(path) -> np.ndarray:
+    """Decode a Nikon NEF into RGBA u8 [H, W, 4].
+
+    Supported: TIFF-container NEFs whose raw SubIFD is uncompressed —
+    either plain 16-bit or Nikon's packed 12/14-bit strips (MSB-first
+    continuous bitstream).  Nikon-compressed (34713) raws raise a clear
+    error.  WB defaults to unit gains (the as-shot levels live in the
+    encrypted MakerNote section rawloader special-cases per model).
+    """
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    try:
+        return _decode_nef(blob)
+    except RawError:
+        raise
+    except (struct.error, KeyError, ValueError, IndexError) as e:
+        raise RawError(f"malformed NEF: {type(e).__name__}: {e}")
+
+
+def _decode_nef(blob: bytes) -> np.ndarray:
+    end, ifds = _all_ifds(blob)
+    cands = [t for t in ifds if t.get(T_PHOTOMETRIC, [0])[0] == 32803]
+    if not cands:
+        raise RawError("no CFA raw IFD found in NEF")
+    tags = max(cands, key=lambda t: t.get(T_WIDTH, [0])[0] * t.get(T_HEIGHT, [0])[0])
+    w = tags[T_WIDTH][0]
+    h = tags[T_HEIGHT][0]
+    bits = tags.get(T_BITS, [12])[0]
+    comp = tags.get(T_COMPRESSION, [1])[0]
+    if comp == 34713:
+        raise RawError("Nikon-compressed NEF (34713) is not supported yet "
+                       "(packed uncompressed NEFs decode natively)")
+    if comp != 1:
+        raise RawError(f"NEF compression {comp} is not supported")
+    offsets = tags.get(T_STRIP_OFFSETS)
+    counts = tags.get(T_STRIP_COUNTS)
+    if not offsets or not counts:
+        raise RawError("NEF raw IFD has no strip offsets")
+    payload = b"".join(blob[o:o + c] for o, c in zip(offsets, counts))
+    if bits == 16:
+        dt = np.dtype(("<" if end == "<" else ">") + "u2")
+        data = np.frombuffer(payload, dt, count=w * h).astype(np.float32)
+    elif bits in (12, 14):
+        data = _unpack_bits_msb(payload, bits, w * h).astype(np.float32)
+    else:
+        raise RawError(f"{bits}-bit NEF samples are not supported")
+    data = data.reshape(h, w)
+
+    pat = tags.get(T_CFA_PATTERN, [1, 0, 2, 1])  # Nikon norm: GRBG
+    dim = tags.get(T_CFA_DIM, [2, 2])
+    if dim[0] != 2 or dim[1] != 2 or len(pat) < 4:
+        raise RawError("only 2x2 CFA patterns are supported")
+    pattern = np.array(pat[:4], np.int32).reshape(2, 2)
+    white = float((1 << bits) - 1)
+    norm = np.clip(data / white, 0.0, 1.0)
+    rgb = _demosaic_bilinear(norm, pattern)
+    return _finish_srgb(rgb)
+
+
+def _unpack_bits_msb(payload: bytes, bits: int, count: int) -> np.ndarray:
+    """Unpack an MSB-first continuous bitstream of `bits`-wide samples."""
+    need_bytes = (count * bits + 7) // 8
+    if len(payload) < need_bytes:
+        raise RawError("NEF strip data shorter than the packed raster")
+    if bits == 12:
+        # 3 bytes -> 2 samples, fully vectorized
+        n_pairs = (count + 1) // 2
+        buf = np.frombuffer(payload, np.uint8, count=n_pairs * 3)
+        b0 = buf[0::3].astype(np.uint16)
+        b1 = buf[1::3].astype(np.uint16)
+        b2 = buf[2::3].astype(np.uint16)
+        s0 = (b0 << 4) | (b1 >> 4)
+        s1 = ((b1 & 0x0F) << 8) | b2
+        out = np.empty(n_pairs * 2, np.uint16)
+        out[0::2] = s0
+        out[1::2] = s1
+        return out[:count]
+    # generic path (14-bit): bit matrix multiply
+    nbytes = (count * bits + 7) // 8
+    bits_arr = np.unpackbits(np.frombuffer(payload, np.uint8, count=nbytes))
+    bits_arr = bits_arr[:count * bits].reshape(count, bits)
+    weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
+    return (bits_arr.astype(np.uint32) @ weights).astype(np.uint16)
 
 
 def _apply_color_matrix(rgb: np.ndarray, cm_xyz_to_cam: np.ndarray) -> np.ndarray:

@@ -425,11 +425,12 @@ def test_unsupported_paths_clear_errors(tmp_path):
     p3.write_bytes(bytes(blob))
     with pytest.raises(codecs.CodecError, match="lossless-JPEG"):
         codecs.load_image(p3)
-    # proprietary RAW still gives the targeted message
-    cr2 = tmp_path / "x.cr2"
-    cr2.write_bytes(b"II*\0")
+    # proprietary RAW families without native decoders keep the targeted
+    # message (CR2/NEF now decode natively; see test_raw_camera.py)
+    arw = tmp_path / "x.arw"
+    arw.write_bytes(b"II*\0")
     with pytest.raises(codecs.CodecError, match="raw decoder"):
-        codecs.load_image(cr2)
+        codecs.load_image(arw)
     # a TIFF without DNGVersion is rejected by the DNG reader
     with pytest.raises(raw.RawError, match="DNGVersion"):
         import PIL.Image as I
