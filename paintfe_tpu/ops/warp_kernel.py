@@ -58,15 +58,12 @@ def _round_up(v, m):
     return ((v + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _prologue(sx, sy, src_h, src_w, h, w):
-    """Tap coords + per-tile window parameters (device-side).
+def _window_params(sxp, syp, src_h, src_w, h, w):
+    """Tap coords + per-tile window parameters (device-side, traceable).
 
     Pixels in the tile-alignment pad region are excluded from the
     reductions so they can't inflate the buckets."""
-    hp, wp = _round_up(h, TH), _round_up(w, TW)
-    sxp = jnp.pad(sx, ((0, hp - h), (0, wp - w)))
-    syp = jnp.pad(sy, ((0, hp - h), (0, wp - w)))
+    hp, wp = sxp.shape
     row = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 0)
     colg = jax.lax.broadcasted_iota(jnp.int32, (hp, wp), 1)
     valid = (row < h) & (colg < w)
@@ -98,6 +95,14 @@ def _prologue(sx, sy, src_h, src_w, h, w):
     return (oy.astype(jnp.int32), ox.astype(jnp.int32),
             jnp.max(jnp.where(sspan < _BIG, vspan, 1)),
             jnp.max(jnp.where(sspan < _BIG, sspan, 1)))
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _prologue(sx, sy, src_h, src_w, h, w):
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    sxp = jnp.pad(sx, ((0, hp - h), (0, wp - w)))
+    syp = jnp.pad(sy, ((0, hp - h), (0, wp - w)))
+    return _window_params(sxp, syp, src_h, src_w, h, w)
 
 
 def plan(sx, sy, src_h: int, src_w: int):
@@ -254,6 +259,38 @@ def _window_width(s_sweep: int) -> int:
     return ww
 
 
+def _launch(kernel, src_u8, sxp, syp, oy, ox, wh, ww, gh, gw, hp, wp, h, w,
+            interpret):
+    """Pad/bitcast/align + the pallas_call; traceable (one program)."""
+    packed = jax.lax.bitcast_convert_type(src_u8, jnp.uint32)
+    packed = jnp.pad(packed, ((0, wh), (PAD_L, ww)))
+    oy_al = (oy.reshape(-1) // 8) * 8          # DMA row alignment
+    oxb = ox.reshape(-1) + PAD_L               # biased (>= 0) col start
+    oxb_al = (oxb // 128) * 128                # DMA col alignment
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(gh, gw),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
+                pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
+            ],
+            out_specs=pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
+            scratch_shapes=[
+                pltpu.VMEM((wh, ww), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(oy_al, oxb_al, oxb, packed, sxp, syp)
+    return jax.lax.bitcast_convert_type(out[:h, :w], jnp.uint8)
+
+
 @functools.lru_cache(maxsize=64)
 def _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
     ww = _window_width(s_sweep)
@@ -266,35 +303,44 @@ def _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
         # math must not run op-by-op
         sxp = jnp.pad(sx, ((0, hp - h), (0, wp - w)))
         syp = jnp.pad(sy, ((0, hp - h), (0, wp - w)))
-        packed = jax.lax.bitcast_convert_type(src_u8, jnp.uint32)
-        packed = jnp.pad(packed, ((0, wh), (PAD_L, ww)))
-        oy_al = (oy.reshape(-1) // 8) * 8          # DMA row alignment
-        oxb = ox.reshape(-1) + PAD_L               # biased (>= 0) col start
-        oxb_al = (oxb // 128) * 128                # DMA col alignment
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=3,
-                grid=(gh, gw),
-                in_specs=[
-                    pl.BlockSpec(memory_space=pl.ANY),
-                    pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
-                    pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
-                ],
-                out_specs=pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j)),
-                scratch_shapes=[
-                    pltpu.VMEM((wh, ww), jnp.uint32),
-                    pltpu.SemaphoreType.DMA,
-                ],
-            ),
-            out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.uint32),
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024),
-        )(oy_al, oxb_al, oxb, packed, sxp, syp)
-        return jax.lax.bitcast_convert_type(out[:h, :w], jnp.uint8)
+        return _launch(kernel, src_u8, sxp, syp, oy, ox, wh, ww, gh, gw,
+                       hp, wp, h, w, interpret)
 
     return jax.jit(run, static_argnums=(5, 6))
+
+
+@functools.lru_cache(maxsize=64)
+def _gather_fn_checked(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
+    """Plan-free fast path: window parameters, the feasibility check for
+    the *cached* buckets, AND the kernel fused into one jitted program.
+
+    plan() costs a blocking host round trip BEFORE the kernel can even
+    launch (the reference instead keeps a persistent displacement buffer,
+    liquify.rs:166-176).  Here an interactive stroke re-using the same
+    field geometry pays a single post-kernel scalar sync on `ok`: when the
+    field still fits the buckets the already-computed output is valid, and
+    only a bucket change (rare mid-stroke) falls back to a full re-plan."""
+    ww = _window_width(s_sweep)
+    gh, gw = hp // TH, wp // TW
+    kernel = _make_kernel(wh, s_sweep, TH, TW, ww, src_h, src_w, gw, mode)
+
+    def run(src_u8, sx, sy, h, w):
+        sxp = jnp.pad(sx, ((0, hp - h), (0, wp - w)))
+        syp = jnp.pad(sy, ((0, hp - h), (0, wp - w)))
+        oy, ox, vmax, smax = _window_params(sxp, syp, src_h, src_w, h, w)
+        ok = (vmax + 8 <= wh) & (smax <= s_sweep)
+        # running with undersized buckets is memory-safe (the DMA windows
+        # stay inside the padded source); `ok` guards value correctness
+        out = _launch(kernel, src_u8, sxp, syp, oy, ox, wh, ww, gh, gw,
+                      hp, wp, h, w, interpret)
+        return out, ok
+
+    return jax.jit(run, static_argnums=(3, 4))
+
+
+# geometry key -> (wh, s_sweep) buckets from the last successful plan
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_MAX = 128
 
 
 def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
@@ -306,17 +352,38 @@ def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
     mode="clamp": effects/distort.sample_bilinear semantics — edge-clamped
     taps, product-form weights (effects.rs:118-140) with round_u8.
 
+    Repeated calls with the same geometry (an interactive Liquify stroke)
+    skip plan()'s pre-kernel host sync: the cached buckets run the fused
+    checked program and only re-plan when the field outgrows them.
+
     Returns None when the field is infeasible for the sweep kernel; the
     caller should then use the XLA gather path."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     src_h, src_w = src.shape[0], src.shape[1]
     h, w = sx.shape[0], sx.shape[1]
-    planned = plan(sx, sy, src_h, src_w)
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    src_u8 = jnp.asarray(src, jnp.uint8)
+    sxf = jnp.asarray(sx, jnp.float32)
+    syf = jnp.asarray(sy, jnp.float32)
+
+    key = (h, w, src_h, src_w, mode, interpret)
+    cached = _BUCKET_CACHE.get(key)
+    if cached is not None:
+        wh, s_sweep = cached
+        fn = _gather_fn_checked(wh, s_sweep, hp, wp, src_h, src_w, mode,
+                                interpret)
+        out, ok = fn(src_u8, sxf, syf, h, w)
+        if bool(ok):  # the ONLY host sync on the steady-state path
+            return out
+
+    planned = plan(sxf, syf, src_h, src_w)
     if planned is None:
+        _BUCKET_CACHE.pop(key, None)
         return None
     oy, ox, wh, s_sweep = planned
-    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
+        _BUCKET_CACHE.clear()
+    _BUCKET_CACHE[key] = (wh, s_sweep)
     fn = _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret)
-    return fn(jnp.asarray(src, jnp.uint8), jnp.asarray(sx, jnp.float32),
-              jnp.asarray(sy, jnp.float32), oy, ox, h, w)
+    return fn(src_u8, sxf, syf, oy, ox, h, w)

@@ -96,6 +96,29 @@ def test_infeasible_field_reports_none():
     assert gather_bilinear_u8(src, sx, sy, interpret=True) is None
 
 
+def test_cached_bucket_fast_path_identical():
+    """Second call with the same geometry takes the fused checked path
+    (no pre-kernel plan sync) and must stay bit-identical; a field that
+    outgrows the cached buckets falls back to a full re-plan."""
+    from paintfe_tpu.ops import warp_kernel as wk
+
+    src = _src(seed=3)
+    xx, yy = _grids()
+    sx, sy = (v.astype(np.float32) for v in FIELDS["swirl"](xx, yy))
+    first = gather_bilinear_u8(src, sx, sy, mode="zero", interpret=True)
+    key = (H, W, H, W, "zero", True)
+    assert key in wk._BUCKET_CACHE  # the plan's buckets were cached
+    second = gather_bilinear_u8(src, sx, sy, mode="zero", interpret=True)
+    assert np.array_equal(np.asarray(first), np.asarray(second))
+    assert np.array_equal(np.asarray(second), _ref_zero(src, sx, sy))
+    # same geometry, infeasible field: checked path reports not-ok and the
+    # re-plan returns None + evicts the stale bucket entry
+    sx_bad = ((xx * 7919.0) % W).astype(np.float32)
+    assert gather_bilinear_u8(src, sx_bad, yy, mode="zero",
+                              interpret=True) is None
+    assert key not in wk._BUCKET_CACHE
+
+
 def test_plan_buckets_monotonic():
     xx, yy = _grids()
     small = plan(xx - 2, yy - 2, H, W)
