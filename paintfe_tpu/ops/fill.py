@@ -7,8 +7,10 @@ sRGB->linear color distance + AA threshold mask
 (src/ui/panels/tools/behavior/raster/fill_magic.rs:78-132, 415-467).
 
 TPU shape: the distance map is fused elementwise work; contiguous
-reachability is a `lax.while_loop` over dilation steps (the reference GPU
-does the same relaxation with ping-pong buffers and a changed flag).
+reachability is a `lax.while_loop` of whole-run segment spreads
+(associative prefix scans along rows/columns) that converges in
+O(#path direction changes) iterations — the reference GPU relaxes one
+pixel per pass with ping-pong buffers and a changed flag, O(path length).
 """
 
 from __future__ import annotations
@@ -70,40 +72,74 @@ def threshold_alpha(distance, threshold: int, anti_aliased: bool):
     ).astype(jnp.uint8)
 
 
+def _segment_spread(reach, passable, axis):
+    """Spread `reach` to every pixel of each contiguous passable run (along
+    `axis`) that already contains a reached pixel — one associative scan
+    per direction instead of O(run length) one-pixel dilations.
+
+    Per element the propagation is the boolean linear recurrence
+    s' = (s | r_i) & p_i = (s & p_i) | (r_i & p_i), i.e. the transfer
+    function T_i(s) = (s & a_i) | b_i with a_i = passable, b_i = reach &
+    passable.  Transfer functions compose associatively
+    ((a1,b1) then (a2,b2) = (a1 & a2, (b1 & a2) | b2)), so lax
+    associative_scan evaluates all prefixes in O(log n) depth."""
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 & a2, (b1 & a2) | b2
+
+    a = passable
+    b = reach & passable
+    _, fwd = jax.lax.associative_scan(combine, (a, b), axis=axis)
+    _, bwd = jax.lax.associative_scan(combine, (a, b), axis=axis, reverse=True)
+    return fwd | bwd
+
+
 @functools.partial(jax.jit, static_argnames=("connectivity8",))
-def _reachability(passable, seed_y, seed_x, connectivity8=False):
-    """Iterative relaxation flood (the FLOOD_STEP shader as lax.while_loop):
-    grow the reachable set by dilation restricted to passable pixels."""
+def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
+    """Reachable set + iteration count (scanline relaxation).
+
+    The reference GPU fill relaxes one pixel per pass (FLOOD_STEP,
+    shaders.rs:548-673 — its variable step_size is vestigial: flood_fill.rs
+    :519-520 pins step_size=1 'for correct 4-connected flood fill'), so a
+    serpentine region needs O(path length) passes.  Here each iteration
+    floods whole horizontal then vertical passable runs via segment
+    spreads, converging in O(#direction changes of the worst path) — a 4K
+    spiral takes ~#windings iterations, not ~#pixels.  The fixpoint is the
+    exact connected component, bit-identical to 1-step dilation."""
     h, w = passable.shape
     reach0 = jnp.zeros((h, w), bool).at[seed_y, seed_x].set(True)
 
-    def dilate(r):
+    def diag(r):
         grown = r
-        grown = grown | jnp.pad(r, ((0, 0), (1, 0)))[:, :-1]
-        grown = grown | jnp.pad(r, ((0, 0), (0, 1)))[:, 1:]
-        grown = grown | jnp.pad(r, ((1, 0), (0, 0)))[:-1, :]
-        grown = grown | jnp.pad(r, ((0, 1), (0, 0)))[1:, :]
-        if connectivity8:
-            grown = grown | jnp.pad(r, ((1, 0), (1, 0)))[:-1, :-1]
-            grown = grown | jnp.pad(r, ((1, 0), (0, 1)))[:-1, 1:]
-            grown = grown | jnp.pad(r, ((0, 1), (1, 0)))[1:, :-1]
-            grown = grown | jnp.pad(r, ((0, 1), (0, 1)))[1:, 1:]
+        grown = grown | jnp.pad(r, ((1, 0), (1, 0)))[:-1, :-1]
+        grown = grown | jnp.pad(r, ((1, 0), (0, 1)))[:-1, 1:]
+        grown = grown | jnp.pad(r, ((0, 1), (1, 0)))[1:, :-1]
+        grown = grown | jnp.pad(r, ((0, 1), (0, 1)))[1:, 1:]
         return grown & passable
 
     def cond(state):
-        r, changed = state
+        _, changed, _ = state
         return changed
 
     def body(state):
-        r, _ = state
-        # several dilation sub-steps per iteration amortize the loop overhead
-        nr = r
-        for _ in range(8):
-            nr = dilate(nr)
-        return nr, jnp.any(nr != r)
+        r, _, n = state
+        nr = _segment_spread(r, passable, axis=1)
+        nr = _segment_spread(nr, passable, axis=0)
+        if connectivity8:
+            # diagonal single-steps between the straight runs
+            nr = diag(nr)
+        return nr, jnp.any(nr != r), n + 1
 
-    reach, _ = jax.lax.while_loop(cond, body, (dilate(reach0), jnp.array(True)))
-    return reach
+    reach, _, iters = jax.lax.while_loop(
+        cond, body, (reach0 & passable, jnp.array(True), jnp.int32(0)))
+    return reach, iters
+
+
+def _reachability(passable, seed_y, seed_x, connectivity8=False):
+    return _reachability_iters(passable, seed_y, seed_x,
+                               connectivity8=connectivity8)[0]
 
 
 def magic_wand_mask(img, x: int, y: int, tolerance: float, contiguous: bool = True,

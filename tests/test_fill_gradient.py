@@ -96,3 +96,72 @@ def test_gradient_eraser():
     )
     assert g[8, 0, 3] < 20 and g[8, 15, 3] > 235
     np.testing.assert_array_equal(g[..., 0], base[..., 0])
+
+
+def _bfs_reach(passable: np.ndarray, sy: int, sx: int, conn8=False) -> np.ndarray:
+    """Host-side BFS oracle for the exact connected component."""
+    from collections import deque
+
+    h, w = passable.shape
+    reach = np.zeros((h, w), bool)
+    if not passable[sy, sx]:
+        return reach
+    reach[sy, sx] = True
+    dq = deque([(sy, sx)])
+    steps = [(-1, 0), (1, 0), (0, -1), (0, 1)]
+    if conn8:
+        steps += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
+    while dq:
+        y, x = dq.popleft()
+        for dy, dx in steps:
+            ny, nx = y + dy, x + dx
+            if 0 <= ny < h and 0 <= nx < w and passable[ny, nx] and not reach[ny, nx]:
+                reach[ny, nx] = True
+                dq.append((ny, nx))
+    return reach
+
+
+def _serpentine(h, w, pitch=4):
+    """Boustrophedon corridor: horizontal walls every `pitch` rows with the
+    gap alternating between the right and left end — worst case for
+    1-step relaxation (path length ~ h*w/pitch)."""
+    passable = np.ones((h, w), bool)
+    for k, y in enumerate(range(pitch, h - 1, pitch)):
+        passable[y, :] = False
+        if k % 2 == 0:
+            passable[y, w - 2] = True  # gap on the right
+        else:
+            passable[y, 1] = True      # gap on the left
+    return passable
+
+
+def test_serpentine_reach_exact_and_fast():
+    """The scanline relaxation matches a BFS oracle bit-for-bit on a
+    256x256 serpentine maze and converges in ~O(#turns) iterations, not
+    O(path length) (the 1-step bound would be ~16k iterations here)."""
+    h = w = 256
+    passable = _serpentine(h, w)
+    reach, iters = fill._reachability_iters(
+        np.asarray(passable), 0, 0, connectivity8=False)
+    oracle = _bfs_reach(passable, 0, 0)
+    assert np.array_equal(np.asarray(reach), oracle)
+    turns = h // 4
+    assert int(iters) <= turns + 8, int(iters)
+
+
+def test_reachability_conn8_matches_bfs():
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        passable = rng.random((48, 64)) < 0.55
+        passable[10, 10] = True
+        for conn8 in (False, True):
+            reach, _ = fill._reachability_iters(
+                np.asarray(passable), 10, 10, connectivity8=conn8)
+            oracle = _bfs_reach(passable, 10, 10, conn8=conn8)
+            assert np.array_equal(np.asarray(reach), oracle), (trial, conn8)
+
+
+def test_reachability_blocked_seed():
+    passable = np.zeros((16, 16), bool)
+    reach, _ = fill._reachability_iters(np.asarray(passable), 3, 3)
+    assert not np.asarray(reach).any()
