@@ -30,78 +30,134 @@ def _measure(run_k, img_d, ov_d, salt, k_lo, k_hi):
     return (median_of(k_hi) - median_of(k_lo)) / (k_hi - k_lo)
 
 
+def _rotate_measure(call, make_variant, n=5):
+    """Wall-clock median over DISTINCT pre-built inputs (for ops whose
+    call path crosses the host, where the in-program k-loop can't apply).
+    Consumes a scalar from every result; discards the first call."""
+    import jax
+    import jax.numpy as jnp
+
+    variants = [make_variant(i) for i in range(n)]
+    jax.block_until_ready(variants)
+    int(jnp.asarray(call(variants[0])).astype(jnp.uint32).sum())
+    ts = []
+    for v in variants[1:]:
+        t0 = time.perf_counter()
+        int(jnp.asarray(call(v)).astype(jnp.uint32).sum())
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
 def table():
     """Extended per-op honest numbers (same in-program slope methodology).
-    Not the driver contract — run `python bench.py --table` by hand."""
+    Persisted as BENCH_TABLE.md; every perf number cited in README or a
+    commit message must have a row here a third party can re-run."""
     import jax
     import jax.numpy as jnp
 
     from paintfe_tpu.core.blend import BlendMode, blend_u8
-    from paintfe_tpu.core.composite import composite_stack_static
     from paintfe_tpu.ops import filters
+    from paintfe_tpu.ops.effects import artistic, contours as contours_mod
+    from paintfe_tpu.ops.effects import distort, render
     from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
-    from paintfe_tpu.ops.pallas_kernels import composite_stack_pallas, gaussian_blur_fused
+    from paintfe_tpu.ops.pallas_kernels import gaussian_blur_fused
 
     h, w = 2160, 3840
     rng = np.random.default_rng(0)
-    img_d = jax.device_put(np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8)))
+    img_np = np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+    img_d = jax.device_put(img_np)
     ov_d = jax.device_put(np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8)))
     salt = iter(range(10000))
 
-    cases = [
-        ("chain mega-kernel", lambda a, x: fused_chain_kernel(a, x)),
-        ("chain planar 2-kernel", lambda a, x: fused_chain(a, x)),
-        ("blur pallas fused", lambda a, x: gaussian_blur_fused(x, 2.0)),
-        ("blur xla separable", lambda a, x: filters.gaussian_blur(x, 2.0)),
-        ("median 3x3 network", lambda a, x: filters.median(x, 1)),
-        ("blend soft-light", lambda a, x: blend_u8(a, x, int(BlendMode.SOFT_LIGHT), 0.6)),
-    ]
-    for name, f in cases:
+    def row(name, per):
+        print(f"{name:26s} {per * 1000:8.2f} ms/4K-frame  "
+              f"{h * w / per / 1e9:6.2f} GPix/s")
+
+    def slope_row(name, f, k_lo=5, k_hi=35):
         @functools.partial(jax.jit, static_argnums=3)
         def run_k(img, ov, sv, k, f=f):
             ov = ov.at[0, 0, 0].set(sv)
             out = jax.lax.fori_loop(0, k, lambda i, x: f(img, x), ov)
             return out.astype(jnp.uint32).sum()
 
-        per = _measure(run_k, img_d, ov_d, salt, 5, 35)
-        print(f"{name:24s} {per * 1000:7.2f} ms/4K-frame  {h * w / per / 1e9:6.2f} GPix/s")
+        row(name, _measure(run_k, img_d, ov_d, salt, k_lo, k_hi))
 
-    # Rank/histogram family.  oil uses the k-loop; crystallize's routed
-    # accumulator doubles the live set inside a fori_loop (HBM pressure),
-    # so it rotates distinct pre-uploaded inputs instead.
-    import time as _t
+    slope_row("chain mega-kernel", lambda a, x: fused_chain_kernel(a, x))
+    slope_row("chain planar 2-kernel", lambda a, x: fused_chain(a, x))
+    slope_row("blur pallas fused", lambda a, x: gaussian_blur_fused(x, 2.0))
+    slope_row("blur xla separable", lambda a, x: filters.gaussian_blur(x, 2.0))
+    slope_row("median 3x3 network", lambda a, x: filters.median(x, 1))
+    slope_row("blend soft-light",
+              lambda a, x: blend_u8(a, x, int(BlendMode.SOFT_LIGHT), 0.6))
+    slope_row("bokeh blur r8", lambda a, x: filters.bokeh_blur(x, 8.0),
+              k_lo=2, k_hi=10)
+    slope_row("zoom blur s0.3x8", lambda a, x: filters.zoom_blur(x))
+    slope_row("reduce_noise s30 r2",
+              lambda a, x: filters.reduce_noise(x, 30.0, 2), k_lo=2, k_hi=10)
+    slope_row("dents s50 a20",
+              lambda a, x: distort.dents(x, 50.0, 20.0), k_lo=2, k_hi=10)
+    slope_row("contours s50 f8",
+              lambda a, x: contours_mod.contours(x, 50.0, 8.0, 2.0,
+                                                 (0, 0, 0, 255)),
+              k_lo=2, k_hi=10)
+    slope_row("outline w3",
+              lambda a, x: render.outline(x, 3.0, (255, 0, 255, 255)),
+              k_lo=2, k_hi=10)
+    # median r4: the tiled Pallas path (commit f6614f3's claim)
+    slope_row("median r4 pallas tiled", lambda a, x: filters.median(x, 4),
+              k_lo=1, k_hi=4)
+    slope_row("oil painting r3 l20",
+              lambda a, x: artistic.oil_painting(x, 3, 20), k_lo=1, k_hi=4)
 
-    from paintfe_tpu.ops.effects import artistic, distort
-
-    @functools.partial(jax.jit, static_argnums=3)
-    def run_oil_k(img, ov, sv, k):
-        ov = ov.at[0, 0, 0].set(sv)
-        out = jax.lax.fori_loop(0, k,
-                                lambda i, x: artistic.oil_painting(x, 3, 20), ov)
-        return out.astype(jnp.uint32).sum()
-
-    per = _measure(run_oil_k, img_d, ov_d, salt, 1, 4)
-    print(f"{'oil painting r3 l20':24s} {per * 1000:7.2f} ms/4K-frame  "
-          f"{h * w / per / 1e9:6.2f} GPix/s")
-
-    base = np.asarray(jax.device_get(img_d))
-    variants = []
-    for i in range(5):
-        v = base.copy()
+    # crystallize's routed accumulator doubles the live set inside a
+    # fori_loop (HBM pressure), so it rotates distinct inputs instead.
+    def crys_variant(i):
+        v = img_np.copy()
         v[0, 0, 0] = i
-        variants.append(jax.device_put(v))
-    jax.block_until_ready(variants)
-    int(jnp.asarray(distort.crystallize(variants[0], 16.0))
-        .astype(jnp.uint32).sum())
-    cts = []
-    for vd in variants[1:]:
-        t0 = _t.perf_counter()
-        int(jnp.asarray(distort.crystallize(vd, 16.0)).astype(jnp.uint32).sum())
-        cts.append(_t.perf_counter() - t0)
-    cts.sort()
-    per = cts[len(cts) // 2]
-    print(f"{'crystallize 16':24s} {per * 1000:7.2f} ms/4K-frame  "
-          f"{h * w / per / 1e9:6.2f} GPix/s")
+        return jax.device_put(v)
+
+    row("crystallize 16",
+        _rotate_measure(lambda v: distort.crystallize(v, 16.0), crys_variant))
+
+    # Flood fill / magic wand at 4K: host-interactive op (mask returned to
+    # the host), measured wall-clock over salted images.  Two geometries:
+    # a simple blob (common case) and a 4K serpentine (worst case the
+    # 1-step relaxation needed tens of thousands of iterations for).
+    from paintfe_tpu.ops import fill
+
+    blob = np.zeros((h, w, 4), np.uint8)
+    blob[...] = [30, 30, 30, 255]
+    blob[200:1800, 300:3500] = [200, 60, 60, 255]
+
+    def blob_variant(i):
+        v = blob.copy()
+        v[0, 0, 0] = i
+        return v  # host array: magic_wand_mask ingests from host
+
+    row("flood fill 4K blob",
+        _rotate_measure(
+            lambda v: jnp.asarray(fill.magic_wand_mask(v, 1000, 1000, 25.0)),
+            blob_variant))
+
+    serp = np.zeros((h, w, 4), np.uint8)
+    serp[...] = [220, 220, 220, 255]
+    for k, y in enumerate(range(16, h - 1, 16)):
+        serp[y, :] = [0, 0, 0, 255]
+        if k % 2 == 0:
+            serp[y, w - 2] = [220, 220, 220, 255]
+        else:
+            serp[y, 1] = [220, 220, 220, 255]
+
+    def serp_variant(i):
+        v = serp.copy()
+        v[0, 0, 3] = 255 - i  # salt without changing reachability
+        return v
+
+    row("flood fill 4K serpentine",
+        _rotate_measure(
+            lambda v: jnp.asarray(fill.magic_wand_mask(v, 8, 8, 25.0)),
+            serp_variant, n=4))
 
     # Warp family (liquify/mesh-warp field): the Pallas sweep-gather kernel
     # vs the XLA gather formulation.
@@ -134,15 +190,45 @@ def table():
         int(jnp.asarray(out).astype(jnp.uint32).sum())
         ts.append(_time.perf_counter() - t0)
     ts.sort()
-    per = ts[len(ts) // 2]
-    print(f"{'warp pallas sweep-gather':24s} {per * 1000:7.2f} ms/4K-frame  "
-          f"{h * w / per / 1e9:6.2f} GPix/s")
+    row("warp pallas sweep-gather", ts[len(ts) // 2])
+
+    # Warp END-TO-END: the public warp_displacement entry from a host-side
+    # displacement field (what a Liquify commit pays), incl. field
+    # upload + the cached checked program.
+    disp_np = np.stack([xx - sx_np, yy - sy_np], axis=-1).astype(np.float32)
+
+    def disp_variant(i):
+        v = disp_np.copy()
+        v[0, 0, 0] += np.float32(1e-4) * i
+        return v  # host array: the e2e path ingests from host
+
+    row("warp e2e warp_displacement",
+        _rotate_measure(
+            lambda v: jnp.asarray(tfm.warp_displacement(img_np, v)),
+            disp_variant))
+
+    # Interactive stroke: 20 frames, same geometry, sub-ulp field deltas,
+    # source + fields device-resident (a live Liquify keeps them there) —
+    # every frame after the first takes the plan-free cached path, so the
+    # amortized per-frame cost should approach the kernel row above.
+    frames = [
+        (jax.device_put(sx_np + np.float32(2e-4) * i),
+         jax.device_put(sy_np - np.float32(2e-4) * i))
+        for i in range(20)
+    ]
+    jax.block_until_ready(frames)
+    int(jnp.asarray(gather_bilinear_u8(img_d, *frames[0], interpret=False))
+        .astype(jnp.uint32).sum())  # warm plan + both compiled programs
+    t0 = _time.perf_counter()
+    for sxv, syv in frames:
+        int(jnp.asarray(gather_bilinear_u8(img_d, sxv, syv, interpret=False))
+            .astype(jnp.uint32).sum())
+    row("warp interactive (20 fr)", (_time.perf_counter() - t0) / len(frames))
 
     # XLA gather row: standard salted in-program k-chain (output feeds the
     # next frame's input; constant displacement field).
     xla_warp = tfm._warp_fn(h, w, h, w)
-    disp_d = jax.device_put(
-        np.stack([xx - sx_np, yy - sy_np], axis=-1).astype(np.float32))
+    disp_d = jax.device_put(disp_np)
 
     @functools.partial(jax.jit, static_argnums=3)
     def run_warp_k(img, disp, sv, k):
@@ -161,9 +247,24 @@ def table():
         ws.sort()
         return ws[len(ws) // 2]
 
-    per = (_wmed(4) - _wmed(1)) / 3
-    print(f"{'warp xla gather':24s} {per * 1000:7.2f} ms/4K-frame  "
-          f"{h * w / per / 1e9:6.2f} GPix/s")
+    row("warp xla gather", (_wmed(4) - _wmed(1)) / 3)
+
+    # Spatial fused chain over the local mesh (halo exchange via ppermute);
+    # on one chip this just measures the shard_map overhead envelope.
+    from paintfe_tpu.parallel.spatial import fused_chain_spatial, rows_mesh
+
+    n_dev = len(jax.local_devices())
+    mesh = rows_mesh(jax.local_devices())
+    ov_np = np.asarray(jax.device_get(ov_d))
+
+    def spatial_variant(i):
+        v = ov_np.copy()
+        v[0, 0, 0] = i
+        return jax.device_put(v)
+
+    row(f"spatial fused chain ({n_dev}-dev)",
+        _rotate_measure(
+            lambda v: fused_chain_spatial(img_d, v, mesh), spatial_variant))
 
 
 def main():

@@ -261,3 +261,187 @@ def jitter_color(color, hue_jitter: float, brightness_jitter: float,
         l = float(np.clip(l + (bh * 2.0 - 1.0) * brightness_jitter * 0.5, 0.0, 1.0))
     nr, ng, nb = hsl_to_rgb(np.float32(h), np.float32(s), np.float32(l))
     return (int(f32(nr) * 255.0), int(f32(ng) * 255.0), int(f32(nb) * 255.0))
+
+
+# ---------------------------------------------------------------------------
+# Stock tip registry
+# ---------------------------------------------------------------------------
+#
+# The reference embeds 13 stock tip PNGs at compile time
+# (assets/brushes/{basic,artistic,texture,vegetation}/ via build.rs ->
+# load_embedded_brush_tips, config/brushes.rs:1055-1066).  The registry
+# contract (names + categories) is reproduced here; the masks themselves
+# are generated procedurally and deterministically — original art, not the
+# reference's PNGs.
+
+_STOCK_SIZE = 128
+
+
+def _disc(s, r=0.48):
+    y, x = np.mgrid[0:s, 0:s].astype(f32)
+    cx = (s - 1) / 2.0
+    d = np.sqrt((x - cx) ** 2 + (y - cx) ** 2) / (s * r)
+    return x, y, cx, d
+
+
+def _hash01(s, seed):
+    rng = np.random.default_rng(seed)
+    return rng.random((s, s), np.float32)
+
+
+def _tip_square(s):
+    m = np.zeros((s, s), f32)
+    m[s // 8:-s // 8, s // 8:-s // 8] = 1.0
+    return m
+
+
+def _tip_diamond(s):
+    x, y, cx, _ = _disc(s)
+    d = (np.abs(x - cx) + np.abs(y - cx)) / (s * 0.45)
+    return np.clip(1.0 - np.maximum(d - 0.95, 0.0) * 12.0, 0.0, 1.0) * (d <= 1.05)
+
+
+def _tip_chalk(s):
+    _, _, _, d = _disc(s)
+    grain = _hash01(s, 101)
+    body = np.clip(1.0 - d, 0.0, 1.0) ** 0.4
+    return body * (grain > 0.35) * (0.55 + 0.45 * _hash01(s, 102))
+
+
+def _tip_charcoal(s):
+    _, _, _, d = _disc(s)
+    rough = 1.0 + 0.25 * (_hash01(s, 201) - 0.5)
+    body = (d * rough) < 0.95
+    return body * (0.4 + 0.6 * (_hash01(s, 202) > 0.15))
+
+
+def _tip_dry_brush(s):
+    x, _, _, d = _disc(s)
+    streak_seed = _hash01(s, 301)[0]  # one row -> per-column streak weight
+    streaks = np.tile(streak_seed, (s, 1))
+    return (d < 1.0) * (streaks > 0.3) * np.clip(1.2 - d, 0.0, 1.0)
+
+
+def _tip_ink_splatter(s):
+    _, _, _, d = _disc(s, 0.3)
+    m = np.clip(1.0 - d, 0.0, 1.0) ** 0.25
+    rng = np.random.default_rng(401)
+    y, x = np.mgrid[0:s, 0:s].astype(f32)
+    for _ in range(26):
+        px, py = rng.random(2) * s
+        pr = (0.5 + rng.random() * 3.0) * s / 64.0
+        dist = np.sqrt((x - px) ** 2 + (y - py) ** 2)
+        m = np.maximum(m, np.clip(1.0 - dist / pr, 0.0, 1.0) ** 0.5)
+    return m
+
+
+def _tip_spray(s):
+    _, _, _, d = _disc(s)
+    density = np.exp(-2.5 * d * d)
+    return ((_hash01(s, 501) < density * 0.35) * 1.0)
+
+
+def _tip_watercolor(s):
+    x, y, cx, _ = _disc(s)
+    ang = np.arctan2(y - cx, x - cx)
+    wobble = 1.0 + 0.12 * np.sin(5 * ang + 1.3) + 0.08 * np.sin(9 * ang)
+    d = np.sqrt((x - cx) ** 2 + (y - cx) ** 2) / (s * 0.42 * wobble)
+    body = np.clip(1.0 - d, 0.0, 1.0) ** 0.3 * 0.75
+    rim = np.clip(1.0 - np.abs(d - 0.92) * 8.0, 0.0, 1.0) * 0.25
+    return np.clip(body + rim, 0.0, 1.0)
+
+
+def _tip_blob(s):
+    y, x = np.mgrid[0:s, 0:s].astype(f32)
+    rng = np.random.default_rng(601)
+    field = np.zeros((s, s), f32)
+    for _ in range(5):
+        px, py = (0.3 + 0.4 * rng.random(2)) * s
+        pr = (0.18 + rng.random() * 0.12) * s
+        field += np.exp(-(((x - px) ** 2 + (y - py) ** 2) / (pr * pr)))
+    return np.clip(field - 0.35, 0.0, 1.0) ** 0.5
+
+
+def _tip_hatching(s):
+    x, y, _, d = _disc(s)
+    lines = ((x + y) % 12.0) < 3.0
+    return (d < 1.0) * lines * 1.0
+
+
+def _leafy(s, n_blades, seed, spread, curl):
+    """Shared frond/blade painter for the vegetation family."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:s, 0:s].astype(f32)
+    m = np.zeros((s, s), f32)
+    for b in range(n_blades):
+        bx = s * (0.25 + 0.5 * (b + 0.5) / n_blades) + rng.normal(0, s * 0.02)
+        lean = (b / max(n_blades - 1, 1) - 0.5) * spread
+        for t in np.linspace(0.0, 1.0, 48):
+            px = bx + lean * t * s + curl * np.sin(t * 3.0) * s * 0.05
+            py = s * (0.95 - 0.85 * t)
+            wd = (1.0 - t) * s * 0.02 + 0.7
+            dist = np.sqrt((x - px) ** 2 + (y - py) ** 2)
+            m = np.maximum(m, np.clip(1.0 - dist / wd, 0.0, 1.0))
+    return m
+
+
+def _tip_fern(s):
+    m = _leafy(s, 1, 701, 0.0, 1.0)
+    y, x = np.mgrid[0:s, 0:s].astype(f32)
+    # leaflets: short angled strokes off the stem
+    for t in np.linspace(0.1, 0.9, 12):
+        py = s * (0.95 - 0.85 * t)
+        px = s * 0.5 + np.sin(t * 3.0) * s * 0.05
+        ln = s * 0.16 * (1.0 - t)
+        for side in (-1.0, 1.0):
+            for u in np.linspace(0.0, 1.0, 14):
+                qx = px + side * u * ln
+                qy = py - u * ln * 0.35
+                dist = np.sqrt((x - qx) ** 2 + (y - qy) ** 2)
+                m = np.maximum(m, np.clip(1.0 - dist / 1.1, 0.0, 1.0) * (1.0 - 0.3 * u))
+    return m
+
+
+def _tip_grass(s):
+    return _leafy(s, 7, 801, 0.45, 0.3)
+
+
+def _tip_maple(s):
+    x, y, cx, _ = _disc(s)
+    ang = np.arctan2(y - cx, x - cx) + np.pi / 2
+    r = np.sqrt((x - cx) ** 2 + (y - cx) ** 2) / (s * 0.46)
+    lobes = 0.62 + 0.38 * np.abs(np.cos(2.5 * ang)) ** 0.6
+    body = (r < lobes) * 1.0
+    stem = (np.abs(x - cx) < s * 0.015) & (y > cx) & (r < 1.05)
+    return np.clip(body + stem, 0.0, 1.0)
+
+
+_STOCK_TIPS = {
+    # category -> [(name, generator)]
+    "basic": [("square", _tip_square), ("diamond", _tip_diamond)],
+    "artistic": [
+        ("chalk", _tip_chalk), ("charcoal", _tip_charcoal),
+        ("dry_brush", _tip_dry_brush), ("ink_splatter", _tip_ink_splatter),
+        ("spray", _tip_spray), ("watercolor", _tip_watercolor),
+    ],
+    "texture": [("blob", _tip_blob), ("hatching", _tip_hatching)],
+    "vegetation": [
+        ("fern", _tip_fern), ("grass", _tip_grass), ("maple", _tip_maple),
+    ],
+}
+
+
+def stock_library() -> BrushTipLibrary:
+    """The built-in tip registry: same names/categories as the reference's
+    embedded asset set (config/brushes.rs:1055-1066), procedural masks."""
+    lib = BrushTipLibrary()
+    for category, tips in _STOCK_TIPS.items():
+        for name, gen in tips:
+            mask = np.clip(
+                _round_half_away(gen(_STOCK_SIZE) * 255.0), 0, 255
+            ).astype(np.uint8)
+            tip = BrushTipData(name, category, mask, _STOCK_SIZE)
+            lib.tips[name] = tip
+            lib.categories.setdefault(category, [])
+            lib.categories[category].append(name)
+    return lib

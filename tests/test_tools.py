@@ -282,3 +282,38 @@ def test_draw_image_tip_eraser_and_jitter():
     c = bt.jitter_color((200, 40, 40), 0.5, 0.3, (10.0, 12.0), 7)
     assert c != (200, 40, 40) and all(0 <= v <= 255 for v in c)
     assert bt.jitter_color((200, 40, 40), 0.0, 0.0, (10.0, 12.0), 7) == (200, 40, 40)
+
+
+def test_stock_tip_registry_matches_reference_inventory():
+    """Same names/categories as the reference's embedded asset set
+    (assets/brushes/* via config/brushes.rs:1055-1066); masks are
+    procedural originals."""
+    from paintfe_tpu.tools.brush_tips import stock_library
+
+    lib = stock_library()
+    assert lib.categories == {
+        "basic": ["square", "diamond"],
+        "artistic": ["chalk", "charcoal", "dry_brush", "ink_splatter",
+                     "spray", "watercolor"],
+        "texture": ["blob", "hatching"],
+        "vegetation": ["fern", "grass", "maple"],
+    }
+    # deterministic across constructions
+    lib2 = stock_library()
+    for name, tip in lib.tips.items():
+        assert tip.mask_size == tip.mask.shape[0] == tip.mask.shape[1]
+        assert np.array_equal(tip.mask, lib2.tips[name].mask)
+        assert tip.mask.max() > 100        # real coverage, not near-empty
+        assert (tip.mask > 0).mean() > 0.01
+
+
+def test_stock_tips_stamp():
+    from paintfe_tpu.tools.brush_tips import (draw_image_tip, rebuild_tip_mask,
+                                              stock_library)
+
+    lib = stock_library()
+    for name, tip in lib.tips.items():
+        mask = rebuild_tip_mask(tip, 24.0, 0.8)
+        target = np.zeros((48, 48, 4), np.uint8)
+        draw_image_tip(target, (24.0, 24.0), mask, (255, 0, 0, 255))
+        assert (target[..., 3] > 0).any(), name
