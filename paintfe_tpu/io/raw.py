@@ -592,8 +592,9 @@ def load_nef(path) -> np.ndarray:
     Supported: TIFF-container NEFs whose raw SubIFD is uncompressed —
     either plain 16-bit or Nikon's packed 12/14-bit strips (MSB-first
     continuous bitstream).  Nikon-compressed (34713) raws raise a clear
-    error.  WB defaults to unit gains (the as-shot levels live in the
-    encrypted MakerNote section rawloader special-cases per model).
+    error.  As-shot WB is read from the Nikon MakerNote ("Nikon\\0" header
+    + embedded TIFF) tag 0x000c WB_RBLevels when present; unit gains
+    otherwise.
     """
     with open(path, "rb") as fh:
         blob = fh.read()
@@ -641,8 +642,41 @@ def _decode_nef(blob: bytes) -> np.ndarray:
     pattern = np.array(pat[:4], np.int32).reshape(2, 2)
     white = float((1 << bits) - 1)
     norm = np.clip(data / white, 0.0, 1.0)
+
+    gains = _nikon_as_shot_wb(blob, end, ifds)
+    if gains is not None:
+        ys, xs = np.mgrid[0:norm.shape[0], 0:norm.shape[1]]
+        norm = np.clip(norm * gains[pattern[ys % 2, xs % 2]], 0.0, 1.0)
     rgb = _demosaic_bilinear(norm, pattern)
     return _finish_srgb(rgb)
+
+
+def _nikon_as_shot_wb(blob, end, ifds) -> Optional[np.ndarray]:
+    """Green-normalized (r, 1, b) gains from MakerNote 0x000c WB_RBLevels
+    (order R, B, G1, G2; rationals), or None.  The Nikon MakerNote is a
+    "Nikon\\0<ver>" header followed by an embedded TIFF whose offsets are
+    relative to that embedded header."""
+    for t in ifds:
+        exif_off = t.get(T_EXIF_IFD, [0])[0]
+        if not exif_off:
+            continue
+        mn_off = _entry_data_offset(blob, end, exif_off, T_MAKER_NOTE)
+        if not mn_off or blob[mn_off:mn_off + 5] != b"Nikon":
+            return None
+        try:
+            _, mn_ifds = _all_ifds(blob[mn_off + 10:])
+        except RawError:
+            return None
+        for mt in mn_ifds:
+            wb = mt.get(0x000C)
+            if wb and len(wb) >= 4:
+                r, b, g1, g2 = (float(v) for v in wb[:4])
+                g = 0.5 * (g1 + g2) if (g1 or g2) else 1.0
+                if g <= 0 or r <= 0 or b <= 0:
+                    return None
+                return np.array([r / g, 1.0, b / g], np.float32)
+        return None
+    return None
 
 
 def _unpack_bits_msb(payload: bytes, bits: int, count: int) -> np.ndarray:

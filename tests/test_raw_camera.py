@@ -251,8 +251,11 @@ def test_cr2_garbage_raises_codec_error(tmp_path):
 # NEF
 # ---------------------------------------------------------------------------
 
-def write_nef(path, mosaic: np.ndarray, bits=12, compression=1):
-    """Synthesize a NEF: IFD0 with Make + SubIFD holding the packed CFA."""
+def write_nef(path, mosaic: np.ndarray, bits=12, compression=1, wb_rb=None):
+    """Synthesize a NEF: IFD0 with Make + SubIFD holding the packed CFA;
+    wb_rb=(R, B, G1, G2) adds a Nikon MakerNote ("Nikon\\0" header +
+    embedded TIFF, offsets relative to the embedded header) with tag
+    0x000c WB_RBLevels."""
     h, w = mosaic.shape
     if bits == 16:
         payload = mosaic.astype("<u2").tobytes()
@@ -276,7 +279,17 @@ def write_nef(path, mosaic: np.ndarray, bits=12, compression=1):
         271: (2, 18, "NIKON CORPORATION"),
         330: (4, 1, ("ifd", 1)),
     }
-    blob = _render_tiff([(ifd0_spec, None), (sub_spec, None)], [payload])
+    ifds = [(ifd0_spec, None), (sub_spec, None)]
+    if wb_rb is not None:
+        # embedded self-contained TIFF: offsets relative to its own start
+        mn_tiff = _render_tiff(
+            [({0x000C: (5, 4, [(int(v * 100), 100) for v in wb_rb])}, None)],
+            [])
+        mn = b"Nikon\x00\x02\x10\x00\x00" + mn_tiff
+        exif_spec = {0x927C: (7, len(mn), list(mn))}
+        ifd0_spec[34665] = (4, 1, ("ifd", 2))
+        ifds.append((exif_spec, None))
+    blob = _render_tiff(ifds, [payload])
     with open(path, "wb") as fh:
         fh.write(blob)
 
@@ -311,6 +324,17 @@ def test_nef_packed_roundtrip(tmp_path, bits):
     g_sites = mosaic[0:h:2, 0:w:2] / white
     expect = np.clip(np.floor(_srgb_vec(g_sites) * 255 + 0.5), 0, 255)
     assert np.array_equal(out[0:h:2, 0:w:2, 1].astype(np.float64), expect)
+
+
+def test_nef_as_shot_white_balance(tmp_path):
+    """MakerNote 0x000c WB_RBLevels (R=2, B=1.5, G=1) shift the channel
+    means: red > blue > green on a neutral mosaic."""
+    mosaic = np.full((16, 16), 1200, np.uint16)  # headroom: 1200*2 < 4095
+    p = tmp_path / "wb.nef"
+    write_nef(p, mosaic, bits=12, wb_rb=(2.0, 1.5, 1.0, 1.0))
+    out = codecs.load_image(p).astype(np.float32)
+    inner = out[3:-3, 3:-3]
+    assert inner[..., 0].mean() > inner[..., 2].mean() > inner[..., 1].mean()
 
 
 def test_nef_compressed_clear_error(tmp_path):
