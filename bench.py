@@ -95,8 +95,6 @@ def table():
     slope_row("zoom blur s0.3x8", lambda a, x: filters.zoom_blur(x))
     slope_row("reduce_noise s30 r2",
               lambda a, x: filters.reduce_noise(x, 30.0, 2), k_lo=2, k_hi=10)
-    slope_row("dents s50 a20",
-              lambda a, x: distort.dents(x, 50.0, 20.0), k_lo=2, k_hi=10)
     slope_row("contours s50 f8",
               lambda a, x: contours_mod.contours(x, 50.0, 8.0, 2.0,
                                                  (0, 0, 0, 255)),
@@ -119,6 +117,11 @@ def table():
 
     row("crystallize 16",
         _rotate_measure(lambda v: distort.crystallize(v, 16.0), crys_variant))
+
+    # dents routes through the warp kernel on TPU (host-side bucket plan
+    # per call), so the in-program k-loop can't apply: rotate inputs.
+    row("dents s50 a20",
+        _rotate_measure(lambda v: distort.dents(v, 50.0, 20.0), crys_variant))
 
     # Flood fill / magic wand at 4K: host-interactive op (mask returned to
     # the host), measured wall-clock over salted images.  Two geometries:

@@ -275,8 +275,14 @@ def _kernel_clamp_warp(img, src_x, src_y):
     """TPU fast path for the inverse-mapped samplers: the Pallas sweep
     gather in clamp mode (bit-exact with round_u8(sample_bilinear)).
     Returns None off-TPU, for small images (the XLA gather is cheap there
-    and each kernel specialization costs a Mosaic compile), or when the
-    field is infeasible."""
+    and each kernel specialization costs a Mosaic compile), under an
+    outer jax trace (the bucket plan needs concrete field values — e.g.
+    the vmapped batch pipeline or a bench fori_loop), or when the field
+    is infeasible."""
+    import jax.core
+
+    if any(isinstance(v, jax.core.Tracer) for v in (img, src_x, src_y)):
+        return None
     if not _kernel_warp_eligible(img.shape[0], img.shape[1]):
         return None
     from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8

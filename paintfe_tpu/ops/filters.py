@@ -305,17 +305,23 @@ def _zoom_fn(cx_n, cy_n, strength, samples, tint, tint_strength, h, w):
     @jax.jit
     def run(img):
         src = img.astype(jnp.uint32)
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :].repeat(h, 0)
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None].repeat(w, 1)
-        dx = xs - cx
-        dy = ys - cy
+        # the zoom map is SEPARABLE: the sample column depends only on x
+        # and the sample row only on y, so each of the n taps is two 1-D
+        # takes (rows then lanes) instead of a full 2-D gather — same
+        # indices, bit-identical, ~100x less gather work at 4K
+        xs1 = jnp.arange(w, dtype=jnp.float32)
+        ys1 = jnp.arange(h, dtype=jnp.float32)
         acc = jnp.zeros((h, w, 4), jnp.uint32)
         for i in range(n):
             t = f32(1.0) - s * (f32(i) / f32(n - 1))
-            sx = jnp.clip(_round_half_away(cx + dx * t).astype(jnp.int32), 0, w - 1)
-            sy = jnp.clip(_round_half_away(cy + dy * t).astype(jnp.int32), 0, h - 1)
-            acc = acc + src[sy, sx]
+            sxv = jnp.clip(_round_half_away(cx + (xs1 - cx) * t)
+                           .astype(jnp.int32), 0, w - 1)
+            syv = jnp.clip(_round_half_away(cy + (ys1 - cy) * t)
+                           .astype(jnp.int32), 0, h - 1)
+            acc = acc + jnp.take(jnp.take(src, syv, axis=0), sxv, axis=1)
         out = acc.astype(jnp.float32) * inv_n
+        dx = xs1[None, :] - cx
+        dy = ys1[:, None] - cy
         if tint_strength > 0.001:
             dist = jnp.sqrt(dx * dx + dy * dy)
             tt = jnp.maximum(1.0 - exact_div(dist, f32(max_dist)), 0.0) * f32(tint_strength)

@@ -396,14 +396,19 @@ def warp_displacement(src, field):
     (ops/warp_kernel.py, bit-identical; the GPU analogue is LIQUIFY_WARP,
     shaders.rs:1390-1462) and falls back to the XLA gather formulation
     when the field's per-tile spans exceed the kernel's buckets."""
-    src = np.asarray(src)
+    import jax.core
+
+    traced = isinstance(src, jax.core.Tracer) or isinstance(field, jax.core.Tracer)
+    if not traced:
+        src = np.asarray(src)
     if isinstance(field, DisplacementField):
         disp = field.data
         h, w = field.height, field.width
     else:
-        disp = np.asarray(field, f32)
+        disp = field if traced else np.asarray(field, f32)
         h, w = disp.shape[:2]
-    if jax.default_backend() == "tpu" and h * w >= (1 << 19):
+    if (not traced and jax.default_backend() == "tpu"
+            and h * w >= (1 << 19)):
         # big frames only: below ~0.5 Mpix the XLA gather is cheap and a
         # fresh Mosaic specialization costs far more than it saves
         from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
