@@ -99,9 +99,6 @@ def table():
               lambda a, x: contours_mod.contours(x, 50.0, 8.0, 2.0,
                                                  (0, 0, 0, 255)),
               k_lo=2, k_hi=10)
-    slope_row("outline w3",
-              lambda a, x: render.outline(x, 3.0, (255, 0, 255, 255)),
-              k_lo=2, k_hi=10)
     # median r4: the tiled Pallas path (commit f6614f3's claim)
     slope_row("median r4 pallas tiled", lambda a, x: filters.median(x, 4),
               k_lo=1, k_hi=4)
@@ -119,15 +116,32 @@ def table():
         _rotate_measure(lambda v: distort.crystallize(v, 16.0), crys_variant))
 
     # dents routes through the warp kernel on TPU (host-side bucket plan
-    # per call), so the in-program k-loop can't apply: rotate inputs.
+    # per call) and outline early-outs on a host-side transparency check,
+    # so the in-program k-loop can't apply: rotate distinct inputs.
     row("dents s50 a20",
         _rotate_measure(lambda v: distort.dents(v, 50.0, 20.0), crys_variant))
+    row("outline w3",
+        _rotate_measure(
+            lambda v: render.outline(v, 3.0, (255, 0, 255, 255)),
+            crys_variant))
 
-    # Flood fill / magic wand at 4K: host-interactive op (mask returned to
-    # the host), measured wall-clock over salted images.  Two geometries:
-    # a simple blob (common case) and a 4K serpentine (worst case the
-    # 1-step relaxation needed tens of thousands of iterations for).
+    # Flood fill / magic wand at 4K: distance map + threshold + scanline
+    # reachability as one device program (this rig's ~30 MB/s dev tunnel
+    # would otherwise measure the image upload, not the op).  Two
+    # geometries: a simple blob (common case) and a 4K serpentine (the
+    # worst case 1-step relaxation needed tens of thousands of sequential
+    # steps for).
     from paintfe_tpu.ops import fill
+
+    thr = fill.tolerance_threshold_u8(25.0)
+
+    @functools.partial(jax.jit, static_argnums=(1, 2))
+    def wand_device(img, y, x):
+        dist = fill.perceptual_distance_map(img, img[y, x])
+        alpha = fill.threshold_alpha(dist, thr, True)
+        passable = dist <= min(thr + 1, 255)
+        reach = fill._reachability(passable, y, x)
+        return jnp.where(reach, alpha, 0).astype(jnp.uint32).sum()
 
     blob = np.zeros((h, w, 4), np.uint8)
     blob[...] = [30, 30, 30, 255]
@@ -136,12 +150,10 @@ def table():
     def blob_variant(i):
         v = blob.copy()
         v[0, 0, 0] = i
-        return v  # host array: magic_wand_mask ingests from host
+        return jax.device_put(v)
 
     row("flood fill 4K blob",
-        _rotate_measure(
-            lambda v: jnp.asarray(fill.magic_wand_mask(v, 1000, 1000, 25.0)),
-            blob_variant))
+        _rotate_measure(lambda v: wand_device(v, 1000, 1000), blob_variant))
 
     serp = np.zeros((h, w, 4), np.uint8)
     serp[...] = [220, 220, 220, 255]
@@ -154,13 +166,11 @@ def table():
 
     def serp_variant(i):
         v = serp.copy()
-        v[0, 0, 3] = 255 - i  # salt without changing reachability
-        return v
+        v[0, 1, 0] = 219 - i  # salt without changing reachability
+        return jax.device_put(v)
 
     row("flood fill 4K serpentine",
-        _rotate_measure(
-            lambda v: jnp.asarray(fill.magic_wand_mask(v, 8, 8, 25.0)),
-            serp_variant, n=4))
+        _rotate_measure(lambda v: wand_device(v, 8, 8), serp_variant, n=4))
 
     # Warp family (liquify/mesh-warp field): the Pallas sweep-gather kernel
     # vs the XLA gather formulation.
