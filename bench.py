@@ -118,7 +118,12 @@ def table():
     # dents routes through the warp kernel on TPU (host-side bucket plan
     # per call) and outline early-outs on a host-side transparency check,
     # so the in-program k-loop can't apply: rotate distinct inputs.
-    row("dents s50 a20",
+    # two dents rows: dialog-typical magnitude (±16 px, sweep kernel) and
+    # extreme scale*amount (±1000 px — infeasible for the buckets by
+    # design, lands on the XLA gather fallback)
+    row("dents s8 a2 (kernel)",
+        _rotate_measure(lambda v: distort.dents(v, 8.0, 2.0), crys_variant))
+    row("dents s50 a20 (fallback)",
         _rotate_measure(lambda v: distort.dents(v, 50.0, 20.0), crys_variant))
     row("outline w3",
         _rotate_measure(
@@ -237,6 +242,19 @@ def table():
         int(jnp.asarray(gather_bilinear_u8(img_d, sxv, syv, interpret=False))
             .astype(jnp.uint32).sum())
     row("warp interactive (20 fr)", (_time.perf_counter() - t0) / len(frames))
+
+    # Deferred-check variant: the ok flag is fetched TOGETHER with the
+    # frame's display consume (one tunnel round trip per frame instead of
+    # two); a False ok (rare bucket outgrow) would mean redoing that
+    # frame.  This is the steady-state interactive cost model.
+    t0 = _time.perf_counter()
+    for sxv, syv in frames:
+        out, ok = gather_bilinear_u8(img_d, sxv, syv, interpret=False,
+                                     defer_check=True)
+        s = out.astype(jnp.uint32).sum()
+        _sv, okv = jax.device_get((s, ok))
+        assert bool(okv)
+    row("warp interactive deferred", (_time.perf_counter() - t0) / len(frames))
 
     # XLA gather row: standard salted in-program k-chain (output feeds the
     # next frame's input; constant displacement field).

@@ -344,7 +344,8 @@ _BUCKET_CACHE_MAX = 128
 
 
 def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
-                       interpret: Optional[bool] = None):
+                       interpret: Optional[bool] = None,
+                       defer_check: bool = False):
     """Bilinear gather `out[y,x] = bilerp(src, sx[y,x], sy[y,x])`.
 
     mode="zero": ops/transform._warp_fn semantics — clamped taps zeroed
@@ -357,7 +358,13 @@ def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
     checked program and only re-plan when the field outgrows them.
 
     Returns None when the field is infeasible for the sweep kernel; the
-    caller should then use the XLA gather path."""
+    caller should then use the XLA gather path.
+
+    defer_check=True returns `(out, ok)` WITHOUT any host sync: `ok` is a
+    device bool scalar that is True iff `out` is valid.  Interactive
+    callers batch-fetch frame i's ok together with their own per-frame
+    consume (one round trip total) and redo the rare frame whose ok came
+    back False.  An infeasible-by-plan field still returns (None, None)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     src_h, src_w = src.shape[0], src.shape[1]
@@ -374,16 +381,19 @@ def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
         fn = _gather_fn_checked(wh, s_sweep, hp, wp, src_h, src_w, mode,
                                 interpret)
         out, ok = fn(src_u8, sxf, syf, h, w)
+        if defer_check:
+            return out, ok
         if bool(ok):  # the ONLY host sync on the steady-state path
             return out
 
     planned = plan(sxf, syf, src_h, src_w)
     if planned is None:
         _BUCKET_CACHE.pop(key, None)
-        return None
+        return (None, None) if defer_check else None
     oy, ox, wh, s_sweep = planned
     if len(_BUCKET_CACHE) >= _BUCKET_CACHE_MAX:
         _BUCKET_CACHE.clear()
     _BUCKET_CACHE[key] = (wh, s_sweep)
     fn = _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret)
-    return fn(src_u8, sxf, syf, oy, ox, h, w)
+    out = fn(src_u8, sxf, syf, oy, ox, h, w)
+    return (out, jnp.asarray(True)) if defer_check else out

@@ -75,38 +75,23 @@ def composite_spatial(layers, modes, opacities, mesh: Optional[Mesh] = None):
     return out[:h]
 
 
-def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
-    """The headline fused chain (ops/fused_chain.fused_chain_kernel) over a
-    row-sharded mesh: each shard exchanges its r boundary rows with its
-    neighbors over ICI (jax.lax.ppermute), runs the Pallas mega-kernel on
-    its halo-extended block, and crops — the scaling-book recipe (shard,
-    exchange halos, compute locally) applied to an image kernel.  Boundary
-    shards replicate their own edge rows where no neighbor exists, so the
-    result is bit-identical to the single-device kernel.
-    """
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _fused_chain_spatial_fn(mesh: Mesh, r: int, params_items: tuple):
+    """Jitted shard_map program for (mesh, halo radius, params) — cached so
+    repeated calls are jit cache HITS (a fresh shard_map closure per call
+    would retrace + relower every frame)."""
     try:
         from jax import shard_map  # jax >= 0.8
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
 
     from paintfe_tpu.ops.fused_chain import fused_chain_kernel
-    from paintfe_tpu.ops.filters import gaussian_kernel
 
-    mesh = mesh if mesh is not None else rows_mesh()
     n = mesh.devices.size
-    sigma = params.get("sigma", 2.0)
-    r = int(gaussian_kernel(float(sigma)).shape[0] - 1) // 2
-
-    img = jnp.asarray(img, jnp.uint8)
-    overlay = jnp.asarray(overlay, jnp.uint8)
-    h, w = img.shape[0], img.shape[1]
-    pad = (-h) % n
-    if pad:
-        img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
-        overlay = jnp.concatenate(
-            [overlay, jnp.repeat(overlay[-1:], pad, axis=0)], axis=0
-        )
-    sharding = rows_sharding(mesh)
+    params = dict(params_items)
 
     def local(block, ov_block):
         idx = jax.lax.axis_index("rows")
@@ -134,7 +119,37 @@ def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
         fn = shard_map(local, mesh=mesh,
                        in_specs=(P("rows", None, None),) * 2,
                        out_specs=P("rows", None, None), check_rep=False)
+    return jax.jit(fn)
+
+
+def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
+    """The headline fused chain (ops/fused_chain.fused_chain_kernel) over a
+    row-sharded mesh: each shard exchanges its r boundary rows with its
+    neighbors over ICI (jax.lax.ppermute), runs the Pallas mega-kernel on
+    its halo-extended block, and crops — the scaling-book recipe (shard,
+    exchange halos, compute locally) applied to an image kernel.  Boundary
+    shards replicate their own edge rows where no neighbor exists, so the
+    result is bit-identical to the single-device kernel.
+    """
+    from paintfe_tpu.ops.filters import gaussian_kernel
+
+    mesh = mesh if mesh is not None else rows_mesh()
+    n = mesh.devices.size
+    sigma = params.get("sigma", 2.0)
+    r = int(gaussian_kernel(float(sigma)).shape[0] - 1) // 2
+
+    img = jnp.asarray(img, jnp.uint8)
+    overlay = jnp.asarray(overlay, jnp.uint8)
+    h = img.shape[0]
+    pad = (-h) % n
+    if pad:
+        img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
+        overlay = jnp.concatenate(
+            [overlay, jnp.repeat(overlay[-1:], pad, axis=0)], axis=0
+        )
+    sharding = rows_sharding(mesh)
+    fn = _fused_chain_spatial_fn(mesh, r, tuple(sorted(params.items())))
     placed = jax.device_put(img, sharding)
     ov_placed = jax.device_put(overlay, sharding)
-    out = jax.jit(fn)(placed, ov_placed)
+    out = fn(placed, ov_placed)
     return out[:h]
