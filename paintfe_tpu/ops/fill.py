@@ -72,28 +72,7 @@ def threshold_alpha(distance, threshold: int, anti_aliased: bool):
     ).astype(jnp.uint8)
 
 
-def _segment_spread(reach, passable, axis):
-    """Spread `reach` to every pixel of each contiguous passable run (along
-    `axis`) that already contains a reached pixel — one associative scan
-    per direction instead of O(run length) one-pixel dilations.
-
-    Per element the propagation is the boolean linear recurrence
-    s' = (s | r_i) & p_i = (s & p_i) | (r_i & p_i), i.e. the transfer
-    function T_i(s) = (s & a_i) | b_i with a_i = passable, b_i = reach &
-    passable.  Transfer functions compose associatively
-    ((a1,b1) then (a2,b2) = (a1 & a2, (b1 & a2) | b2)), so lax
-    associative_scan evaluates all prefixes in O(log n) depth."""
-
-    def combine(left, right):
-        a1, b1 = left
-        a2, b2 = right
-        return a1 & a2, (b1 & a2) | b2
-
-    a = passable
-    b = reach & passable
-    _, fwd = jax.lax.associative_scan(combine, (a, b), axis=axis)
-    _, bwd = jax.lax.associative_scan(combine, (a, b), axis=axis, reverse=True)
-    return fwd | bwd
+_NEG_BIG = -(1 << 30)  # plain int: no device array materialized at import
 
 
 @functools.partial(jax.jit, static_argnames=("connectivity8",))
@@ -104,12 +83,37 @@ def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
     shaders.rs:548-673 — its variable step_size is vestigial: flood_fill.rs
     :519-520 pins step_size=1 'for correct 4-connected flood fill'), so a
     serpentine region needs O(path length) passes.  Here each iteration
-    floods whole horizontal then vertical passable runs via segment
-    spreads, converging in O(#direction changes of the worst path) — a 4K
-    spiral takes ~#windings iterations, not ~#pixels.  The fixpoint is the
-    exact connected component, bit-identical to 1-step dilation."""
+    floods whole horizontal then vertical passable runs, converging in
+    O(#direction changes of the worst path) — a 4K spiral takes
+    ~#windings iterations, not ~#pixels.  The fixpoint is the exact
+    connected component, bit-identical to 1-step dilation.
+
+    Run spreading is index comparisons over `lax.cummax`: a pixel x is in
+    a reached run iff the last reached index at-or-before x beats the
+    last wall index before-or-at x (and mirrored for the other
+    direction).  The wall cummaxes are loop-invariant, so each iteration
+    costs just one reach-cummax per direction."""
     h, w = passable.shape
     reach0 = jnp.zeros((h, w), bool).at[seed_y, seed_x].set(True)
+    wall = ~passable
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    # last/next wall index per direction (loop-invariant)
+    lw_x = jax.lax.cummax(jnp.where(wall, col, _NEG_BIG), axis=1)
+    nw_x = jax.lax.cummax(jnp.where(wall, -col, _NEG_BIG), axis=1, reverse=True)
+    lw_y = jax.lax.cummax(jnp.where(wall, rowi, _NEG_BIG), axis=0)
+    nw_y = jax.lax.cummax(jnp.where(wall, -rowi, _NEG_BIG), axis=0, reverse=True)
+
+    def spread_x(r):
+        lr = jax.lax.cummax(jnp.where(r, col, _NEG_BIG), axis=1)
+        nr = jax.lax.cummax(jnp.where(r, -col, _NEG_BIG), axis=1, reverse=True)
+        return passable & ((lr > lw_x) | (nr > nw_x))
+
+    def spread_y(r):
+        lr = jax.lax.cummax(jnp.where(r, rowi, _NEG_BIG), axis=0)
+        nr = jax.lax.cummax(jnp.where(r, -rowi, _NEG_BIG), axis=0, reverse=True)
+        return passable & ((lr > lw_y) | (nr > nw_y))
 
     def diag(r):
         grown = r
@@ -125,8 +129,7 @@ def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
 
     def body(state):
         r, _, n = state
-        nr = _segment_spread(r, passable, axis=1)
-        nr = _segment_spread(nr, passable, axis=0)
+        nr = spread_y(spread_x(r))
         if connectivity8:
             # diagonal single-steps between the straight runs
             nr = diag(nr)
