@@ -280,6 +280,43 @@ def table():
 
     row("warp xla gather", (_wmed(4) - _wmed(1)) / 3)
 
+    # Batch pipeline: the traced 4-op script chain vmapped over 64 512x512
+    # images (README's batch number).  Salted in-program k-loop over the
+    # jitted vmapped chain.
+    from paintfe_tpu.parallel.pipeline import PipelineOp, _batch_fn
+
+    ops = (
+        PipelineOp("apply_desaturate", ()),
+        PipelineOp("apply_brightness_contrast", (10.0, 20.0)),
+        PipelineOp("apply_levels", (10.0, 245.0, 1.1)),
+        PipelineOp("apply_sepia", (0.5,)),
+    )
+    chain_fn = _batch_fn(ops)
+    batch_np = np.asarray(rng.integers(0, 256, (64, 512, 512, 4), np.uint8))
+    batch_d = jax.device_put(batch_np)
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def run_batch_k(batch, sv, k):
+        batch = batch.at[0, 0, 0, 0].set(sv)
+        out = jax.lax.fori_loop(0, k, lambda i, x: chain_fn(x), batch)
+        return out.astype(jnp.uint32).sum()
+
+    def _bmed(k, reps=3):
+        int(run_batch_k(batch_d, jnp.uint8(next(salt)), k))
+        bs = []
+        for _ in range(reps):
+            sv = jnp.uint8(next(salt))
+            t0 = _time.perf_counter()
+            int(run_batch_k(batch_d, sv, k))
+            bs.append(_time.perf_counter() - t0)
+        bs.sort()
+        return bs[len(bs) // 2]
+
+    per = (_bmed(20) - _bmed(5)) / 15
+    npx = 64 * 512 * 512
+    print(f"{'batch 4-op chain 64x512^2':26s} {per * 1000:8.2f} ms/batch     "
+          f"{npx / per / 1e9:6.2f} GPix/s")
+
     # Spatial fused chain over the local mesh (halo exchange via ppermute);
     # on one chip this just measures the shard_map overhead envelope.
     from paintfe_tpu.parallel.spatial import fused_chain_spatial, rows_mesh

@@ -119,6 +119,27 @@ def test_cached_bucket_fast_path_identical():
     assert key not in wk._BUCKET_CACHE
 
 
+def test_defer_check_mode():
+    """defer_check=True returns (out, ok) with no host sync; out matches
+    the synchronous path bit-for-bit when ok is True, and an infeasible
+    field yields (None, None)."""
+    src = _src(seed=4)
+    xx, yy = _grids()
+    sx, sy = (v.astype(np.float32) for v in FIELDS["const_shift"](xx, yy))
+    sync = gather_bilinear_u8(src, sx, sy, mode="zero", interpret=True)
+    out, ok = gather_bilinear_u8(src, sx, sy, mode="zero", interpret=True,
+                                 defer_check=True)
+    assert bool(ok)
+    assert np.array_equal(np.asarray(out), np.asarray(sync))
+    # infeasible field: either (None, None) from a fresh plan, or a
+    # deferred ok=False from the cached-bucket program — both tell the
+    # caller the output is unusable
+    sx_bad = ((xx * 7919.0) % W).astype(np.float32)
+    out2, ok2 = gather_bilinear_u8(src, sx_bad, yy, mode="zero",
+                                   interpret=True, defer_check=True)
+    assert (out2 is None and ok2 is None) or not bool(ok2)
+
+
 def test_plan_buckets_monotonic():
     xx, yy = _grids()
     small = plan(xx - 2, yy - 2, H, W)
