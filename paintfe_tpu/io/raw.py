@@ -166,6 +166,13 @@ def _pick_raw_ifd(ifds: List[Dict[int, list]]) -> Dict[int, list]:
 def ljpeg_decode(stream: bytes) -> np.ndarray:
     """Decode one SOF3 lossless-JPEG stream to a (lines, samples) u16 array
     (components interleaved along the row) via the native decoder."""
+    return ljpeg_decode_full(stream)[0]
+
+
+def ljpeg_decode_full(stream: bytes) -> Tuple[np.ndarray, int]:
+    """Like ljpeg_decode but also returns the SOF3 sample precision (the
+    authoritative bit depth — CR2 normalization must not guess it from
+    pixel values, which misreads dark 14-bit frames as 12-bit)."""
     from paintfe_tpu import native
 
     lib = native.load()
@@ -177,14 +184,14 @@ def ljpeg_decode(stream: bytes) -> np.ndarray:
     rc = lib.ljpeg_info(buf, len(stream), info)
     if rc != 0:
         raise RawError(_LJPEG_ERRORS.get(rc, f"LJPEG error {rc}"))
-    w, h, nc, _prec = (int(v) for v in info)
+    w, h, nc, prec = (int(v) for v in info)
     out = np.zeros(h * w * nc, np.uint16)
     rc = lib.ljpeg_decode(
         buf, len(stream),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out.size)
     if rc != 0:
         raise RawError(_LJPEG_ERRORS.get(rc, f"LJPEG error {rc}"))
-    return out.reshape(h, w * nc)
+    return out.reshape(h, w * nc), prec
 
 
 _LJPEG_ERRORS = {
@@ -480,7 +487,7 @@ def _decode_cr2(blob: bytes) -> np.ndarray:
     rtags = raw_ifds[-1]
     offs = rtags[T_STRIP_OFFSETS]
     cnts = rtags.get(T_STRIP_COUNTS, [len(blob) - offs[0]])
-    dec = ljpeg_decode(blob[offs[0]:offs[0] + cnts[0]])
+    dec, prec = ljpeg_decode_full(blob[offs[0]:offs[0] + cnts[0]])
     h, w = dec.shape
 
     slices = rtags.get(T_CR2_SLICES)
@@ -511,8 +518,7 @@ def _decode_cr2(blob: bytes) -> np.ndarray:
                 black = float(np.mean(data[top:bottom + 1, :left - 2]))
             data = data[top:bottom + 1, left:right + 1]
 
-    prec = 14 if data.max(initial=0.0) > 4095 else 12
-    white = float((1 << prec) - 1)
+    white = float((1 << prec) - 1)  # authoritative SOF3 precision
     norm = np.clip((data - f32(black)) / max(white - black, 1.0), 0.0, 1.0)
 
     gains = np.array([1.0, 1.0, 1.0], np.float32)
@@ -685,8 +691,12 @@ def _unpack_bits_msb(payload: bytes, bits: int, count: int) -> np.ndarray:
     if len(payload) < need_bytes:
         raise RawError("NEF strip data shorter than the packed raster")
     if bits == 12:
-        # 3 bytes -> 2 samples, fully vectorized
+        # 3 bytes -> 2 samples, fully vectorized; an odd sample count
+        # legally packs into ceil(count*12/8) bytes, half a triple short —
+        # pad the tail so the pair math stays uniform
         n_pairs = (count + 1) // 2
+        if len(payload) < n_pairs * 3:
+            payload = payload + b"\0" * (n_pairs * 3 - len(payload))
         buf = np.frombuffer(payload, np.uint8, count=n_pairs * 3)
         b0 = buf[0::3].astype(np.uint16)
         b1 = buf[1::3].astype(np.uint16)

@@ -24,7 +24,7 @@
 namespace {
 
 struct Huff {
-    uint8_t nvals = 0;
+    int32_t nvals = 0;  // up to 256 symbols: must not be truncated to u8
     uint8_t vals[256];
     int32_t mincode[17];
     int32_t maxcode[17];  // -1 where no codes of that length
@@ -45,7 +45,7 @@ struct Huff {
             }
             code <<= 1;
         }
-        nvals = (uint8_t)(k < 256 ? k : 255);
+        nvals = k;
         present = true;
     }
 };
@@ -137,7 +137,8 @@ struct Frame {
     int width = 0;  // samples per line, per component
     int ncomp = 0;
     int comp_id[4];
-    int comp_table[4];  // DC table id from SOS
+    int comp_table[4] = {-1, -1, -1, -1};  // DC table id from SOS; a
+    // duplicate-Cs SOS could otherwise leave entries uninitialized
     int predictor = 1;  // SOS Ss
     int pt = 0;         // SOS Al (point transform)
     int restart_interval = 0;
@@ -217,6 +218,8 @@ int parse_headers(const uint8_t* data, uint32_t len, Frame& fr, Huff tables[4]) 
                 if (found < 0) return -1;
                 fr.comp_table[found] = td;
             }
+            for (int c = 0; c < fr.ncomp; c++)
+                if (fr.comp_table[c] < 0) return -1;  // unassigned comp
             fr.predictor = seg[1 + 2 * ns];      // Ss
             fr.pt = seg[3 + 2 * ns] & 0x0F;      // Al
             if (fr.predictor < 1 || fr.predictor > 7) return -2;

@@ -363,8 +363,10 @@ def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
     defer_check=True returns `(out, ok)` WITHOUT any host sync: `ok` is a
     device bool scalar that is True iff `out` is valid.  Interactive
     callers batch-fetch frame i's ok together with their own per-frame
-    consume (one round trip total) and redo the rare frame whose ok came
-    back False.  An infeasible-by-plan field still returns (None, None)."""
+    consume (one round trip total).  When ok comes back False the cached
+    buckets are stale: redo that frame with defer_check=False, which
+    re-plans and refreshes (or evicts) the cache entry.  A call that has
+    no cached buckets and whose plan is infeasible returns (None, None)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     src_h, src_w = src.shape[0], src.shape[1]

@@ -13,6 +13,7 @@ are bit-identical to the single-device run.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -73,9 +74,6 @@ def composite_spatial(layers, modes, opacities, mesh: Optional[Mesh] = None):
     opacities = jnp.asarray(opacities, jnp.float32)
     out = composite_stack_static(placed, modes, opacities)
     return out[:h]
-
-
-import functools
 
 
 @functools.lru_cache(maxsize=32)

@@ -379,3 +379,34 @@ def _srgb_vec(v: np.ndarray) -> np.ndarray:
     lo = v * np.float32(12.92)
     hi = np.float32(1.055) * np.power(v, np.float32(1 / 2.4)) - np.float32(0.055)
     return np.where(v <= np.float32(0.0031308), lo, hi)
+
+
+def test_cr2_dark_14bit_uses_sof3_precision():
+    """A dark 14-bit CR2 whose samples all fit in 12 bits must normalize
+    against the SOF3 precision (16383), not a value-derived guess — the
+    old heuristic rendered such frames ~4x too bright."""
+    h, w = 12, 16
+    mosaic = np.full((h, w), 1000, np.uint16)  # <= 4095 everywhere
+    import tempfile, pathlib
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "dark.cr2"
+        write_cr2(p, mosaic, precision=14)
+        out = raw.load_cr2(p)
+    lin = 1000.0 / 16383.0
+    expect = int(np.clip(np.floor(_srgb_scalar(lin) * 255 + 0.5), 0, 255))
+    assert (np.abs(out[2:-2, 2:-2, :3].astype(int) - expect) <= 1).all()
+
+
+def test_nef_odd_sample_count_minimal_payload(tmp_path):
+    """Odd w*h packs into ceil(count*12/8) bytes — half a byte-triple
+    short; the unpack must accept the minimal payload."""
+    rng = np.random.default_rng(41)
+    mosaic = rng.integers(0, 1 << 12, (9, 9)).astype(np.uint16)  # 81 samples
+    p = tmp_path / "odd.nef"
+    write_nef(p, mosaic, bits=12)
+    out = codecs.load_image(p)
+    assert out.shape == (9, 9, 4)
+    white = 4095.0
+    g = mosaic[0:9:2, 0:9:2] / white
+    expect = np.clip(np.floor(_srgb_vec(g) * 255 + 0.5), 0, 255)
+    assert np.array_equal(out[0:9:2, 0:9:2, 1].astype(np.float64), expect)
