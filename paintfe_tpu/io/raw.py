@@ -46,6 +46,7 @@ T_SPP = 277
 T_ROWS_PER_STRIP = 278
 T_STRIP_COUNTS = 279
 T_PLANAR = 284
+T_PREDICTOR = 317
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
@@ -218,9 +219,12 @@ def _read_samples(blob: bytes, end: str, tags: Dict[int, list]) -> np.ndarray:
 
     if comp == 7:
         return _read_ljpeg_samples(blob, tags, w, h, spp, tiled)
+    if comp in (5, 8):
+        return _read_compressed_samples(blob, end, tags, w, h, spp, bits,
+                                        comp, tiled)
     if comp != 1:
         raise RawError(f"DNG compression {comp} is not supported "
-                       "(Compression=1 uncompressed or =7 lossless JPEG)")
+                       "(1 uncompressed, 5 LZW, 7 lossless JPEG, 8 deflate)")
     if bits not in (8, 16):
         raise RawError(f"{bits}-bit uncompressed DNG samples are not supported")
     dt = np.dtype(("<" if end == "<" else ">") + ("u2" if bits == 16 else "u1"))
@@ -239,6 +243,55 @@ def _read_samples(blob: bytes, end: str, tags: Dict[int, list]) -> np.ndarray:
     need = w * h * spp
     arr = np.frombuffer(payload, dt, count=need).astype(np.float32)
     return arr.reshape(h, w, spp) if spp > 1 else arr.reshape(h, w)
+
+
+def _read_compressed_samples(blob, end, tags, w, h, spp, bits, comp,
+                             tiled) -> np.ndarray:
+    """Compression=5 (TIFF LZW) / =8 (deflate) strips or tiles, with
+    TIFF Predictor 2 (per-row horizontal differencing) support."""
+    import zlib
+
+    from paintfe_tpu.io.deep_export import _lzw_decode
+
+    if bits not in (8, 16):
+        raise RawError(f"{bits}-bit compressed DNG samples are not supported")
+    predictor = tags.get(T_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise RawError(f"TIFF predictor {predictor} is not supported")
+    dt = np.dtype(("<" if end == "<" else ">") + ("u2" if bits == 16 else "u1"))
+    native_t = np.uint16 if bits == 16 else np.uint8
+
+    def decode_seg(payload: bytes, seg_w: int, seg_rows: int) -> np.ndarray:
+        try:
+            rawb = zlib.decompress(payload) if comp == 8 else _lzw_decode(payload)
+        except Exception as e:
+            raise RawError(f"corrupt compressed DNG segment: {e}")
+        need = seg_rows * seg_w * spp
+        arr = np.frombuffer(rawb, dt, count=need).astype(native_t)
+        arr = arr.reshape(seg_rows, seg_w * spp)
+        if predictor == 2:
+            # horizontal differencing per sample channel, modular add
+            arr = np.cumsum(arr.reshape(seg_rows, seg_w, spp), axis=1,
+                            dtype=native_t).reshape(seg_rows, seg_w * spp)
+        return arr.astype(np.float32)
+
+    if tiled:
+        return _assemble_tiles(blob, tags, w, h, spp,
+                               lambda p, tw, tl: decode_seg(p, tw, tl))
+    offsets = tags.get(T_STRIP_OFFSETS)
+    counts = tags.get(T_STRIP_COUNTS)
+    if not offsets or not counts:
+        raise RawError("DNG raw IFD has neither strip nor tile offsets")
+    rows_per = tags.get(T_ROWS_PER_STRIP, [h])[0] or h
+    out = np.zeros((h, w * spp), np.float32)
+    y = 0
+    for o, c in zip(offsets, counts):
+        rows = min(rows_per, h - y)
+        out[y:y + rows] = decode_seg(blob[o:o + c], w, rows)
+        y += rows
+    if y < h:
+        raise RawError("compressed DNG strips cover fewer rows than ImageLength")
+    return out.reshape(h, w, spp) if spp > 1 else out
 
 
 def _read_ljpeg_samples(blob: bytes, tags, w, h, spp, tiled) -> np.ndarray:

@@ -34,13 +34,17 @@ def _entry(tag, typ, count, value, data_blocks, data_offset):
 
 def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
               bits=16, black=0, white=None, compression=1, tile=None,
-              ljpeg_components=2):
+              ljpeg_components=2, predictor=1):
     """Single-IFD little-endian DNG.
 
     compression=1 writes uncompressed strips; compression=7 encodes each
-    segment with the test-side lossless-JPEG encoder (ljpeg_writer.py).
+    segment with the test-side lossless-JPEG encoder (ljpeg_writer.py);
+    compression=5/8 writes TIFF LZW / deflate (optionally with TIFF
+    Predictor 2 horizontal differencing).
     tile=(tw, tl) switches from one strip to a TileWidth/TileLength grid.
     """
+    import zlib
+
     from tests.ljpeg_writer import encode_ljpeg
 
     h, w = samples.shape[:2]
@@ -51,6 +55,20 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
     def encode_segment(seg: np.ndarray) -> bytes:
         if compression == 1:
             return np.ascontiguousarray(seg.astype(dt)).tobytes()
+        if compression in (5, 8):
+            arr = seg.astype(dt).reshape(seg.shape[0], -1, spp)
+            if predictor == 2:
+                diffed = arr.copy()
+                diffed[:, 1:] = arr[:, 1:] - arr[:, :-1]  # modular (uint wrap)
+                arr = diffed
+            payload = np.ascontiguousarray(
+                arr.reshape(seg.shape[0], -1).astype("<u2" if bits == 16 else "u1")
+            ).tobytes()
+            if compression == 8:
+                return zlib.compress(payload)
+            from paintfe_tpu.io.deep_export import _lzw_encode
+
+            return _lzw_encode(payload)
         flat = seg.reshape(seg.shape[0], -1)  # (rows, cols*spp)
         nc = ljpeg_components if flat.shape[1] % ljpeg_components == 0 else 1
         return encode_ljpeg(
@@ -85,6 +103,8 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
     ]
     if not any(t[0] == 50714 for t in (extra_tags or [])):
         tags.append((50714, 3, 1, [black]))   # BlackLevel
+    if predictor != 1:
+        tags.append((317, 3, 1, [predictor]))
     if tile is None:
         tags.append((278, 4, 1, [h]))         # RowsPerStrip
         off_tag, cnt_tag = 273, 279
@@ -319,6 +339,43 @@ def test_tiled_dng_matches_strip(tmp_path, compression):
     assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
 
 
+@pytest.mark.parametrize("compression", [5, 8])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("tiled", [False, True])
+def test_lzw_deflate_dng_matches_uncompressed(tmp_path, compression,
+                                              predictor, tiled):
+    """Compression=5 (LZW) / =8 (deflate), with and without TIFF
+    Predictor 2, strip- and tile-organised, decode bit-identically to the
+    uncompressed layout.  deflate is validated against stdlib zlib (an
+    independent oracle); LZW against the TIFF-flavor encoder deep_export
+    round-trips against PIL."""
+    rng = np.random.default_rng(31 + compression + predictor)
+    mosaic = rng.integers(0, 1 << 16, (20, 28)).astype(np.uint16)
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [0, 1, 1, 2]),
+    ]
+    p1 = tmp_path / "plain.dng"
+    p2 = tmp_path / "comp.dng"
+    write_dng(p1, mosaic, photometric=32803, extra_tags=extra)
+    write_dng(p2, mosaic, photometric=32803, extra_tags=extra,
+              compression=compression, predictor=predictor,
+              tile=(16, 8) if tiled else None)
+    assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
+
+
+def test_deflate_dng_linear_rgb(tmp_path):
+    """Predictor-2 deflate on a 3-sample linear DNG: per-channel
+    differencing must be undone channel-wise, not byte-wise."""
+    rng = np.random.default_rng(17)
+    lin = rng.integers(0, 1 << 16, (10, 14, 3)).astype(np.uint16)
+    p1 = tmp_path / "plain.dng"
+    p2 = tmp_path / "z.dng"
+    write_dng(p1, lin, photometric=34892)
+    write_dng(p2, lin, photometric=34892, compression=8, predictor=2)
+    assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
+
+
 def test_per_plane_black_levels(tmp_path):
     """BlackLevel count=4 + BlackLevelRepeatDim 2x2 (common on real
     cameras) subtracts per CFA position."""
@@ -408,17 +465,23 @@ def test_color_matrix_applied(tmp_path):
 
 
 def test_unsupported_paths_clear_errors(tmp_path):
-    # unsupported compression scheme (8 = deflate)
+    # unsupported compression scheme (99)
     lin = np.zeros((4, 4, 3), np.uint16)
     p = tmp_path / "comp.dng"
     write_dng(p, lin, photometric=34892)
     blob = bytearray(p.read_bytes())
     idx = blob.find(struct.pack("<HHI", 259, 3, 1))
-    blob[idx + 8] = 8
-    p2 = tmp_path / "deflate.dng"
+    blob[idx + 8] = 99
+    p2 = tmp_path / "unknown.dng"
     p2.write_bytes(bytes(blob))
-    with pytest.raises(codecs.CodecError, match="compression 8"):
+    with pytest.raises(codecs.CodecError, match="compression 99"):
         codecs.load_image(p2)
+    # compression flipped to 8 with uncompressed payload -> clean error
+    blob[idx + 8] = 8
+    p2b = tmp_path / "baddeflate.dng"
+    p2b.write_bytes(bytes(blob))
+    with pytest.raises(codecs.CodecError, match="corrupt compressed"):
+        codecs.load_image(p2b)
     # Compression=7 whose payload is not actually an LJPEG stream
     blob[idx + 8] = 7
     p3 = tmp_path / "badljpeg.dng"
