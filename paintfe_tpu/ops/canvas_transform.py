@@ -175,6 +175,28 @@ def resize_canvas(canvas: Canvas, new_w: int, new_h: int, anchor=(0, 0),
     canvas.selection = None
 
 
+def crop_to_selection(canvas: Canvas):
+    """Crop the whole document to the selection's bounding box
+    (adjustments.rs:737-786): every layer's pixels (and mask) are cut to
+    the bbox of mask>0, the canvas dims shrink, and the selection clears.
+    No-ops on no/empty selection, exactly like the reference."""
+    if canvas.selection is None:
+        return
+    bounds = _selection_bounds(np.asarray(canvas.selection))
+    if bounds is None:
+        return
+    min_x, min_y, max_x, max_y = bounds
+    for layer in canvas.layers:
+        layer.pixels = np.ascontiguousarray(
+            layer.pixels[min_y:max_y + 1, min_x:max_x + 1])
+        if layer.mask is not None:
+            layer.mask = np.ascontiguousarray(
+                layer.mask[min_y:max_y + 1, min_x:max_x + 1])
+    canvas.width = max_x - min_x + 1
+    canvas.height = max_y - min_y + 1
+    canvas.selection = None
+
+
 def composite_viewport(canvas: Canvas, rect: Optional[Tuple[int, int, int, int]] = None):
     """Composite only a viewport window (x0, y0, x1, y1) — the dirty-rect
     incremental recompute analogue (canvas_state.rs:505)."""

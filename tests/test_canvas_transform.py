@@ -82,3 +82,36 @@ def test_composite_viewport_window():
     c = Canvas.from_image(fixtures.test_gradient(32, 32))
     window = ct.composite_viewport(c, (8, 8, 16, 16))
     np.testing.assert_array_equal(window, c.composite()[8:16, 8:16])
+
+
+def test_crop_to_selection():
+    """adjustments.rs:737-786: crop all layers to the selection bbox,
+    shrink the canvas, clear the selection; no-op without a selection."""
+    from paintfe_tpu.core.canvas import Canvas, Layer
+    from paintfe_tpu.core.selection import rect_mask
+    from paintfe_tpu.ops.canvas_transform import crop_to_selection
+
+    rng = np.random.default_rng(0)
+    px0 = rng.integers(0, 256, (20, 30, 4), np.uint8)
+    px1 = rng.integers(0, 256, (20, 30, 4), np.uint8)
+    lm = rng.integers(0, 256, (20, 30), np.uint8)
+    canvas = Canvas(width=30, height=20, layers=[
+        Layer(name="a", pixels=px0.copy()),
+        Layer(name="b", pixels=px1.copy(), mask=lm.copy()),
+    ])
+    # no selection: no-op
+    crop_to_selection(canvas)
+    assert canvas.width == 30 and canvas.height == 20
+
+    canvas.selection = rect_mask(30, 20, 5, 3, 24, 14)
+    crop_to_selection(canvas)
+    assert (canvas.width, canvas.height) == (20, 12)
+    assert canvas.selection is None
+    assert np.array_equal(canvas.layers[0].pixels, px0[3:15, 5:25])
+    assert np.array_equal(canvas.layers[1].pixels, px1[3:15, 5:25])
+    assert np.array_equal(canvas.layers[1].mask, lm[3:15, 5:25])
+
+    # empty (all-zero) selection: no-op
+    canvas.selection = np.zeros((12, 20), np.uint8)
+    crop_to_selection(canvas)
+    assert (canvas.width, canvas.height) == (20, 12)
