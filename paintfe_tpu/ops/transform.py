@@ -399,13 +399,15 @@ def warp_displacement(src, field):
     import jax.core
 
     traced = isinstance(src, jax.core.Tracer) or isinstance(field, jax.core.Tracer)
-    if not traced:
+    if not hasattr(src, "shape"):
         src = np.asarray(src)
     if isinstance(field, DisplacementField):
         disp = field.data
         h, w = field.height, field.width
     else:
-        disp = field if traced else np.asarray(field, f32)
+        # keep device-resident fields on device (np.asarray would download
+        # the whole 66 MB field for a 4K frame); only coerce plain lists
+        disp = field if hasattr(field, "shape") else np.asarray(field, f32)
         h, w = disp.shape[:2]
     if (not traced and jax.default_backend() == "tpu"
             and h * w >= (1 << 19)):
