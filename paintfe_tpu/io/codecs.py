@@ -20,7 +20,12 @@ RASTER_EXTS = {
     "png", "jpg", "jpeg", "webp", "bmp", "tga", "tif", "tiff", "gif", "ico",
     "apng",
 }
-RAW_EXTS = {"cr2", "cr3", "nef", "arw", "dng", "orf", "rw2", "srw", "pef", "raf"}
+# the reference's full recognized-RAW list (io.rs RAW_EXTENSIONS)
+RAW_EXTS = {
+    "cr2", "cr3", "nef", "nrw", "arw", "srf", "sr2", "dng", "orf", "rw2",
+    "pef", "raf", "raw", "rwl", "srw", "x3f", "3fr", "fff", "iiq", "mrw",
+    "mef", "mos", "kdc", "dcr", "erf",
+}
 
 SAVE_FORMATS = ("png", "jpeg", "webp", "bmp", "tga", "ico", "tiff", "gif", "pfe")
 
@@ -36,11 +41,12 @@ def format_extension(fmt: str) -> str:
 def load_image(path) -> np.ndarray:
     """Load any supported raster file as RGBA u8 [H, W, 4]."""
     ext = pathlib.Path(path).suffix.lower().lstrip(".")
-    if ext in ("dng", "cr2", "nef"):
+    if ext in ("dng", "cr2", "nef", "nrw"):
         from paintfe_tpu.io import raw
 
+        # .nrw is Nikon's NEF variant with the same TIFF layout
         loader = {"dng": raw.load_dng, "cr2": raw.load_cr2,
-                  "nef": raw.load_nef}[ext]
+                  "nef": raw.load_nef, "nrw": raw.load_nef}[ext]
         try:
             return loader(path)
         except raw.RawError as e:
