@@ -276,38 +276,32 @@ def _read_compressed_samples(blob, end, tags, w, h, spp, bits, comp,
         return arr.astype(np.float32)
 
     if tiled:
-        return _assemble_tiles(blob, tags, w, h, spp,
-                               lambda p, tw, tl: decode_seg(p, tw, tl))
-    offsets = tags.get(T_STRIP_OFFSETS)
-    counts = tags.get(T_STRIP_COUNTS)
-    if not offsets or not counts:
-        raise RawError("DNG raw IFD has neither strip nor tile offsets")
-    rows_per = tags.get(T_ROWS_PER_STRIP, [h])[0] or h
-    out = np.zeros((h, w * spp), np.float32)
-    y = 0
-    for o, c in zip(offsets, counts):
-        rows = min(rows_per, h - y)
-        out[y:y + rows] = decode_seg(blob[o:o + c], w, rows)
-        y += rows
-    if y < h:
-        raise RawError("compressed DNG strips cover fewer rows than ImageLength")
-    return out.reshape(h, w, spp) if spp > 1 else out
+        return _assemble_tiles(blob, tags, w, h, spp, decode_seg)
+    return _assemble_strips(blob, tags, w, h, spp, decode_seg)
 
 
 def _read_ljpeg_samples(blob: bytes, tags, w, h, spp, tiled) -> np.ndarray:
     """Compression=7: every strip/tile is an independent SOF3 stream whose
     flattened sample order equals the sensor raster order (DNG spec ch.3:
     components interleave along the row)."""
-    if tiled:
-        def decode_tile(payload, tw, tl):
-            dec = ljpeg_decode(payload)
-            if dec.size != tw * tl * spp:
-                raise RawError(
-                    f"LJPEG tile decodes to {dec.size} samples, expected "
-                    f"{tw * tl * spp}")
-            return dec.reshape(-1).astype(np.float32).reshape(tl, tw * spp)
-        return _assemble_tiles(blob, tags, w, h, spp, decode_tile)
 
+    def decode_seg(payload, seg_w, seg_rows):
+        dec = ljpeg_decode(payload)
+        if dec.size != seg_rows * seg_w * spp:
+            raise RawError(
+                f"LJPEG segment decodes to {dec.size} samples, expected "
+                f"{seg_rows * seg_w * spp}")
+        return dec.reshape(-1).astype(np.float32).reshape(
+            seg_rows, seg_w * spp)
+
+    if tiled:
+        return _assemble_tiles(blob, tags, w, h, spp, decode_seg)
+    return _assemble_strips(blob, tags, w, h, spp, decode_seg)
+
+
+def _assemble_strips(blob, tags, w, h, spp, decode_fn) -> np.ndarray:
+    """Strip walk shared by every per-segment decoder: decode_fn(payload,
+    seg_w, seg_rows) -> (seg_rows, seg_w*spp) f32."""
     offsets = tags.get(T_STRIP_OFFSETS)
     counts = tags.get(T_STRIP_COUNTS)
     if not offsets or not counts:
@@ -316,17 +310,13 @@ def _read_ljpeg_samples(blob: bytes, tags, w, h, spp, tiled) -> np.ndarray:
     out = np.zeros((h, w * spp), np.float32)
     y = 0
     for o, c in zip(offsets, counts):
-        dec = ljpeg_decode(blob[o:o + c])
         rows = min(rows_per, h - y)
-        if dec.size != rows * w * spp:
-            raise RawError(
-                f"LJPEG strip decodes to {dec.size} samples, expected "
-                f"{rows * w * spp}")
-        out[y:y + rows] = dec.reshape(-1).astype(np.float32).reshape(
-            rows, w * spp)
+        if rows <= 0:
+            break
+        out[y:y + rows] = decode_fn(blob[o:o + c], w, rows)
         y += rows
     if y < h:
-        raise RawError("LJPEG strips cover fewer rows than ImageLength")
+        raise RawError("DNG strips cover fewer rows than ImageLength")
     return out.reshape(h, w, spp) if spp > 1 else out
 
 

@@ -187,6 +187,12 @@ def crop_to_selection(canvas: Canvas):
         return
     min_x, min_y, max_x, max_y = bounds
     for layer in canvas.layers:
+        if layer.deep_pixels is not None:
+            # keep the high-bit-depth payload in sync with the u8 preview
+            deep = layer.deep_pixels.data.reshape(
+                layer.pixels.shape[0], layer.pixels.shape[1], 4)
+            layer.deep_pixels.data = np.ascontiguousarray(
+                deep[min_y:max_y + 1, min_x:max_x + 1]).reshape(-1)
         layer.pixels = np.ascontiguousarray(
             layer.pixels[min_y:max_y + 1, min_x:max_x + 1])
         if layer.mask is not None:
@@ -195,6 +201,7 @@ def crop_to_selection(canvas: Canvas):
     canvas.width = max_x - min_x + 1
     canvas.height = max_y - min_y + 1
     canvas.selection = None
+    canvas.preview = None  # pre-crop-shaped overlay would misalign
 
 
 def composite_viewport(canvas: Canvas, rect: Optional[Tuple[int, int, int, int]] = None):

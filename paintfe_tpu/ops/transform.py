@@ -406,8 +406,15 @@ def warp_displacement(src, field):
         h, w = field.height, field.width
     else:
         # keep device-resident fields on device (np.asarray would download
-        # the whole 66 MB field for a 4K frame); only coerce plain lists
-        disp = field if hasattr(field, "shape") else np.asarray(field, f32)
+        # the whole 66 MB field for a 4K frame); host numpy fields are
+        # still rounded to f32 FIRST so sx/sy arithmetic never runs in
+        # f64 (golden parity needs bit-stable f32 end to end)
+        if not hasattr(field, "shape"):
+            disp = np.asarray(field, f32)
+        elif isinstance(field, np.ndarray) and field.dtype != np.float32:
+            disp = field.astype(f32)
+        else:
+            disp = field
         h, w = disp.shape[:2]
     if (not traced and jax.default_backend() == "tpu"
             and h * w >= (1 << 19)):
