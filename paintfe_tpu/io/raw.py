@@ -197,7 +197,8 @@ def ljpeg_decode_full(stream: bytes) -> Tuple[np.ndarray, int]:
 
 _LJPEG_ERRORS = {
     -1: "malformed lossless-JPEG stream",
-    -2: "unsupported lossless-JPEG feature (lossy SOF / sampling != 1x1)",
+    -2: "unsupported lossless-JPEG feature (lossy SOF / sampling != 1x1 / "
+        "mid-row restart interval)",
     -3: "truncated lossless-JPEG entropy data",
     -4: "lossless-JPEG output capacity mismatch",
 }
@@ -611,24 +612,42 @@ def _entry_data_offset(blob, end, ifd_off, want_tag) -> int:
     return 0
 
 
+# ColorData (Canon 0x4001) generations keyed by the tag's element count —
+# the exiftool/dcraw convention: the count identifies the record layout, and
+# the layout fixes the short-offset of WB_RGGBLevelsAsShot.  Only
+# generations whose layout is attested are listed; anything else falls back
+# to unit gains rather than probing blindly (a wrong quadruple would decode
+# without error but with a color cast).
+_CANON_COLORDATA_WB_OFFSET = {
+    582: 25,                                   # ColorData1 (20D/350D)
+    796: 63,                                   # ColorData3 (1D Mark II N)
+    692: 63, 674: 63, 702: 63, 1227: 63,       # ColorData4 (40D..1D Mk IV)
+    1250: 63, 1251: 63, 1337: 63, 1338: 63, 1346: 63,
+    1273: 63, 1275: 63,                        # ColorData6 (600D/1200D)
+    1312: 63, 1313: 63, 1316: 63, 1506: 63,    # ColorData7 (5DmkIII..)
+    1560: 63, 1592: 63, 1353: 63, 1602: 63,    # ColorData8 (5DS/80D/1DXmkII)
+}
+
+
 def _canon_as_shot_wb(colordata) -> Optional[np.ndarray]:
-    """Probe ColorData (0x4001 shorts) for the as-shot RGGB levels at the
-    known per-generation offsets; green-normalized gains or None."""
+    """As-shot RGGB levels from ColorData (0x4001 shorts), keyed on the
+    tag's element count (the layout version identifier); green-normalized
+    gains, or None (= unit gains) when the generation is unrecognized or
+    the levels fail the plausibility guard."""
     if not colordata:
         return None
-    for probe in (63, 126, 25, 78):  # ColorData4 / 7-9 / 1 / 2-3
-        if probe + 4 > len(colordata):
-            continue
-        r, g1, g2, b = (float(v) for v in colordata[probe:probe + 4])
-        if not all(64 <= v <= 8192 for v in (r, g1, g2, b)):
-            continue
-        g = 0.5 * (g1 + g2)
-        if g <= 0 or abs(g1 - g2) > 0.25 * g:
-            continue
-        if not (0.2 <= r / g <= 5.0 and 0.2 <= b / g <= 5.0):
-            continue
-        return np.array([r / g, 1.0, b / g], np.float32)
-    return None
+    off = _CANON_COLORDATA_WB_OFFSET.get(len(colordata))
+    if off is None or off + 4 > len(colordata):
+        return None
+    r, g1, g2, b = (float(v) for v in colordata[off:off + 4])
+    if not all(64 <= v <= 8192 for v in (r, g1, g2, b)):
+        return None
+    g = 0.5 * (g1 + g2)
+    if g <= 0 or abs(g1 - g2) > 0.25 * g:
+        return None
+    if not (0.2 <= r / g <= 5.0 and 0.2 <= b / g <= 5.0):
+        return None
+    return np.array([r / g, 1.0, b / g], np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -711,11 +730,11 @@ def _nikon_as_shot_wb(blob, end, ifds) -> Optional[np.ndarray]:
             continue
         mn_off = _entry_data_offset(blob, end, exif_off, T_MAKER_NOTE)
         if not mn_off or blob[mn_off:mn_off + 5] != b"Nikon":
-            return None
+            continue  # later IFDs may still carry the Nikon MakerNote
         try:
             _, mn_ifds = _all_ifds(blob[mn_off + 10:])
         except RawError:
-            return None
+            continue
         for mt in mn_ifds:
             wb = mt.get(0x000C)
             if wb and len(wb) >= 4:

@@ -258,6 +258,11 @@ int ljpeg_decode(const uint8_t* data, uint32_t len, uint16_t* out, uint64_t cap)
     const int W = fr.width, H = fr.height, NC = fr.ncomp;
     const uint64_t total = (uint64_t)W * H * NC;
     if (total == 0) return -1;
+    // Mid-row restarts (DRI not a multiple of the MCUs per row) hit a
+    // decoder-divergent corner of T.81 (Rb prediction across a restart on
+    // the following row) that no verified encoder exercises; stay inside
+    // the validated envelope and report them as unsupported.
+    if (fr.restart_interval && fr.restart_interval % W != 0) return -2;
     if (cap < total) return -4;
     for (int c = 0; c < NC; c++)
         if (!tables[fr.comp_table[c]].present) return -1;

@@ -131,8 +131,13 @@ def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
         r, _, n = state
         nr = spread_y(spread_x(r))
         if connectivity8:
-            # diagonal single-steps between the straight runs
-            nr = diag(nr)
+            # diagonal single-steps between the straight runs, amortized:
+            # several diag+run-spread sub-steps per fixpoint check so a
+            # purely diagonal staircase advances 4 pixels per iteration
+            # instead of 1 (each sub-step is monotone under `passable`,
+            # so the fixpoint is still the exact connected component)
+            for _ in range(4):
+                nr = spread_y(spread_x(diag(nr)))
         return nr, jnp.any(nr != r), n + 1
 
     reach, _, iters = jax.lax.while_loop(

@@ -411,7 +411,8 @@ def warp_displacement(src, field):
         # f64 (golden parity needs bit-stable f32 end to end)
         if not hasattr(field, "shape"):
             disp = np.asarray(field, f32)
-        elif isinstance(field, np.ndarray) and field.dtype != np.float32:
+        elif field.dtype != np.float32:
+            # .astype keeps jax arrays on device; covers any array-like
             disp = field.astype(f32)
         else:
             disp = field

@@ -100,7 +100,7 @@ def _render_tiff(ifds, blobs, magic_extra=b""):
 # ---------------------------------------------------------------------------
 
 def write_cr2(path, mosaic: np.ndarray, slices=None, sensor_info=None,
-              wb_rggb=None, precision=14):
+              wb_rggb=None, precision=14, colordata_count=1273):
     """Synthesize a CR2: IFD0 (Make + ExifIFD->MakerNote), raw IFD with a
     sliced lossless-JPEG stream (Compression=6, tag 0xc640)."""
     h, w = mosaic.shape
@@ -119,7 +119,10 @@ def write_cr2(path, mosaic: np.ndarray, slices=None, sensor_info=None,
     # encode as a 2-component frame (the Canon layout)
     lj = encode_ljpeg(stream_samples.reshape(h, w // 2, 2), precision)
 
-    colordata = [0] * 70
+    # Default ColorData6 layout (count 1273): WB_RGGBLevelsAsShot at
+    # short-offset 63 — the decoder keys the layout on the element count,
+    # so the count must be a recognized generation, not an arbitrary length
+    colordata = [0] * colordata_count
     if wb_rggb:
         colordata[63:67] = list(wb_rggb)
     mn_spec = {
@@ -240,6 +243,20 @@ def test_cr2_as_shot_white_balance(tmp_path):
     assert inner[..., 0].mean() > inner[..., 2].mean() > inner[..., 1].mean()
 
 
+def test_cr2_unknown_colordata_count_falls_back_to_unit_gains(tmp_path):
+    """An unrecognized ColorData generation must NOT be probed for
+    plausible-looking shorts: unit gains (neutral output) instead of a
+    silent color cast."""
+    h, w = 16, 16
+    mosaic = np.full((h, w), 1500, np.uint16)
+    p = tmp_path / "wbx.cr2"
+    write_cr2(p, mosaic, wb_rggb=(2048, 1024, 1024, 1536), colordata_count=70)
+    out = codecs.load_image(p).astype(np.float32)
+    inner = out[3:-3, 3:-3]
+    assert abs(inner[..., 0].mean() - inner[..., 1].mean()) < 1.0
+    assert abs(inner[..., 2].mean() - inner[..., 1].mean()) < 1.0
+
+
 def test_cr2_garbage_raises_codec_error(tmp_path):
     p = tmp_path / "x.cr2"
     p.write_bytes(b"II*\0" + b"\0" * 16)
@@ -251,7 +268,8 @@ def test_cr2_garbage_raises_codec_error(tmp_path):
 # NEF
 # ---------------------------------------------------------------------------
 
-def write_nef(path, mosaic: np.ndarray, bits=12, compression=1, wb_rb=None):
+def write_nef(path, mosaic: np.ndarray, bits=12, compression=1, wb_rb=None,
+              wb_in_later_ifd=False):
     """Synthesize a NEF: IFD0 with Make + SubIFD holding the packed CFA;
     wb_rb=(R, B, G1, G2) adds a Nikon MakerNote ("Nikon\\0" header +
     embedded TIFF, offsets relative to the embedded header) with tag
@@ -287,8 +305,16 @@ def write_nef(path, mosaic: np.ndarray, bits=12, compression=1, wb_rb=None):
             [])
         mn = b"Nikon\x00\x02\x10\x00\x00" + mn_tiff
         exif_spec = {0x927C: (7, len(mn), list(mn))}
-        ifd0_spec[34665] = (4, 1, ("ifd", 2))
-        ifds.append((exif_spec, None))
+        if wb_in_later_ifd:
+            # IFD0's ExifIFD carries NO MakerNote; the raw SubIFD points at
+            # the real one — the decoder must keep scanning past the dud
+            ifd0_spec[34665] = (4, 1, ("ifd", 2))
+            sub_spec[34665] = (4, 1, ("ifd", 3))
+            ifds.append(({0x9000: (7, 4, list(b"0230"))}, None))
+            ifds.append((exif_spec, None))
+        else:
+            ifd0_spec[34665] = (4, 1, ("ifd", 2))
+            ifds.append((exif_spec, None))
     blob = _render_tiff(ifds, [payload])
     with open(path, "wb") as fh:
         fh.write(blob)
@@ -332,6 +358,18 @@ def test_nef_as_shot_white_balance(tmp_path):
     mosaic = np.full((16, 16), 1200, np.uint16)  # headroom: 1200*2 < 4095
     p = tmp_path / "wb.nef"
     write_nef(p, mosaic, bits=12, wb_rb=(2.0, 1.5, 1.0, 1.0))
+    out = codecs.load_image(p).astype(np.float32)
+    inner = out[3:-3, 3:-3]
+    assert inner[..., 0].mean() > inner[..., 2].mean() > inner[..., 1].mean()
+
+
+def test_nef_wb_in_later_ifd(tmp_path):
+    """A first ExifIFD without a Nikon MakerNote must not end the search:
+    the WB in a later IFD's MakerNote is still found."""
+    mosaic = np.full((16, 16), 1200, np.uint16)
+    p = tmp_path / "wb2.nef"
+    write_nef(p, mosaic, bits=12, wb_rb=(2.0, 1.5, 1.0, 1.0),
+              wb_in_later_ifd=True)
     out = codecs.load_image(p).astype(np.float32)
     inner = out[3:-3, 3:-3]
     assert inner[..., 0].mean() > inner[..., 2].mean() > inner[..., 1].mean()

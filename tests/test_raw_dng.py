@@ -264,6 +264,39 @@ def test_ljpeg_dng_multi_strip(tmp_path):
     assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
 
 
+@pytest.mark.parametrize("predictor", [1, 4, 7])
+def test_ljpeg_restart_intervals_roundtrip(predictor):
+    """Row-aligned restart markers (DRI = k*W) decode bit-identically to
+    the restart-free stream (per-interval 1-D reprediction per T.81)."""
+    from tests.ljpeg_writer import encode_ljpeg
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(0, 1 << 14, (11, 8)).astype(np.uint16)
+    plain, _ = raw.ljpeg_decode_full(encode_ljpeg(samples, 14,
+                                                  predictor=predictor))
+    rst, prec = raw.ljpeg_decode_full(
+        encode_ljpeg(samples, 14, predictor=predictor, restart_rows=3))
+    assert prec == 14
+    assert np.array_equal(plain, rst)
+    assert np.array_equal(rst, samples)
+
+
+def test_ljpeg_midrow_restart_rejected():
+    """A DRI that is not a multiple of the MCUs per row (mid-row restart)
+    is a decoder-divergent T.81 corner no verified encoder exercises —
+    rejected as unsupported rather than decoded divergently."""
+    from tests.ljpeg_writer import encode_ljpeg
+
+    rng = np.random.default_rng(10)
+    samples = rng.integers(0, 1 << 12, (8, 6)).astype(np.uint16)
+    stream = bytearray(encode_ljpeg(samples, 12, restart_rows=2))
+    i = stream.find(b"\xff\xdd")
+    assert i > 0
+    stream[i + 4:i + 6] = (7).to_bytes(2, "big")  # 7 % 6 != 0
+    with pytest.raises(raw.RawError, match="mid-row restart"):
+        raw.ljpeg_decode_full(bytes(stream))
+
+
 def _write_multistrip_dng(path, strips, w, h, spp, rows_per_strip):
     tags = [
         (254, 4, 1, [0]),
