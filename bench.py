@@ -335,6 +335,54 @@ def table():
             lambda v: fused_chain_spatial(img_d, v, mesh), spatial_variant))
 
 
+def cli_cold():
+    """CLI cold-start benchmark: two FRESH processes run the same script
+    with a shared, initially-empty persistent compilation cache (run 1
+    populates it, run 2 must hit).  Before the cache existed this was the
+    worst end-to-end number in the project: every CLI process re-jitted
+    everything (measured round 3: 37 s CPU / >120 s TPU backend)."""
+    import os
+    import pathlib
+    import subprocess
+    import tempfile
+
+    from paintfe_tpu.io import codecs
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="pfe_bench_cli_")
+    src = os.path.join(tmp, "in.png")
+    codecs.save_image(
+        rng.integers(0, 256, (1024, 1024, 4)).astype(np.uint8), src, "png")
+    script = os.path.join(tmp, "s.rhai")
+    with open(script, "w") as fh:
+        fh.write("apply_blur(2.0);\n"
+                 "apply_brightness_contrast(10.0, 5.0);\n"
+                 "apply_levels(10.0, 245.0, 1.1);\n")
+    env = dict(os.environ)
+    env["PAINTFE_COMPILE_CACHE"] = os.path.join(tmp, "cache")
+    env["PYTHONPATH"] = (str(pathlib.Path(__file__).resolve().parent)
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+
+    def one(tag):
+        t0 = time.perf_counter()
+        p = subprocess.run(
+            [sys.executable, "-m", "paintfe_tpu.cli", "-i", src,
+             "-s", script, "-o", os.path.join(tmp, f"out_{tag}.png"),
+             "--profile"],
+            env=env, capture_output=True, text=True)
+        dt = time.perf_counter() - t0
+        if p.returncode != 0:
+            raise SystemExit(f"CLI failed:\n{p.stderr}")
+        cache_line = [ln for ln in p.stdout.splitlines() if "compile cache" in ln]
+        return dt, (cache_line[0].strip() if cache_line else "")
+
+    cold, info1 = one("a")
+    warm, info2 = one("b")
+    print(f"cli cold-start (populate)  {cold:8.1f} s   [{info1}]")
+    print(f"cli cold-start (cache hit) {warm:8.1f} s   [{info2}]")
+    print(f"speedup x{cold / warm:.1f}")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -405,5 +453,7 @@ def main():
 if __name__ == "__main__":
     if "--table" in sys.argv:
         table()
+    elif "--cli-cold" in sys.argv:
+        cli_cold()
     else:
         main()

@@ -191,6 +191,16 @@ def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Persistent XLA compilation cache: a fresh process re-jits everything
+    # otherwise (measured: 37 s CPU / >120 s TPU for the first batch file).
+    # The reference CLI is a native binary with zero warmup (cli.rs:105-216);
+    # this gets cold invocations to executable-deserialization cost instead.
+    from paintfe_tpu.utils.compile_cache import cache_report, enable_persistent_cache
+
+    cache_dir = enable_persistent_cache()
+    if args.verbose and cache_dir:
+        print(f"[cache] XLA compilation cache at {cache_dir}")
+
     inputs = resolve_inputs(args.input)
     if not inputs:
         print("error: no input files matched the given pattern(s).", file=sys.stderr)
@@ -271,6 +281,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"  error: {msg}", file=sys.stderr)
             any_failure = True
     trace_ctx.__exit__(None, None, None)
+    if args.profile:
+        print(cache_report())
     return 1 if any_failure else 0
 
 

@@ -33,6 +33,58 @@ class ScriptError(Exception):
         loc = f" (line {self.line}, position {self.column})" if self.line else ""
         return self.message + loc
 
+    def friendly_message(self) -> str:
+        """Categorized human-friendly explanation with tips — the same
+        error-message contract as the reference (scripting.rs:96-200)."""
+        raw = self.message
+        low = raw.lower()
+        parts = []
+        if self.line is not None and self.column is not None:
+            parts.append(f"Error on line {self.line}, column {self.column}:")
+        elif self.line is not None:
+            parts.append(f"Error on line {self.line}:")
+        else:
+            parts.append("Script error:")
+        if "function not found" in low:
+            name = raw.split(":", 1)[1].split("(")[0].strip() if ":" in raw else ""
+            parts.append(f"  Could not find function: {name or raw}")
+            if name and (len(name) <= 3 or name.islower() or "_" in name):
+                parts += [
+                    "",
+                    "  Tip: If this is a closure stored in a variable, use .call() syntax:",
+                    f"    let {name} = |x| {{ x * 2 }};",
+                    f"    {name}.call(42);   // correct",
+                    f"    {name}(42);        // won't work",
+                ]
+        elif "variable" in low and "not found" in low:
+            name = raw.split("'")[1] if "'" in raw else ""
+            parts.append(f"  Variable '{name}' is not defined.")
+            parts += ["", "  Tip: Make sure you declared it with 'let' before using it:",
+                      f"    let {name} = 0;"]
+        elif "unsupported rhai feature" in low or "reserved keyword" in low:
+            parts.append(f"  {raw}")
+        elif "operation limit" in low:
+            parts += [
+                "  Script exceeded the maximum operation limit (50 million ops).",
+                "",
+                "  Tip: Your script may have an infinite loop, or is processing",
+                "  too many pixels. Try processing a smaller region with for_region(),",
+                "  or use built-in apply_* functions which run natively.",
+            ]
+        elif "index error" in low or ("index" in low and "out of" in low):
+            parts.append(f"  {raw}")
+            parts += ["", "  Tip: An array index is out of bounds. Check array lengths",
+                      "  with .len() before accessing elements."]
+        elif "expected" in low or "unexpected" in low or "unterminated" in low:
+            parts.append(f"  Syntax error: {raw}")
+            parts += ["", "  Tip: Check for missing semicolons, brackets, or typos "
+                          "near this line."]
+        elif "cancelled" in low:
+            parts.append("  Script was cancelled.")
+        else:
+            parts.append(f"  {raw}")
+        return "\n".join(parts)
+
 
 def compile_script(source: str):
     """Parse-check a script; raises ScriptError on syntax errors."""
@@ -125,7 +177,9 @@ def execute_script_async(source, pixels, width, height, mask=None,
     """
     import numpy as np
 
-    from paintfe_tpu.scripting.interp import Interpreter, RhaiRuntimeError
+    from paintfe_tpu.scripting.interp import (
+        Interpreter, RhaiRuntimeError, RhaiSystemError,
+    )
 
     messages: "queue.Queue[ScriptMessage]" = queue.Queue()
     cancel_event = cancel_event or threading.Event()
@@ -175,7 +229,8 @@ def execute_script_async(source, pixels, width, height, mask=None,
 
             def cancellable_tick():
                 if cancel_event.is_set() and interp.ops % 1024 == 0:
-                    raise RhaiRuntimeError("Script cancelled by user")
+                    # system error: a script-level try/catch cannot swallow it
+                    raise RhaiSystemError("Script cancelled by user")
                 orig_tick()
 
             interp.tick = cancellable_tick

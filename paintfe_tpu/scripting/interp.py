@@ -23,6 +23,19 @@ class RhaiRuntimeError(Exception):
         self.message = message
 
 
+class RhaiSystemError(RhaiRuntimeError):
+    """Non-catchable engine errors (operation budget, call depth,
+    cancellation) — Rhai's try/catch does not intercept system errors."""
+
+
+class _Throw(Exception):
+    """A Rhai `throw` in flight; carries the thrown Dynamic value."""
+
+    def __init__(self, value):
+        super().__init__(to_display(value) if not isinstance(value, str) else value)
+        self.value = value
+
+
 class _Break(Exception):
     pass
 
@@ -55,6 +68,15 @@ class Closure:
         self.scope_chain = scope_chain
 
 
+class FnPtr:
+    """Rhai function pointer — `Fn("name")`, optionally curried.  Resolves
+    by name at call time (script fn first, then host fn), like Rhai."""
+
+    def __init__(self, name, curried=()):
+        self.name = name
+        self.curried = tuple(curried)
+
+
 class RhaiRange:
     def __init__(self, lo, hi, inclusive):
         self.lo = lo
@@ -80,6 +102,8 @@ def to_display(v) -> str:
         return "[" + ", ".join(_debug_display(x) for x in v) + "]"
     if isinstance(v, dict):
         return "#{" + ", ".join(f'"{k}": {_debug_display(x)}' for k, x in v.items()) + "}"
+    if isinstance(v, FnPtr):
+        return f"Fn({v.name})"
     return str(v)
 
 
@@ -114,6 +138,37 @@ def _truthy(v):
     raise RhaiRuntimeError(f"expected bool condition, got {type(v).__name__}")
 
 
+def _type_of(v) -> str:
+    """Rhai's builtin type_of() names."""
+    if v is UNIT or v is None:
+        return "()"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, int):
+        return "i64"
+    if isinstance(v, float):
+        return "f64"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    if isinstance(v, dict):
+        return "map"
+    if isinstance(v, (Closure, FnPtr)):
+        return "Fn"
+    if isinstance(v, RhaiRange):
+        return "range"
+    return type(v).__name__
+
+
+_I64_MASK = (1 << 64) - 1
+
+
+def _wrap_i64(v: int) -> int:
+    v &= _I64_MASK
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 class Interpreter:
     """One script run.  `host_fns` maps name -> (python callable taking
     evaluated args; may also accept Closure values)."""
@@ -131,7 +186,7 @@ class Interpreter:
     def tick(self):
         self.ops += 1
         if self.ops > self.max_operations:
-            raise RhaiRuntimeError(
+            raise RhaiSystemError(
                 f"script exceeded the operation limit ({self.max_operations})"
             )
 
@@ -143,7 +198,11 @@ class Interpreter:
         for stmt in ast[1]:
             if stmt[0] == "fn":
                 self.user_fns[stmt[1]] = (stmt[2], stmt[3])
-        self.exec_block(ast, [self.globals])
+        try:
+            self.exec_block(ast, [self.globals])
+        except _Throw as t:
+            # uncaught `throw` terminates the script (Rhai ErrorRuntime)
+            raise RhaiRuntimeError(f"Runtime error: {to_display(t.value)}")
         return None
 
     def exec_block(self, block, scopes: List[dict]):
@@ -228,6 +287,22 @@ class Interpreter:
             raise _Continue()
         if kind == "return":
             raise _Return(UNIT if stmt[1] is None else self.eval(stmt[1], scopes))
+        if kind == "throw":
+            raise _Throw(UNIT if stmt[1] is None else self.eval(stmt[1], scopes))
+        if kind == "try":
+            _, body, var, catcher = stmt
+            try:
+                self.exec_block(body, scopes + [{}])
+            except _Throw as t:
+                err_val = t.value
+            except RhaiSystemError:
+                raise  # budget/cancel/depth are not catchable (Rhai semantics)
+            except RhaiRuntimeError as ex:
+                err_val = ex.message  # runtime errors catch as their message
+            else:
+                return UNIT
+            self.exec_block(catcher, scopes + [{var: err_val} if var else {}])
+            return UNIT
         raise RhaiRuntimeError(f"unknown statement {kind}")
 
     def _assign(self, target, op, value, scopes):
@@ -236,7 +311,7 @@ class Interpreter:
             for scope in reversed(scopes):
                 if name in scope:
                     if op != "=":
-                        value = self._binop(op[0], scope[name], value)
+                        value = self._binop(op[:-1], scope[name], value)
                     scope[name] = value
                     return
             raise RhaiRuntimeError(f"variable '{name}' not found")
@@ -245,20 +320,20 @@ class Interpreter:
             idx = self.eval(target[2], scopes)
             if isinstance(obj, dict):
                 if op != "=":
-                    value = self._binop(op[0], obj.get(idx, UNIT), value)
+                    value = self._binop(op[:-1], obj.get(idx, UNIT), value)
                 obj[idx] = value
                 return
             if not isinstance(obj, list):
                 raise RhaiRuntimeError("indexed assignment needs an array or map")
             if op != "=":
-                value = self._binop(op[0], obj[idx], value)
+                value = self._binop(op[:-1], obj[idx], value)
             obj[idx] = value
             return
         if target[0] == "method" and target[3] is None:  # m.key = v
             obj = self.eval(target[1], scopes)
             if isinstance(obj, dict):
                 if op != "=":
-                    value = self._binop(op[0], obj.get(target[2], UNIT), value)
+                    value = self._binop(op[:-1], obj.get(target[2], UNIT), value)
                 obj[target[2]] = value
                 return
             raise RhaiRuntimeError("property assignment needs a map")
@@ -362,7 +437,7 @@ class Interpreter:
                 # and return (); Python strings are immutable so write back.
                 self._assign(e[1], "=", _string_inplace(obj, e[2], args), scopes)
                 return UNIT
-            return self._method(obj, e[2], args)
+            return self._method(obj, e[2], args, scopes)
         raise RhaiRuntimeError(f"unknown expression {kind}")
 
     def call_function(self, name, args, scopes):
@@ -372,7 +447,20 @@ class Interpreter:
                 v = scope[name]
                 if isinstance(v, Closure):
                     return self.call_closure(v, args)
+                if isinstance(v, FnPtr):
+                    return self.call_function(
+                        v.name, list(v.curried) + list(args), scopes)
                 break
+        if name == "Fn":  # function-pointer constructor: Fn("name")
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise RhaiRuntimeError("Fn() expects one string argument")
+            return FnPtr(args[0])
+        if name == "type_of" and len(args) == 1 and "type_of" not in self.host_fns:
+            return _type_of(args[0])
+        if name == "eval":
+            raise RhaiRuntimeError(
+                "unsupported Rhai feature 'eval': runtime script evaluation "
+                "is not available in PaintFE scripts")
         if name in self.user_fns:
             params, body = self.user_fns[name]
             if len(params) != len(args):
@@ -380,7 +468,7 @@ class Interpreter:
             self.depth += 1
             if self.depth > MAX_CALL_DEPTH:
                 self.depth -= 1
-                raise RhaiRuntimeError("maximum call depth exceeded")
+                raise RhaiSystemError("maximum call depth exceeded")
             try:
                 local = dict(zip(params, [_rhai_copy(a) for a in args]))
                 try:
@@ -441,6 +529,36 @@ class Interpreter:
             return np.fmod(l, r) if is_arr else float(np.fmod(l, r))
         if op == "**":
             return l**r
+        if op == "&":
+            if isinstance(l, bool) and isinstance(r, bool):
+                return l and r  # non-short-circuit boolean AND (Rhai)
+            if both_int or is_arr:
+                return l & r
+            raise RhaiRuntimeError("'&' needs two ints or two bools")
+        if op == "|":
+            if isinstance(l, bool) and isinstance(r, bool):
+                return l or r
+            if both_int or is_arr:
+                return l | r
+            raise RhaiRuntimeError("'|' needs two ints or two bools")
+        if op == "^":
+            if isinstance(l, bool) and isinstance(r, bool):
+                return l != r
+            if both_int or is_arr:
+                return l ^ r
+            raise RhaiRuntimeError("'^' needs two ints or two bools")
+        if op == "<<":
+            if not both_int:
+                raise RhaiRuntimeError("'<<' needs two ints")
+            if r < 0 or r > 63:
+                raise RhaiRuntimeError(f"integer overflow: << {r}")
+            return _wrap_i64(l << r)
+        if op == ">>":
+            if not both_int:
+                raise RhaiRuntimeError("'>>' needs two ints")
+            if r < 0 or r > 63:
+                raise RhaiRuntimeError(f"integer overflow: >> {r}")
+            return l >> r  # Python >> is arithmetic, like Rust i64
         if op == "in":
             if isinstance(r, dict):
                 return l in r
@@ -464,11 +582,33 @@ class Interpreter:
             return l >= r
         raise RhaiRuntimeError(f"unknown operator {op}")
 
-    def _method(self, obj, name, args):
+    def _method(self, obj, name, args, scopes=None):
         import math
 
-        if isinstance(obj, Closure) and name == "call" and args is not None:
-            return self.call_closure(obj, args)
+        if isinstance(obj, Closure) and args is not None:
+            if name == "call":
+                return self.call_closure(obj, args)
+            if name == "curry":
+                if len(args) > len(obj.params):
+                    raise RhaiRuntimeError(
+                        f"curry: closure takes {len(obj.params)} args")
+                pre = dict(zip(obj.params[: len(args)],
+                               [_rhai_copy(a) for a in args]))
+                return Closure(obj.params[len(args):], obj.body,
+                               list(obj.scope_chain) + [pre])
+        if isinstance(obj, FnPtr):
+            if args is None:  # property access
+                if name == "name":
+                    return obj.name
+                if name == "is_anonymous":
+                    return False
+                raise RhaiRuntimeError(f"unknown property '{name}' on Fn")
+            if name == "call":
+                return self.call_function(
+                    obj.name, list(obj.curried) + list(args),
+                    scopes if scopes is not None else [self.globals])
+            if name == "curry":
+                return FnPtr(obj.name, list(obj.curried) + list(args))
         if args is None:  # property access
             if name == "len" and isinstance(obj, (list, str)):
                 return len(obj)
@@ -556,4 +696,6 @@ class Interpreter:
                 return to_display(obj)
         if name == "to_string":
             return to_display(obj)
+        if name == "type_of":
+            return _type_of(obj)
         raise RhaiRuntimeError(f"unknown method '{name}' on {type(obj).__name__}")

@@ -3,7 +3,12 @@
 The reference embeds Rhai 1.25 (src/ops/scripting.rs); this implements the
 language subset its effect scripts use: let/const, fn, closures, if/else
 (as expressions), while/loop/for-in with ranges, arrays, template strings
-with `${}` interpolation, the usual operators, and method-call sugar.
+with `${}` interpolation, throw/try-catch, bitwise + shift operators with
+Rust precedence, function pointers (Fn/curry), and method-call sugar.
+Constructs Rhai supports but this engine deliberately omits (modules,
+eval, `this`) raise targeted "unsupported Rhai feature" diagnostics with
+line/column, per the reference's error-message contract
+(scripting.rs:88-216).
 """
 
 from __future__ import annotations
@@ -27,12 +32,35 @@ class RhaiSyntaxError(Exception):
 KEYWORDS = {
     "let", "const", "fn", "if", "else", "while", "loop", "for", "in",
     "break", "continue", "return", "true", "false", "switch", "do", "until",
+    "throw", "try", "catch",
+}
+
+# Rhai 1.25 keywords this engine deliberately does not implement: raise a
+# TARGETED diagnostic instead of a generic parse/lookup error
+# (scripting.rs:88-216's error-message contract).
+_UNSUPPORTED_KEYWORDS = {
+    "import": "module imports are not available in PaintFE scripts",
+    "export": "module exports are not available in PaintFE scripts",
+    "global": "the 'global' module namespace is not available",
+    "private": "private functions are not available",
+    "this": "method-style 'this' functions are not available; "
+            "use plain functions with explicit arguments",
+}
+
+# Reserved in Rhai 1.25 (not legal identifiers there either); rejecting
+# them up front matches the reference engine's behavior.
+_RESERVED_WORDS = {
+    "var", "static", "shared", "goto", "exit", "match", "case", "public",
+    "protected", "new", "use", "with", "module", "package", "super", "spawn",
+    "thread", "go", "sync", "async", "await", "yield", "default", "void",
+    "null", "nil", "is",
 }
 
 _PUNCT = [
     "#{",
     "..=", "<<=", ">>=", "**=",
-    "==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=", "..",
+    "==", "!=", "<=", ">=", "&&", "||", "+=", "-=", "*=", "/=", "%=",
+    "&=", "|=", "^=", "..",
     "=>", "**", "<<", ">>",
     "+", "-", "*", "/", "%", "=", "<", ">", "!", "(", ")", "{", "}", "[", "]",
     ",", ";", ":", ".", "|", "&", "^",
@@ -111,6 +139,15 @@ def tokenize(src: str) -> List[Tok]:
             while j < n and (src[j].isalnum() or src[j] == "_"):
                 j += 1
             word = src[i:j]
+            if word in _UNSUPPORTED_KEYWORDS:
+                raise RhaiSyntaxError(
+                    f"unsupported Rhai feature '{word}': "
+                    f"{_UNSUPPORTED_KEYWORDS[word]}",
+                    start_line, start_col)
+            if word in _RESERVED_WORDS:
+                raise RhaiSyntaxError(
+                    f"'{word}' is a reserved keyword and cannot be used as "
+                    "an identifier", start_line, start_col)
             toks.append(Tok("kw" if word in KEYWORDS else "ident", word, start_line, start_col))
             advance(j - i)
             continue
@@ -190,6 +227,7 @@ def tokenize(src: str) -> List[Tok]:
 #   ('assign', target, op, expr) ('expr', expr, has_semi)
 #   ('while', cond, block) ('loop', block) ('for', var, iterable, block)
 #   ('break',) ('continue',) ('return', expr|None) ('fn', name, params, block)
+#   ('throw', expr|None) ('try', body_block, catch_var|None, catch_block)
 # Block: ('block', [stmts])
 
 
@@ -311,6 +349,30 @@ class Parser:
                 if self.at_punct(";"):
                     self.next()
                 return ("return", expr)
+            if t.value == "throw":
+                self.next()
+                if self.at_punct(";") or self.at_punct("}") or self.peek().kind == "eof":
+                    expr = None
+                else:
+                    expr = self.parse_expr()
+                if self.at_punct(";"):
+                    self.next()
+                return ("throw", expr)
+            if t.value == "try":
+                self.next()
+                body = self.parse_block()
+                kw = self.peek()
+                if kw.kind != "kw" or kw.value != "catch":
+                    raise RhaiSyntaxError(
+                        "expected 'catch' after try block", kw.line, kw.col)
+                self.next()
+                var = None
+                if self.at_punct("("):
+                    self.next()
+                    var = self.expect("ident").value
+                    self.expect("punct", ")")
+                catch_block = self.parse_block()
+                return ("try", body, var, catch_block)
         # Block-like constructs at statement position are complete
         # statements (Rhai 1.25 rules): `if c { … } [r,g,b,a]` is an
         # if-STATEMENT followed by a new array-expression statement, not
@@ -327,6 +389,7 @@ class Parser:
         expr = self.parse_expr()
         if self.peek().kind == "punct" and self.peek().value in (
             "=", "+=", "-=", "*=", "/=", "%=",
+            "**=", "<<=", ">>=", "&=", "|=", "^=",
         ):
             op = self.next().value
             rhs = self.parse_expr()
@@ -354,6 +417,16 @@ class Parser:
     def parse_expr(self):
         return self.parse_range()
 
+    def parse_switch_pattern(self):
+        """A switch-arm pattern: like an expression, but `|` separates
+        alternative patterns instead of acting as bitwise-or."""
+        lo = self.parse_bitxor()
+        if self.at_punct("..") or self.at_punct("..="):
+            inclusive = self.next().value == "..="
+            hi = self.parse_bitxor()
+            return ("range", lo, hi, inclusive)
+        return lo
+
     def parse_range(self):
         lo = self.parse_or()
         if self.at_punct("..") or self.at_punct("..="):
@@ -379,22 +452,57 @@ class Parser:
         return l
 
     def parse_cmp(self):
-        l = self.parse_add()
+        l = self.parse_bitor()
         while True:
             t = self.peek()
             if t.kind == "punct" and t.value in ("==", "!=", "<", "<=", ">", ">="):
                 op = self.next().value
-                r = self.parse_add()
+                r = self.parse_bitor()
                 l = ("bin", op, l, r)
             elif t.kind == "kw" and t.value == "in":
                 self.next()
-                r = self.parse_add()
+                r = self.parse_bitor()
                 if self.at_punct("..") or self.at_punct("..="):
                     inclusive = self.next().value == "..="
-                    r = ("range", r, self.parse_add(), inclusive)
+                    r = ("range", r, self.parse_bitor(), inclusive)
                 l = ("bin", "in", l, r)
             else:
                 break
+        return l
+
+    # Bitwise levels follow Rust/Rhai precedence: comparisons are LOOSER
+    # than | ^ &, which are looser than shifts (so `3 | 4 == 7` is
+    # `(3 | 4) == 7` and `1 << 2 + 1` is `1 << 3`).
+    def parse_bitor(self):
+        l = self.parse_bitxor()
+        while self.at_punct("|"):
+            self.next()
+            r = self.parse_bitxor()
+            l = ("bin", "|", l, r)
+        return l
+
+    def parse_bitxor(self):
+        l = self.parse_bitand()
+        while self.at_punct("^"):
+            self.next()
+            r = self.parse_bitand()
+            l = ("bin", "^", l, r)
+        return l
+
+    def parse_bitand(self):
+        l = self.parse_shift()
+        while self.at_punct("&"):
+            self.next()
+            r = self.parse_shift()
+            l = ("bin", "&", l, r)
+        return l
+
+    def parse_shift(self):
+        l = self.parse_add()
+        while self.peek().kind == "punct" and self.peek().value in ("<<", ">>"):
+            op = self.next().value
+            r = self.parse_add()
+            l = ("bin", op, l, r)
         return l
 
     def parse_add(self):
@@ -492,10 +600,12 @@ class Parser:
                     body = self.parse_block() if self.at_punct("{") else self.parse_expr()
                     default = body
                 else:
-                    pats = [self.parse_expr()]
+                    # patterns parse BELOW the bitor level so `1 | 2 =>`
+                    # stays two alternatives, not a bitwise-or expression
+                    pats = [self.parse_switch_pattern()]
                     while self.at_punct("|"):
                         self.next()
-                        pats.append(self.parse_expr())
+                        pats.append(self.parse_switch_pattern())
                     self.expect("punct", "=>")
                     body = self.parse_block() if self.at_punct("{") else self.parse_expr()
                     arms.append((pats, body))

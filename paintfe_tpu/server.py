@@ -152,6 +152,10 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7878)
     args = p.parse_args(argv)
+    # warm starts across daemon restarts, not just within one process
+    from paintfe_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     server, port = serve_tcp(args.host, args.port)
     print(f"serving on {args.host}:{port}", flush=True)
     try:

@@ -1,0 +1,183 @@
+"""Rhai language-conformance sweep.
+
+Every feature the reference's embedded Rhai 1.25 accepts
+(src/ops/scripting.rs:284-317 engine config) must either WORK here or fail
+with a TARGETED diagnostic (scripting.rs:88-216's error-message contract) —
+never a generic lookup/parse error that misleads the script author.
+"""
+
+import numpy as np
+import pytest
+
+from paintfe_tpu.scripting import ScriptError, execute_script_sync
+from paintfe_tpu.scripting.interp import Interpreter, RhaiSystemError
+
+
+def run(src):
+    img = np.zeros((8, 8, 4), np.uint8)
+    _out, _w, _h, console, _ops = execute_script_sync(src, img, 8, 8, None)
+    return console
+
+
+# ---------------------------------------------------------------------------
+# Features that must WORK (each returns expected console output)
+# ---------------------------------------------------------------------------
+
+WORKING = [
+    # exceptions
+    ('try { throw "boom"; } catch (e) { print_line(e); }', ["boom"]),
+    ('try { throw; } catch { print_line("anon"); }', ["anon"]),
+    ('try { let x = 1 / 0; } catch (e) { print_line(e); }',
+     ["division by zero"]),
+    ('try { let a = [1]; let x = a[9]; } catch { print_line("idx"); }',
+     ["idx"]),
+    ('try { try { throw 1; } catch { throw 2; } } catch (e) '
+     '{ print_line(`${e}`); }', ["2"]),
+    ('fn f() { throw "deep"; } try { f(); } catch (e) { print_line(e); }',
+     ["deep"]),
+    # thrown values keep their type
+    ('try { throw [1, 2]; } catch (e) { print_line(`${e[1]}`); }', ["2"]),
+    ('try { throw #{ code: 7 }; } catch (e) { print_line(`${e.code}`); }',
+     ["7"]),
+    # bitwise / shifts (Rust precedence: below comparisons, shifts above +)
+    ('print_line(`${12 & 10} ${12 | 3} ${5 ^ 1} ${1 << 4} ${-16 >> 2}`);',
+     ["8 15 4 16 -4"]),
+    ('print_line(`${1 << 2 + 1}`);', ["8"]),          # + binds tighter
+    ('print_line(`${3 | 4 == 7}`);', ["true"]),       # | above ==
+    ('let x = 3; x <<= 2; x |= 1; x ^= 2; x &= 14; print_line(`${x}`);',
+     ["14"]),
+    ('let x = 2; x **= 3; print_line(`${x}`);', ["8"]),
+    ('print_line(`${true & false} ${true | false} ${true ^ true}`);',
+     ["false true false"]),
+    # function pointers
+    ('fn double(x) { x * 2 } let f = Fn("double"); print_line(`${f.call(21)}`);',
+     ["42"]),
+    ('fn add(a, b) { a + b } let f = Fn("add").curry(40); '
+     'print_line(`${f.call(2)}`);', ["42"]),
+    ('fn g() { 5 } let f = Fn("g"); print_line(f.name);', ["g"]),
+    ('fn h(x) { x + 1 } let f = Fn("h"); print_line(`${f(41)}`);', ["42"]),
+    # closure currying
+    ('let add = |a, b| a + b; let inc = add.curry(1); '
+     'print_line(`${inc.call(41)}`);', ["42"]),
+    # shadowing
+    ('let x = 1; let x = x + 1; print_line(`${x}`);', ["2"]),
+    ('let x = 1; { let x = 9; print_line(`${x}`); } print_line(`${x}`);',
+     ["9", "1"]),
+    # nested closures capturing outer state
+    ('let a = 10; let outer = |x| { let inner = |y| x + y + a; '
+     'inner.call(1) }; print_line(`${outer.call(2)}`);', ["13"]),
+    # type_of
+    ('print_line(type_of(1) + " " + type_of(1.0) + " " + type_of("s") + " " '
+     '+ type_of(true) + " " + type_of([1]) + " " + type_of(#{}) + " " '
+     '+ type_of(()));', ["i64 f64 string bool array map ()"]),
+    ('print_line((|x| x).type_of());', ["Fn"]),
+    # string interpolation edge cases
+    ('print_line(`a${1 + 1}b${"c"}`);', ["a2bc"]),
+    ('print_line(`${ if true { 1 } else { 2 } }`);', ["1"]),
+    ('let m = #{ k: 3 }; print_line(`${m.k}${m["k"]}`);', ["33"]),
+    # switch `|` alternatives coexist with bitwise-or expressions
+    ('let n = 2; print_line(switch n { 1 | 2 => "ab", _ => "z" });', ["ab"]),
+    ('let n = 3; print_line(`${switch n { 0..=2 => 0, _ => n | 4 }}`);',
+     ["7"]),
+]
+
+
+@pytest.mark.parametrize("src,expected", WORKING,
+                         ids=[s[:48] for s, _ in WORKING])
+def test_feature_works(src, expected):
+    assert run(src) == expected
+
+
+# ---------------------------------------------------------------------------
+# Constructs that must fail with a TARGETED diagnostic
+# ---------------------------------------------------------------------------
+
+TARGETED_ERRORS = [
+    ('import "mod" as m;', "unsupported Rhai feature 'import'"),
+    ("export let x = 1;", "unsupported Rhai feature 'export'"),
+    ("private fn f() {}", "unsupported Rhai feature 'private'"),
+    ("global::x", "unsupported Rhai feature 'global'"),
+    ("fn f() { this + 1 }", "unsupported Rhai feature 'this'"),
+    ('eval("1 + 1");', "unsupported Rhai feature 'eval'"),
+    ("let match = 3;", "reserved keyword"),
+    ("let async = 1;", "reserved keyword"),
+    ("try { throw 1; }", "expected 'catch'"),
+    ("throw 7;", "Runtime error: 7"),
+    ('throw "oops";', "Runtime error: oops"),
+    ("let x = 1 << 64;", "integer overflow"),
+    ("let x = 1 << -1;", "integer overflow"),
+    ('let x = "a" & 1;', "'&' needs two ints or two bools"),
+]
+
+
+@pytest.mark.parametrize("src,needle", TARGETED_ERRORS,
+                         ids=[s[:40] for s, _ in TARGETED_ERRORS])
+def test_targeted_error(src, needle):
+    with pytest.raises(ScriptError) as ei:
+        run(src)
+    assert needle in str(ei.value), str(ei.value)
+
+
+def test_unsupported_keyword_carries_location():
+    with pytest.raises(ScriptError) as ei:
+        run("let a = 1;\nimport \"m\" as m;")
+    assert ei.value.line == 2
+    assert ei.value.column == 1
+
+
+# ---------------------------------------------------------------------------
+# System errors are NOT catchable by script-level try/catch
+# ---------------------------------------------------------------------------
+
+def test_operation_budget_not_catchable():
+    interp = Interpreter({}, max_operations=200)
+    with pytest.raises(RhaiSystemError, match="operation limit"):
+        interp.run("try { loop { let x = 1; } } catch (e) { }")
+
+
+def test_call_depth_not_catchable():
+    interp = Interpreter({})
+    with pytest.raises(RhaiSystemError, match="call depth"):
+        interp.run("fn f(n) { f(n + 1) } try { f(0); } catch (e) { }")
+
+
+def test_cancellation_not_catchable():
+    """A cancel mid-script must terminate even inside try/catch."""
+    import threading
+
+    from paintfe_tpu.scripting.engine import execute_script_async
+
+    cancel = threading.Event()
+    cancel.set()  # pre-cancelled: first tick multiple of 1024 aborts
+    img = np.zeros((8, 8, 4), np.uint8)
+    thread, messages = execute_script_async(
+        "try { loop { let x = 1; } } catch (e) { }",
+        img, 8, 8, cancel_event=cancel)
+    thread.join(timeout=30)
+    assert not thread.is_alive()
+    msgs = []
+    while not messages.empty():
+        msgs.append(messages.get())
+    assert msgs[-1].kind == "error"
+    assert "cancelled" in msgs[-1].payload.message.lower()
+
+
+# ---------------------------------------------------------------------------
+# friendly_message categorization (scripting.rs:96-200 parity)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("src,needle", [
+    ("frobnicate();", "Could not find function"),
+    ("let x = y + 1;", "is not defined"),
+    ('import "m" as m;', "unsupported Rhai feature"),
+    ("let a = [1]; let x = a[5];", "index"),
+])
+def test_friendly_message_categories(src, needle):
+    with pytest.raises(ScriptError) as ei:
+        run(src)
+    assert needle in ei.value.friendly_message()
+
+
+def test_friendly_message_operation_limit():
+    err = ScriptError("script exceeded the operation limit (50000000)")
+    assert "50 million" in err.friendly_message()
