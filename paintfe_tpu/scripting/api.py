@@ -312,8 +312,10 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
             try:
                 args = []
                 if xs:
-                    gx = np.arange(x0, x1, dtype=np.int64)[None, :] * np.ones((y1 - y0, 1), np.int64)
-                    gy = np.arange(y0, y1, dtype=np.int64)[:, None] * np.ones((1, x1 - x0), np.int64)
+                    gx = np.broadcast_to(np.arange(x0, x1, dtype=np.int64)[None, :],
+                                         (y1 - y0, x1 - x0))
+                    gy = np.broadcast_to(np.arange(y0, y1, dtype=np.int64)[:, None],
+                                         (y1 - y0, x1 - x0))
                     args += [gx, gy]
                 args += [px[..., 0], px[..., 1], px[..., 2], px[..., 3]]
                 res = call_closure(cb, args)
@@ -369,7 +371,14 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
 
     def _img(): return ctx.pixels
 
-    def _set(img): ctx.pixels = np.asarray(img, np.uint8)
+    def _set(img):
+        arr = np.asarray(img, np.uint8)
+        if not arr.flags.writeable:
+            # np.asarray of a jax device array is a read-only view; later
+            # in-place ops (set_pixel, apply_invert, ...) must be able to
+            # write into ctx.pixels
+            arr = arr.copy()
+        ctx.pixels = arr
 
     register("apply_blur")(lambda sigma: _set(
         filters.gaussian_blur_with_selection(_img(), _as_float(sigma), ctx.mask_or_none())))

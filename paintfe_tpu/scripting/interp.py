@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional
 
+import numpy as np
+
 from paintfe_tpu.scripting.rhai_ast import parse
 
 MAX_OPERATIONS = 50_000_000
@@ -167,6 +169,47 @@ _I64_MASK = (1 << 64) - 1
 def _wrap_i64(v: int) -> int:
     v &= _I64_MASK
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _int_like(v) -> bool:
+    """True for Rhai INT values in both scalar and vectorized (ndarray)
+    closure contexts: python int / numpy integer scalar / integer-kind
+    array (bool excluded — Rhai keeps bool and INT distinct)."""
+    if isinstance(v, bool):
+        return False
+    if isinstance(v, (int, np.integer)):
+        return True
+    return isinstance(v, np.ndarray) and v.dtype.kind in "iu"
+
+
+class _PredicationUnsupported(Exception):
+    """A data-dependent construct that cannot be if-converted was hit while
+    evaluating a closure on whole arrays; the bulk vectorizer catches this
+    (like any vectorization failure) and falls back to the scalar loop."""
+
+
+def _merge_predicated(cond, t, f):
+    """np.where-merge of the two branch outcomes of an if-converted
+    conditional under a per-pixel bool-array condition."""
+    if t is f:
+        return t
+    if t is UNIT or f is UNIT:
+        if t is UNIT and f is UNIT:
+            return UNIT
+        raise _PredicationUnsupported()
+    if isinstance(t, list) and isinstance(f, list):
+        if len(t) != len(f):
+            raise _PredicationUnsupported()
+        return [_merge_predicated(cond, a, b) for a, b in zip(t, f)]
+    numlike = (int, float, np.integer, np.floating, np.bool_, np.ndarray)
+    if isinstance(t, numlike) and isinstance(f, numlike):
+        if (not isinstance(t, np.ndarray) and not isinstance(f, np.ndarray)
+                and type(t) is type(f) and t == f):
+            return t
+        return np.where(cond, t, f)
+    if isinstance(t, str) and isinstance(f, str) and t == f:
+        return t
+    raise _PredicationUnsupported()
 
 
 class Interpreter:
@@ -401,17 +444,36 @@ class Interpreter:
             if e[1] == "-":
                 return -v
             if e[1] == "!":
+                if isinstance(v, np.ndarray):
+                    return ~v  # vectorized closure context
                 return not _truthy(v)
         if kind == "and":
-            return _truthy(self.eval(e[1], scopes)) and _truthy(self.eval(e[2], scopes))
+            l = self.eval(e[1], scopes)
+            if isinstance(l, np.ndarray):
+                # array condition (bulk vectorizer): non-short-circuit is
+                # safe — the purity scan proved the operands effect-free
+                return l & self.eval(e[2], scopes)
+            if not _truthy(l):
+                return False
+            r = self.eval(e[2], scopes)
+            return r if isinstance(r, np.ndarray) else _truthy(r)
         if kind == "or":
-            return _truthy(self.eval(e[1], scopes)) or _truthy(self.eval(e[2], scopes))
+            l = self.eval(e[1], scopes)
+            if isinstance(l, np.ndarray):
+                return l | self.eval(e[2], scopes)
+            if _truthy(l):
+                return True
+            r = self.eval(e[2], scopes)
+            return r if isinstance(r, np.ndarray) else _truthy(r)
         if kind == "range":
             lo = self.eval(e[1], scopes)
             hi = self.eval(e[2], scopes)
             return RhaiRange(int(lo), int(hi), e[3])
         if kind == "if":
-            if _truthy(self.eval(e[1], scopes)):
+            c = self.eval(e[1], scopes)
+            if isinstance(c, np.ndarray):
+                return self._predicated_if(c, e[2], e[3], scopes)
+            if _truthy(c):
                 return self.exec_block(e[2], scopes + [{}])
             if e[3] is not None:
                 return self.exec_block(e[3], scopes + [{}])
@@ -439,6 +501,31 @@ class Interpreter:
                 return UNIT
             return self._method(obj, e[2], args, scopes)
         raise RhaiRuntimeError(f"unknown expression {kind}")
+
+    def _predicated_if(self, cond, then_blk, else_blk, scopes):
+        """If-conversion for the bulk vectorizer (scripting.rs:437-495's
+        per-pixel closures): when an `if` condition evaluates to a bool
+        ARRAY (one truth value per pixel), run BOTH branches on copies of
+        the scope chain and np.where-merge every variable write plus the
+        result value.  Legal only because the purity scan already proved
+        the closure body free of observable effects; constructs that cannot
+        be merged (control-flow escapes, type-divergent writes) raise
+        _PredicationUnsupported, which the vectorizer catches to fall back
+        to the exact scalar loop."""
+        if cond.dtype != np.bool_:
+            raise _PredicationUnsupported()
+        sc_t = [{k: _rhai_copy(v) for k, v in s.items()} for s in scopes]
+        sc_f = [{k: _rhai_copy(v) for k, v in s.items()} for s in scopes]
+        try:
+            v_t = self.exec_block(then_blk, sc_t + [{}])
+            v_f = (self.exec_block(else_blk, sc_f + [{}])
+                   if else_blk is not None else UNIT)
+        except (_Break, _Continue, _Return, _Throw):
+            raise _PredicationUnsupported()
+        for orig, st, sf in zip(scopes, sc_t, sc_f):
+            for name in orig:
+                orig[name] = _merge_predicated(cond, st[name], sf[name])
+        return _merge_predicated(cond, v_t, v_f)
 
     def call_function(self, name, args, scopes):
         # A variable holding a closure (FnPtr) is directly callable in Rhai.
@@ -517,6 +604,14 @@ class Interpreter:
                 q = abs(l) // abs(r)
                 return q if (l >= 0) == (r >= 0) else -q
             if is_arr:
+                if _int_like(l) and _int_like(r):
+                    # Rust i64 semantics: truncate toward zero (numpy //
+                    # floors), bit-identical to the scalar loop above
+                    ra = np.asarray(r)
+                    if (ra == 0).any():
+                        raise RhaiRuntimeError("division by zero")
+                    q = np.abs(l) // np.abs(ra)
+                    return np.where((np.asarray(l) >= 0) == (ra >= 0), q, -q)
                 return l / r  # vectorized float semantics
             if isinstance(r, (int, float)) and r == 0 and both_int:
                 raise RhaiRuntimeError("division by zero")
@@ -526,7 +621,11 @@ class Interpreter:
                 if r == 0:
                     raise RhaiRuntimeError("modulo by zero")
                 return int(float(np.fmod(l, r)))  # Rust % truncates toward zero
-            return np.fmod(l, r) if is_arr else float(np.fmod(l, r))
+            if is_arr:
+                if _int_like(l) and _int_like(r) and (np.asarray(r) == 0).any():
+                    raise RhaiRuntimeError("modulo by zero")
+                return np.fmod(l, r)
+            return float(np.fmod(l, r))
         if op == "**":
             return l**r
         if op == "&":
@@ -548,12 +647,17 @@ class Interpreter:
                 return l ^ r
             raise RhaiRuntimeError("'^' needs two ints or two bools")
         if op == "<<":
+            if is_arr:
+                # numpy int64 << wraps two's-complement like _wrap_i64
+                return l << r
             if not both_int:
                 raise RhaiRuntimeError("'<<' needs two ints")
             if r < 0 or r > 63:
                 raise RhaiRuntimeError(f"integer overflow: << {r}")
             return _wrap_i64(l << r)
         if op == ">>":
+            if is_arr:
+                return l >> r  # numpy int64 >> is arithmetic, like Rust i64
             if not both_int:
                 raise RhaiRuntimeError("'>>' needs two ints")
             if r < 0 or r > 63:

@@ -712,3 +712,181 @@ def test_string_inplace_on_indexed_receiver():
         """
     )
     assert console[-1] == "HELLO WORLD"
+
+
+def test_inplace_op_after_jax_backed_apply():
+    """A jax-routed apply_* leaves ctx.pixels as a device-array view; the
+    next in-place pointwise op (apply_invert, set_pixel) must still be able
+    to write (regression: 'assignment destination is read-only')."""
+    result, _ = run_script("apply_blur(1.0);\napply_invert();\nset_pixel(0, 0, 1, 2, 3, 4);")
+    np.testing.assert_array_equal(result[0, 0], [1, 2, 3, 4])
+
+
+# -- predicated vectorization (round-4: VERDICT #2) --------------------------
+# Data-dependent `if` in a PURE closure is if-converted: both branches run on
+# whole arrays and every scope write plus the value merges through np.where
+# (interp._predicated_if).  Every case below must be bit-identical to the
+# scalar per-pixel loop, which stays the semantic oracle.  Mirrors the
+# reference's compiled per-pixel closures (scripting.rs:437-495).
+
+import paintfe_tpu.scripting.api as _api_mod
+
+
+def _run_both_ways(source, size=48, seed=7):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+    out_v, _, _, con_v, _ = execute_script_sync(source, img.copy(), size, size)
+    orig = _api_mod.closure_is_pure
+    _api_mod.closure_is_pure = lambda *a, **k: False
+    try:
+        out_s, _, _, con_s, _ = execute_script_sync(source, img.copy(), size, size)
+    finally:
+        _api_mod.closure_is_pure = orig
+    assert con_v == con_s
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(out_s))
+    return np.asarray(out_v)
+
+
+def test_predicated_if_else_chain():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let lum = (r * 77 + g * 151 + b * 28) >> 8;
+            if lum > 128 {
+                let boost = lum - 128;
+                [r + boost / 2, g, b - boost / 4, a]
+            } else if lum > 64 {
+                [r, g + 10, b, a]
+            } else {
+                [255 - r, 255 - g, 255 - b, a]
+            }
+        });
+        """
+    )
+
+
+def test_predicated_nested_if():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            if r > 100 {
+                if g > 100 { [255, 255, b, a] } else { [255, 0, b, a] }
+            } else {
+                [0, g, b, a]
+            }
+        });
+        """
+    )
+
+
+def test_predicated_branch_writes_local():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let v = r;
+            let w = g;
+            if r > g { v = 255; w = w / 2; } else { v += 5; }
+            [v, w, b, a]
+        });
+        """
+    )
+
+
+def test_predicated_logical_ops_and_negation():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let hot = r > 200 || g > 200;
+            let cold = !(r > 50) && b < 128;
+            if hot && !cold { [255, g, b, a] }
+            else if cold || b % 3 == 0 { [r, 255, b, a] }
+            else { [r, g, 255, a] }
+        });
+        """
+    )
+
+
+def test_predicated_int_division_truncates_like_scalar():
+    # (r - 128) / 3 on negatives: Rust i64 truncates toward zero, numpy //
+    # floors — the vectorized path must not diverge.
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let d = (r - 128) / 3;
+            let m = (g - 128) % 5;
+            if d < 0 { [0 - d, m + 128, b, a] } else { [d, m + 128, b, a] }
+        });
+        """
+    )
+
+
+def test_predicated_spatial_and_data_mixed_condition():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            if x < 10 || (y > 20 && r > 128) { [255 - r, g, b, a] }
+            else { [r, 255 - g, b, a] }
+        });
+        """
+    )
+
+
+def test_predicated_if_statement_mutates_then_falls_through():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let rr = r;
+            if rr > 100 { rr = 255; }
+            if rr < 30 { rr = 30; }
+            [rr, g, b, a]
+        });
+        """
+    )
+
+
+def test_predicated_loop_over_static_range_with_branch():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let acc = 0;
+            for i in 0..3 {
+                if r > i * 80 { acc += 40; }
+            }
+            [acc, g, b, a]
+        });
+        """
+    )
+
+
+def test_predicated_unsupported_merge_falls_back_identically():
+    # Branches return different-length arrays: if-conversion can't merge →
+    # scalar loop must produce the (reference-exact) result anyway.
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            if r > 128 { [255, 0, 0, 255] } else { [r, g, b] }
+        });
+        """,
+        size=16,
+    )
+
+
+def test_predicated_path_actually_vectorizes():
+    # 64x64 branchy closure: the scalar loop would cost >=4096 closure
+    # bodies; if-conversion runs the body a handful of times on arrays.
+    from paintfe_tpu.scripting.api import ScriptContext, build_host_fns
+    from paintfe_tpu.scripting.interp import Interpreter
+
+    img = fixtures.test_gradient(64, 64)
+    ctx = ScriptContext(np.asarray(img, np.uint8), 64, 64, None, None)
+    ref = {}
+    interp = Interpreter(build_host_fns(ctx, ref))
+    ref["interp"] = interp
+    interp.run(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            if r > 128 { [255 - r, g, b, a] } else { [r, 255 - g, b, a] }
+        });
+        """
+    )
+    assert interp.ops < 2000, f"fell back to scalar loop ({interp.ops} ops)"
