@@ -47,6 +47,7 @@ T_ROWS_PER_STRIP = 278
 T_STRIP_COUNTS = 279
 T_PLANAR = 284
 T_PREDICTOR = 317
+T_SAMPLE_FORMAT = 339
 T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
@@ -218,6 +219,8 @@ def _read_samples(blob: bytes, end: str, tags: Dict[int, list]) -> np.ndarray:
         raise RawError("planar DNG layout is not supported")
     tiled = T_TILE_OFFSETS in tags
 
+    if tags.get(T_SAMPLE_FORMAT, [1])[0] == 3:  # IEEE floating point
+        return _read_fp_samples(blob, end, tags, w, h, spp, bits, comp, tiled)
     if comp == 7:
         return _read_ljpeg_samples(blob, tags, w, h, spp, tiled)
     if comp in (5, 8):
@@ -275,6 +278,102 @@ def _read_compressed_samples(blob, end, tags, w, h, spp, bits, comp,
             arr = np.cumsum(arr.reshape(seg_rows, seg_w, spp), axis=1,
                             dtype=native_t).reshape(seg_rows, seg_w * spp)
         return arr.astype(np.float32)
+
+    if tiled:
+        return _assemble_tiles(blob, tags, w, h, spp, decode_seg)
+    return _assemble_strips(blob, tags, w, h, spp, decode_seg)
+
+
+def _fp24_bits_to_f32(u: np.ndarray) -> np.ndarray:
+    """DNG 24-bit float (1 sign / 7 exponent bias-63 / 16 mantissa) to f32.
+    Every fp24 value is exactly representable in fp32 (public DNG spec
+    ch.3 'Floating Point Data'), so this conversion is lossless."""
+    u = u.astype(np.uint32)
+    sign = (u >> 23) & 1
+    exp = (u >> 16) & 0x7F
+    mant = u & 0xFFFF
+    out = np.zeros(u.shape, np.uint32)
+    normal = (exp > 0) & (exp < 0x7F)
+    out = np.where(normal, (sign << 31) | ((exp + 64) << 23) | (mant << 7), out)
+    out = np.where(exp == 0x7F,  # Inf / NaN
+                   (sign << 31) | np.uint32(0xFF << 23) | (mant << 7), out)
+    den = (exp == 0) & (mant > 0)
+    if den.any():  # fp24 denormals: mant * 2^-78, a normal fp32 value
+        denbits = (mant.astype(np.float64) * 2.0 ** -78).astype(
+            np.float32).view(np.uint32)
+        out = np.where(den, (sign << 31) | denbits, out)
+    out = np.where((exp == 0) & (mant == 0), sign << 31, out)
+    return out.view(np.float32)
+
+
+def _read_fp_samples(blob, end, tags, w, h, spp, bits, comp,
+                     tiled) -> np.ndarray:
+    """SampleFormat=3: IEEE floating-point DNG samples (fp16/24/32), plain
+    or deflate/LZW-compressed, with TIFF Predictor 3 (byte-plane floating
+    point differencing) and the DNG 1.4 X2/X4 variants 34894/34895.
+
+    Layout per the public TIFF/DNG specs (libtiff fpAcc is the canonical
+    decoder shape): with an fp predictor each ROW is stored as
+    bytes-per-sample big-endian byte PLANES (all MSBs first), delta-coded
+    byte-wise at stride spp x (1|2|4); without it, samples are plain IEEE
+    values in container byte order."""
+    import zlib
+
+    from paintfe_tpu.io.deep_export import _lzw_decode
+
+    if bits not in (16, 24, 32):
+        raise RawError(f"{bits}-bit floating-point DNG samples are not "
+                       "supported (fp16/fp24/fp32)")
+    if comp not in (1, 5, 8):
+        raise RawError(f"floating-point DNG compression {comp} is not "
+                       "supported (1 uncompressed, 5 LZW, 8 deflate)")
+    predictor = tags.get(T_PREDICTOR, [1])[0]
+    if predictor not in (1, 3, 34894, 34895):
+        raise RawError(f"TIFF predictor {predictor} is not supported for "
+                       "floating-point samples")
+    bps = bits // 8
+    stride = spp * {1: 1, 3: 1, 34894: 2, 34895: 4}[predictor]
+
+    def to_f32(be_bytes: np.ndarray) -> np.ndarray:
+        # be_bytes: (..., bps) most-significant byte first
+        if bits == 32:
+            return be_bytes.reshape(be_bytes.shape[:-1] + (bps,)).copy().view(
+                ">f4")[..., 0].astype(np.float32)
+        if bits == 16:
+            return be_bytes.copy().view(">f2")[..., 0].astype(np.float32)
+        u = ((be_bytes[..., 0].astype(np.uint32) << 16)
+             | (be_bytes[..., 1].astype(np.uint32) << 8)
+             | be_bytes[..., 2])
+        return _fp24_bits_to_f32(u)
+
+    def decode_seg(payload: bytes, seg_w: int, seg_rows: int) -> np.ndarray:
+        if comp == 8:
+            try:
+                rawb = zlib.decompress(payload)
+            except Exception as e:
+                raise RawError(f"corrupt deflate DNG segment: {e}")
+        elif comp == 5:
+            rawb = _lzw_decode(payload)
+        else:
+            rawb = payload
+        wc = seg_w * spp
+        need = seg_rows * wc * bps
+        if len(rawb) < need:
+            raise RawError("floating-point DNG segment is truncated")
+        arr = np.frombuffer(rawb, np.uint8, count=need).reshape(
+            seg_rows, wc * bps)
+        if predictor == 1:
+            sample_bytes = arr.reshape(seg_rows, wc, bps)
+            if end == "<":  # container order -> big-endian byte order
+                sample_bytes = sample_bytes[..., ::-1]
+            return to_f32(sample_bytes).reshape(seg_rows, wc)
+        # undo per-row byte differencing at `stride`, then de-plane
+        acc = arr.copy()
+        for off in range(stride):
+            np.cumsum(acc[:, off::stride], axis=1, dtype=np.uint8,
+                      out=acc[:, off::stride])
+        planes = acc.reshape(seg_rows, bps, wc)
+        return to_f32(planes.transpose(0, 2, 1)).reshape(seg_rows, wc)
 
     if tiled:
         return _assemble_tiles(blob, tags, w, h, spp, decode_seg)
@@ -449,12 +548,17 @@ def _decode_dng(blob: bytes) -> np.ndarray:
 def _normalize_levels(data: np.ndarray, tags: Dict[int, list],
                       bits: int) -> np.ndarray:
     """Black-subtract + white-normalize, honoring per-CFA-plane black
-    levels (BlackLevelRepeatDim, common on real cameras)."""
+    levels (BlackLevelRepeatDim, common on real cameras).  Floating-point
+    samples (SampleFormat=3) default to the [0, 1] range the DNG spec
+    assigns them instead of the integer 2^bits-1 full scale."""
+    is_fp = tags.get(T_SAMPLE_FORMAT, [1])[0] == 3
     black = tags.get(T_BLACK_LEVEL, [0.0])
-    white = tags.get(T_WHITE_LEVEL, [float(2 ** bits - 1)])
+    white = tags.get(T_WHITE_LEVEL,
+                     [1.0 if is_fp else float(2 ** bits - 1)])
     if len(set(float(v) for v in white)) > 1:
         raise RawError("per-sample DNG WhiteLevel values are not supported")
     white0 = f32(white[0])
+    floor = f32(1e-9) if is_fp else f32(1.0)
 
     if len(black) == 1:
         black_map: np.ndarray = np.full((1, 1), f32(black[0]), np.float32)
@@ -466,7 +570,7 @@ def _normalize_levels(data: np.ndarray, tags: Dict[int, list],
         elif data.ndim == 3 and len(black) == data.shape[2]:
             # per-sample black for linear multi-channel raws
             sub = data - np.array(black, np.float32)
-            scale = f32(1.0) / np.maximum(white0 - f32(min(black)), f32(1.0))
+            scale = f32(1.0) / np.maximum(white0 - f32(min(black)), floor)
             return np.clip(sub * scale, 0.0, 1.0)
         else:
             raise RawError(
@@ -479,7 +583,7 @@ def _normalize_levels(data: np.ndarray, tags: Dict[int, list],
     tiledb = np.tile(black_map, ((h + bh - 1) // bh, (w + bw - 1) // bw))[:h, :w]
     if data.ndim == 3:
         tiledb = tiledb[..., None]
-    scale = f32(1.0) / np.maximum(white0 - f32(black_map.max()), f32(1.0))
+    scale = f32(1.0) / np.maximum(white0 - f32(black_map.max()), floor)
     return np.clip((data - tiledb) * scale, 0.0, 1.0)
 
 

@@ -32,9 +32,47 @@ def _entry(tag, typ, count, value, data_blocks, data_offset):
     return entry, data_offset + len(payload)
 
 
+def _f32_to_fp24_bits(vals: np.ndarray) -> np.ndarray:
+    """Test-side fp24 encoder (1 sign / 7 exp bias-63 / 16 mantissa).
+    Assumes every value is exactly fp24-representable (the tests build
+    their fixtures that way), so decode must be bit-exact."""
+    u = vals.astype(np.float32).view(np.uint32)
+    sign = (u >> 31) & 1
+    exp32 = (u >> 23) & 0xFF
+    mant = (u >> 7) & 0xFFFF
+    out = np.where(exp32 == 0, sign << 23,                       # +-0
+                   (sign << 23) | ((exp32 - 64) << 16) | mant)
+    out = np.where(exp32 == 0xFF, (sign << 23) | (0x7F << 16) | mant, out)
+    return out.astype(np.uint32)
+
+
+def _fp_row_bytes(row: np.ndarray, fp_bits: int, predictor: int,
+                  spp: int) -> bytes:
+    """One row of float samples -> stored bytes.  With an fp predictor the
+    row becomes big-endian byte PLANES (MSB plane first) delta-coded at
+    byte stride spp*(1|2|4); predictor 1 keeps plain little-endian IEEE
+    samples (the writer emits II containers)."""
+    flat = row.reshape(-1).astype(np.float32)
+    if fp_bits == 32:
+        be = flat.astype(">f4").view(np.uint8).reshape(-1, 4)
+    elif fp_bits == 16:
+        be = flat.astype(">f2").view(np.uint8).reshape(-1, 2)
+    else:
+        u = _f32_to_fp24_bits(flat)
+        be = np.stack([(u >> 16) & 0xFF, (u >> 8) & 0xFF, u & 0xFF],
+                      axis=-1).astype(np.uint8)
+    if predictor == 1:
+        return np.ascontiguousarray(be[:, ::-1]).tobytes()  # LE container
+    stride = spp * {3: 1, 34894: 2, 34895: 4}[predictor]
+    planes = be.T.reshape(-1).astype(np.uint8)  # MSB plane first
+    diffed = planes.copy()
+    diffed[stride:] = planes[stride:] - planes[:-stride]
+    return diffed.tobytes()
+
+
 def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
               bits=16, black=0, white=None, compression=1, tile=None,
-              ljpeg_components=2, predictor=1):
+              ljpeg_components=2, predictor=1, fp_bits=None):
     """Single-IFD little-endian DNG.
 
     compression=1 writes uncompressed strips; compression=7 encodes each
@@ -42,6 +80,8 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
     compression=5/8 writes TIFF LZW / deflate (optionally with TIFF
     Predictor 2 horizontal differencing).
     tile=(tw, tl) switches from one strip to a TileWidth/TileLength grid.
+    fp_bits=16/24/32 writes SampleFormat=3 floating-point samples from
+    float32 input (predictor 1, 3 fp, or 34894/34895 fp X2/X4).
     """
     import zlib
 
@@ -49,10 +89,22 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
 
     h, w = samples.shape[:2]
     spp = 1 if samples.ndim == 2 else samples.shape[2]
+    if fp_bits is not None:
+        bits = fp_bits
+        white = white if white is not None else 0  # sentinel: omit tag
     white = white if white is not None else 2 ** bits - 1
     dt = np.uint16 if bits == 16 else np.uint8
 
     def encode_segment(seg: np.ndarray) -> bytes:
+        if fp_bits is not None:
+            payload = b"".join(_fp_row_bytes(seg[yy], fp_bits, predictor, spp)
+                               for yy in range(seg.shape[0]))
+            if compression == 8:
+                return zlib.compress(payload)
+            if compression == 5:
+                from paintfe_tpu.io.deep_export import _lzw_encode
+                return _lzw_encode(payload)
+            return payload
         if compression == 1:
             return np.ascontiguousarray(seg.astype(dt)).tobytes()
         if compression in (5, 8):
@@ -99,9 +151,15 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
         (262, 3, 1, [photometric]),
         (277, 3, 1, [spp]),
         (50706, 1, 4, [1, 4, 0, 0]),          # DNGVersion
-        (50717, 3, 1, [white]),               # WhiteLevel
     ]
-    if not any(t[0] == 50714 for t in (extra_tags or [])):
+    if fp_bits is not None:
+        tags.append((339, 3, spp, [3] * spp))  # SampleFormat: IEEE fp
+        if white:                              # fp default white is 1.0
+            tags.append((50717, 3, 1, [white]))
+    else:
+        tags.append((50717, 3, 1, [white]))   # WhiteLevel
+    if not any(t[0] == 50714 for t in (extra_tags or [])) and \
+            not (fp_bits is not None and black == 0):
         tags.append((50714, 3, 1, [black]))   # BlackLevel
     if predictor != 1:
         tags.append((317, 3, 1, [predictor]))
@@ -605,3 +663,125 @@ def test_dng_parser_fuzz_never_crashes(tmp_path):
             assert out.dtype == np.uint8 and out.ndim == 3
         except raw.RawError:
             pass  # the only acceptable failure mode
+
+
+# -- floating-point DNG (round-4: SampleFormat=3, fp16/24/32) ----------------
+# Public DNG spec ch.3 "Floating Point Data": byte-plane fp predictors
+# (TIFF Predictor 3 and the DNG 1.4 X2/X4 variants), deflate/LZW strips or
+# tiles.  The writer above is an independent test-side serializer, so each
+# case validates the reader against the spec, not against itself.
+
+
+def _fp_fixture(bits, shape, seed):
+    """Random values EXACTLY representable at the target precision, as f32
+    (so predictor/compression round trips must be bit-exact)."""
+    rng = np.random.default_rng(seed)
+    if bits == 32:
+        return rng.random(shape, dtype=np.float32)
+    if bits == 16:
+        return rng.random(shape, dtype=np.float32).astype(np.float16).astype(np.float32)
+    # fp24: quantize f32 by dropping 7 mantissa bits
+    u = rng.random(shape, dtype=np.float32).view(np.uint32) & np.uint32(0xFFFFFF80)
+    return u.view(np.float32)
+
+
+@pytest.mark.parametrize("bits", [16, 24, 32])
+@pytest.mark.parametrize("predictor", [1, 3, 34894])
+@pytest.mark.parametrize("compression", [1, 8])
+def test_fp_dng_gray_grid(tmp_path, bits, predictor, compression):
+    vals = _fp_fixture(bits, (9, 14), seed=bits + predictor)
+    p = tmp_path / "fp.dng"
+    write_dng(p, vals, photometric=1, fp_bits=bits, predictor=predictor,
+              compression=compression)
+    out = codecs.load_image(p)
+    expect = np.clip(np.floor(_srgb(vals) * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(out[..., 0], expect)
+    assert np.array_equal(out[..., 1], expect)
+    assert (out[..., 3] == 255).all()
+
+
+def test_fp_dng_linear_rgb_deflate_pred3(tmp_path):
+    vals = _fp_fixture(32, (7, 11, 3), seed=3)
+    p = tmp_path / "fprgb.dng"
+    write_dng(p, vals, photometric=34892, fp_bits=32, predictor=3,
+              compression=8)
+    out = codecs.load_image(p)
+    expect = np.clip(np.floor(_srgb(vals) * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(out[..., :3], expect)
+
+
+def test_fp_dng_tiled_lzw(tmp_path):
+    vals = _fp_fixture(16, (10, 13), seed=4)
+    p = tmp_path / "fptile.dng"
+    write_dng(p, vals, photometric=1, fp_bits=16, predictor=3,
+              compression=5, tile=(8, 4))
+    out = codecs.load_image(p)
+    expect = np.clip(np.floor(_srgb(vals) * 255.0 + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(out[..., 0], expect)
+
+
+def test_fp_dng_cfa_x2_predictor(tmp_path):
+    # fp CFA mosaic with the X2 byte-stride predictor (alternating-channel
+    # columns): constant field -> constant interior after demosaic
+    mosaic = np.full((12, 16), np.float32(0.25))
+    extra = [
+        (33421, 3, 2, [2, 2]),
+        (33422, 1, 4, [0, 1, 1, 2]),
+        (50728, 5, 3, [(1, 1), (1, 1), (1, 1)]),
+    ]
+    p = tmp_path / "fpcfa.dng"
+    write_dng(p, mosaic, photometric=32803, fp_bits=32, predictor=34894,
+              compression=8, extra_tags=extra)
+    out = codecs.load_image(p)
+    expect = int(np.clip(np.floor(_srgb(np.float32(0.25)) * 255.0 + 0.5),
+                         0, 255))
+    assert (np.abs(out[2:-2, 2:-2, :3].astype(int) - expect) <= 1).all()
+
+
+def test_fp_dng_white_level_scaling(tmp_path):
+    # WhiteLevel=4 on fp data: 1.0 -> 0.25 after normalization
+    vals = np.full((5, 6), np.float32(1.0))
+    p = tmp_path / "fpwhite.dng"
+    write_dng(p, vals, photometric=1, fp_bits=32, predictor=3,
+              compression=8, white=4)
+    out = codecs.load_image(p)
+    expect = int(np.clip(np.floor(_srgb(np.float32(0.25)) * 255.0 + 0.5),
+                         0, 255))
+    assert (out[..., 0] == expect).all()
+
+
+def test_fp24_special_values_exact():
+    # Hand-built fp24 bit patterns -> exact f32 (sign/exp/mant/zero/inf)
+    from paintfe_tpu.io.raw import _fp24_bits_to_f32
+
+    cases = {
+        0x000000: 0.0,
+        0x800000: -0.0,
+        0x3F8000: 1.5,          # exp=63 (2^0), mant 0x8000 -> 1.5
+        0x3F0000: 1.0,
+        0xBF0000: -1.0,
+        0x400000: 2.0,          # exp=64 -> 2^1
+        0x3E0000: 0.5,
+        0x7F0000: np.inf,
+        0xFF0000: -np.inf,
+    }
+    got = _fp24_bits_to_f32(np.array(list(cases), np.uint32))
+    np.testing.assert_array_equal(got, np.array(list(cases.values()), np.float32))
+    # denormal: mant * 2^-78
+    d = _fp24_bits_to_f32(np.array([0x000001], np.uint32))
+    assert d[0] == np.float32(2.0 ** -78)
+
+
+def test_fp_dng_unsupported_bits_rejected(tmp_path):
+    vals = _fp_fixture(32, (4, 4), seed=5)
+    p = tmp_path / "fpbad.dng"
+    write_dng(p, vals, photometric=1, fp_bits=32, predictor=3, compression=8)
+    blob = bytearray(p.read_bytes())
+    # patch BitsPerSample 32 -> 64 (tag 258, type 3): find the IFD entry
+    i = blob.find(bytes.fromhex("0201") + b"\x03\x00")  # tag 258 LE + SHORT
+    assert i > 0
+    blob[i + 8:i + 10] = (64).to_bytes(2, "little")
+    p2 = tmp_path / "fpbad2.dng"
+    p2.write_bytes(bytes(blob))
+    with pytest.raises(raw.RawError, match="floating-point"):
+        raw.load_dng(p2)
