@@ -5,18 +5,24 @@ The reference reads its RAW families through the `rawloader` crate
 (src/io.rs:36-80).  That decoder stack doesn't exist here, so this module
 implements the interchange formats natively:
 
-- **DNG**: uncompressed (Compression=1) and lossless-JPEG (Compression=7)
-  raw IFDs, strip- or tile-organised, linear RGB/gray or 2x2 CFA mosaics,
-  per-plane black levels (BlackLevelRepeatDim), ActiveArea crop, and the
-  ColorMatrix1 camera->sRGB transform when present.
+- **DNG**: uncompressed (Compression=1), LZW (5), lossless-JPEG (7),
+  deflate (8) and lossy baseline-JPEG (34892) raw IFDs, plus
+  floating-point samples (SampleFormat=3, fp16/24/32 with the byte-plane
+  fp predictors 3/34894/34895), strip- or tile-organised, linear RGB/gray
+  or 2x2 CFA mosaics, per-plane black levels (BlackLevelRepeatDim),
+  ActiveArea crop, and the ColorMatrix1 camera->sRGB transform.
 - **CR2**: TIFF container whose raw IFD points at a lossless-JPEG stream
   (Compression=6/7) with Canon's vertical slice layout (tag 0xc640) and
   SensorInfo-based active-area crop + masked-border black estimation.
 - **NEF**: TIFF container with packed 12/14-bit uncompressed raw SubIFDs.
 
-The SOF3 entropy decoder itself is native C++ (native/ljpeg.cpp), spec-
-implemented and fuzzed against an independent test-side encoder.
-Remaining families (CR3/ARW/ORF/RW2/SRW/PEF/RAF) raise a clear CodecError.
+The SOF3 entropy decoder is native C++ (native/ljpeg.cpp), spec-
+implemented and fuzzed against an independent test-side encoder; the
+baseline-DCT decoder for lossy DNG is likewise native (native/jpegdct.cpp)
+and validated against PIL/libjpeg as an independent oracle.  Remaining
+families (CR3/ARW/ORF/RW2/SRW/PEF/RAF + Nikon-compressed NEF) use
+proprietary entropy tables that cannot be verified here without real
+camera files — they raise a clear CodecError instead.
 
 Pipeline (host-side, numpy): black-level subtract -> white-level
 normalize -> (CFA) white balance + bilinear demosaic -> optional camera
@@ -226,9 +232,12 @@ def _read_samples(blob: bytes, end: str, tags: Dict[int, list]) -> np.ndarray:
     if comp in (5, 8):
         return _read_compressed_samples(blob, end, tags, w, h, spp, bits,
                                         comp, tiled)
+    if comp == 34892:
+        return _read_lossy_jpeg_samples(blob, tags, w, h, spp, bits, tiled)
     if comp != 1:
         raise RawError(f"DNG compression {comp} is not supported "
-                       "(1 uncompressed, 5 LZW, 7 lossless JPEG, 8 deflate)")
+                       "(1 uncompressed, 5 LZW, 7 lossless JPEG, 8 deflate, "
+                       "34892 lossy JPEG)")
     if bits not in (8, 16):
         raise RawError(f"{bits}-bit uncompressed DNG samples are not supported")
     dt = np.dtype(("<" if end == "<" else ">") + ("u2" if bits == 16 else "u1"))
@@ -374,6 +383,62 @@ def _read_fp_samples(blob, end, tags, w, h, spp, bits, comp,
                       out=acc[:, off::stride])
         planes = acc.reshape(seg_rows, bps, wc)
         return to_f32(planes.transpose(0, 2, 1)).reshape(seg_rows, wc)
+
+    if tiled:
+        return _assemble_tiles(blob, tags, w, h, spp, decode_seg)
+    return _assemble_strips(blob, tags, w, h, spp, decode_seg)
+
+
+def jpegdct_decode(stream: bytes) -> np.ndarray:
+    """Decode one baseline-DCT (SOF0/SOF1, 8-bit) JPEG stream to a
+    (lines, samples) u8 array, components interleaved along the row and
+    returned RAW (no color transform — DNG LinearRaw semantics), via the
+    native decoder (native/jpegdct.cpp)."""
+    from paintfe_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        raise RawError("baseline-JPEG decode needs the native library "
+                       f"(build failed: {native.build_error()})")
+    buf = (ctypes.c_uint8 * len(stream)).from_buffer_copy(stream)
+    info = (ctypes.c_uint32 * 3)()
+    rc = lib.jpegdct_info(buf, len(stream), info)
+    if rc != 0:
+        raise RawError(_JPEGDCT_ERRORS.get(rc, f"JPEG error {rc}"))
+    w, h, nc = (int(v) for v in info)
+    out = np.zeros(h * w * nc, np.uint8)
+    rc = lib.jpegdct_decode(
+        buf, len(stream),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size)
+    if rc != 0:
+        raise RawError(_JPEGDCT_ERRORS.get(rc, f"JPEG error {rc}"))
+    return out.reshape(h, w * nc)
+
+
+_JPEGDCT_ERRORS = {
+    -1: "malformed baseline-JPEG stream",
+    -2: "unsupported JPEG feature (progressive / arithmetic / 12-bit / "
+        "subsampled)",
+    -3: "truncated baseline-JPEG entropy data",
+    -4: "baseline-JPEG output capacity mismatch",
+}
+
+
+def _read_lossy_jpeg_samples(blob, tags, w, h, spp, bits,
+                             tiled) -> np.ndarray:
+    """Compression=34892 (DNG lossy JPEG): every strip/tile is an
+    independent 8-bit baseline-DCT JPEG stream; sample values are used
+    directly (LinearRaw — the stream carries no YCbCr transform)."""
+    if bits != 8:
+        raise RawError("lossy-JPEG DNG must be 8-bit")
+
+    def decode_seg(payload, seg_w, seg_rows):
+        dec = jpegdct_decode(payload)
+        if dec.size != seg_rows * seg_w * spp:
+            raise RawError(
+                f"lossy-JPEG segment decodes to {dec.size} samples, "
+                f"expected {seg_rows * seg_w * spp}")
+        return dec.astype(np.float32).reshape(seg_rows, seg_w * spp)
 
     if tiled:
         return _assemble_tiles(blob, tags, w, h, spp, decode_seg)

@@ -17,7 +17,7 @@ import threading
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _LIB_PATH = _DIR / "libpaintfe_native.so"
-_SOURCES = [_DIR / "inpaint.cpp", _DIR / "ljpeg.cpp"]
+_SOURCES = [_DIR / "inpaint.cpp", _DIR / "ljpeg.cpp", _DIR / "jpegdct.cpp"]
 _lock = threading.Lock()
 _lib = None
 _build_error = None
@@ -73,6 +73,16 @@ def load():
             ctypes.POINTER(ctypes.c_uint16), ctypes.c_uint64,
         ]
         lib.ljpeg_decode.restype = ctypes.c_int
+        lib.jpegdct_info.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32),
+        ]
+        lib.jpegdct_info.restype = ctypes.c_int
+        lib.jpegdct_decode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ]
+        lib.jpegdct_decode.restype = ctypes.c_int
         _lib = lib
         return _lib
 

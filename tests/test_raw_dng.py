@@ -96,6 +96,16 @@ def write_dng(path, samples: np.ndarray, photometric: int, extra_tags=None,
     dt = np.uint16 if bits == 16 else np.uint8
 
     def encode_segment(seg: np.ndarray) -> bytes:
+        if compression == 34892:  # DNG lossy JPEG: PIL is the encoder
+            import io as _io
+
+            from PIL import Image
+
+            mode = {1: "L", 3: "YCbCr"}[spp]  # YCbCr mode: raw components
+            buf = _io.BytesIO()
+            Image.fromarray(seg.astype(np.uint8), mode).save(
+                buf, "JPEG", quality=95, subsampling=0)
+            return buf.getvalue()
         if fp_bits is not None:
             payload = b"".join(_fp_row_bytes(seg[yy], fp_bits, predictor, spp)
                                for yy in range(seg.shape[0]))
@@ -785,3 +795,110 @@ def test_fp_dng_unsupported_bits_rejected(tmp_path):
     p2.write_bytes(bytes(blob))
     with pytest.raises(raw.RawError, match="floating-point"):
         raw.load_dng(p2)
+
+
+# -- lossy-JPEG DNG (round-4: Compression=34892, baseline DCT) ---------------
+# The entropy/DCT decoder is native C++ (native/jpegdct.cpp), from the
+# public T.81 spec; PIL/libjpeg is the INDEPENDENT oracle.  A compliant
+# IDCT may differ from libjpeg's islow integer IDCT by at most 1 per
+# sample (T.81 Annex A accuracy bound) — the sample-level tests assert
+# that envelope, and the DNG-level tests assert exact plumbing on top of
+# the decoder's own samples.
+
+import io as _io
+
+from PIL import Image
+
+
+def _pil_jpeg(arr, mode, **save_kw):
+    buf = _io.BytesIO()
+    Image.fromarray(arr, mode).save(buf, "JPEG", **save_kw)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("quality", [50, 75, 95])
+def test_jpegdct_gray_matches_pil(quality):
+    x = np.linspace(0, 2 * np.pi, 64)
+    img = ((np.sin(x)[None, :] * np.cos(x)[:, None]) * 100 + 128).astype(np.uint8)
+    stream = _pil_jpeg(img, "L", quality=quality)
+    ours = raw.jpegdct_decode(stream)
+    pil = np.asarray(Image.open(_io.BytesIO(stream)))
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_jpegdct_noise_odd_dims_matches_pil():
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (37, 53), dtype=np.uint8)
+    stream = _pil_jpeg(noise, "L", quality=92)
+    ours = raw.jpegdct_decode(stream)
+    pil = np.asarray(Image.open(_io.BytesIO(stream)))
+    assert ours.shape == (37, 53)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_jpegdct_color_444_matches_pil_raw_components():
+    # PIL draft("YCbCr") decodes WITHOUT the YCbCr->RGB conversion, so it
+    # oracles our raw-component contract directly.
+    rng = np.random.default_rng(2)
+    rgb = rng.integers(0, 256, (40, 48, 3), dtype=np.uint8)
+    stream = _pil_jpeg(rgb, "RGB", quality=90, subsampling=0)
+    ours = raw.jpegdct_decode(stream).reshape(40, 48, 3)
+    im = Image.open(_io.BytesIO(stream))
+    im.draft("YCbCr", im.size)
+    assert im.mode == "YCbCr"
+    pil = np.asarray(im)
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_jpegdct_restart_markers_match_pil():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 40), dtype=np.uint8)
+    stream = _pil_jpeg(img, "L", quality=90, restart_marker_rows=1)
+    assert b"\xff\xdd" in stream and b"\xff\xd0" in stream
+    ours = raw.jpegdct_decode(stream)
+    pil = np.asarray(Image.open(_io.BytesIO(stream)))
+    assert np.abs(ours.astype(int) - pil.astype(int)).max() <= 1
+
+
+def test_jpegdct_progressive_rejected():
+    img = np.zeros((16, 16), np.uint8)
+    stream = _pil_jpeg(img, "L", quality=90, progressive=True)
+    with pytest.raises(raw.RawError, match="unsupported JPEG feature"):
+        raw.jpegdct_decode(stream)
+
+
+def test_jpegdct_subsampled_rejected():
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    stream = _pil_jpeg(rgb, "RGB", quality=90, subsampling=2)  # 4:2:0
+    with pytest.raises(raw.RawError, match="unsupported JPEG feature"):
+        raw.jpegdct_decode(stream)
+
+
+def test_lossy_dng_gray_plumbing_exact(tmp_path):
+    # DNG-level check: the 34892 path must equal an uncompressed 8-bit DNG
+    # built from the decoder's own samples (decoder accuracy is separately
+    # PIL-oracled above; this isolates the container plumbing).
+    x = np.linspace(0, 2 * np.pi, 48)
+    img = ((np.sin(x)[None, :] * np.cos(x * 0.7)[:, None]) * 90 + 128).astype(np.uint8)
+    p1 = tmp_path / "lossy.dng"
+    write_dng(p1, img, photometric=1, bits=8, compression=34892)
+    decoded = raw.jpegdct_decode(_pil_jpeg(img, "L", quality=95, subsampling=0))
+    p2 = tmp_path / "plain.dng"
+    write_dng(p2, decoded, photometric=1, bits=8)
+    assert np.array_equal(raw.load_dng(p1), raw.load_dng(p2))
+
+
+def test_lossy_dng_linear_3ch_tiled(tmp_path):
+    rng = np.random.default_rng(5)
+    base = rng.integers(60, 196, (24, 32, 3)).astype(np.uint8)
+    p = tmp_path / "lossy3.dng"
+    write_dng(p, base, photometric=34892, bits=8, compression=34892,
+              tile=(16, 8))
+    out = codecs.load_image(p)
+    assert out.shape == (24, 32, 4)
+    # components survive the lossy round trip to within JPEG error; the
+    # output is sRGB-encoded so allow the slope-amplified tolerance
+    lin = base.astype(np.float32) / 255.0
+    expect = np.clip(np.floor(_srgb(lin) * 255.0 + 0.5), 0, 255)
+    assert np.abs(out[..., :3].astype(int) - expect.astype(int)).mean() < 6
