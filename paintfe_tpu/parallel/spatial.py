@@ -120,6 +120,153 @@ def _fused_chain_spatial_fn(mesh: Mesh, r: int, params_items: tuple):
     return jax.jit(fn)
 
 
+def _shard_map(local, mesh, in_specs, out_specs):
+    """shard_map with the replication checker disabled (pallas out_shape
+    carries no vma info); kwarg renamed check_rep -> check_vma across jax
+    versions."""
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    try:
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(local, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
+def _halo_extend(block, r, n):
+    """Exchange r boundary rows with mesh neighbors over ICI (ppermute);
+    edge shards replicate their own edge rows (matches single-device
+    edge-pad semantics)."""
+    idx = jax.lax.axis_index("rows")
+    up = jax.lax.ppermute(block[-r:], "rows",
+                          [(i, i + 1) for i in range(n - 1)])
+    down = jax.lax.ppermute(block[:r], "rows",
+                            [(i + 1, i) for i in range(n - 1)])
+    top = jnp.where(idx == 0, jnp.repeat(block[:1], r, axis=0), up)
+    bottom = jnp.where(idx == n - 1, jnp.repeat(block[-1:], r, axis=0), down)
+    return jnp.concatenate([top, block, bottom], axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _median_spatial_fn(mesh: Mesh, r: int, interpret: bool):
+    """Jitted shard_map program for the tiled-median Pallas kernel: each
+    shard halo-extends its row block by r (ppermute over ICI) and runs the
+    VMEM median kernel (ops/pallas_kernels.median_pallas) on the extended
+    block.  The kernel's own edge-replicate padding then only affects the
+    halo rows, which are cropped — so results are bit-identical to the
+    single-device kernel.  Cached per (mesh, r): the kernel's
+    scalar-prefetched dynamic-offset DMA makes it the most
+    partition-fragile pattern in the repo; this program certifies it under
+    a real mesh partitioner."""
+    from paintfe_tpu.ops.pallas_kernels import median_pallas
+
+    n = mesh.devices.size
+
+    def local(block):
+        extended = _halo_extend(block, r, n)
+        out = median_pallas(extended, r, interpret=interpret)
+        return out[r:-r]
+
+    fn = _shard_map(local, mesh, (P("rows", None, None),),
+                    P("rows", None, None))
+    return jax.jit(fn)
+
+
+def median_spatial(img, r: int, mesh: Optional[Mesh] = None):
+    """Window median of one row-sharded image on the mesh; bit-identical
+    to ops/pallas_kernels.median_pallas single-device."""
+    mesh = mesh if mesh is not None else rows_mesh()
+    n = mesh.devices.size
+    interpret = jax.default_backend() != "tpu"
+    img = jnp.asarray(img, jnp.uint8)
+    h = img.shape[0]
+    pad = (-h) % n
+    if pad:
+        img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
+    sharding = rows_sharding(mesh)
+    placed = jax.device_put(img, sharding)
+    out = _median_spatial_fn(mesh, int(r), interpret)(placed)
+    return out[:h]
+
+
+@functools.lru_cache(maxsize=32)
+def _warp_spatial_fn(mesh: Mesh, wh: int, s_sweep: int, hb: int, w: int,
+                     src_h: int, src_w: int, mode: str, interpret: bool):
+    """Jitted shard_map program for the warp sweep-gather kernel: the
+    source image is replicated (a warp gathers from arbitrary rows, so
+    locality can't be assumed), the displacement field is row-sharded, and
+    each shard plans its own DMA windows (`_window_params` on its block)
+    and launches the Pallas kernel with the fleet-wide (wh, s) buckets.
+    Per-shard spans are subsets of the full-field spans, so buckets chosen
+    by a full-field plan are feasible on every shard."""
+    from paintfe_tpu.ops import warp_kernel as wk
+
+    hp = wk._round_up(hb, wk.TH)
+    wp = wk._round_up(w, wk.TW)
+    ww = wk._window_width(s_sweep)
+    gh, gw = hp // wk.TH, wp // wk.TW
+    kernel = wk._make_kernel(wh, s_sweep, wk.TH, wk.TW, ww, src_h, src_w,
+                             gw, mode)
+
+    def local(src_u8, sxb, syb):
+        sxp = jnp.pad(sxb, ((0, hp - hb), (0, wp - w)))
+        syp = jnp.pad(syb, ((0, hp - hb), (0, wp - w)))
+        oy, ox, _, _ = wk._window_params(sxp, syp, src_h, src_w, hb, w)
+        return wk._launch(kernel, src_u8, sxp, syp, oy, ox, wh, ww, gh, gw,
+                          hp, wp, hb, w, interpret)
+
+    fn = _shard_map(local, mesh,
+                    (P(None, None, None), P("rows", None), P("rows", None)),
+                    P("rows", None, None))
+    return jax.jit(fn)
+
+
+def warp_spatial(src, sx, sy, mode: str = "zero",
+                 mesh: Optional[Mesh] = None):
+    """Bilinear warp gather with the displacement field row-sharded over
+    the mesh (ops/warp_kernel.gather_bilinear_u8 semantics).  Returns None
+    when the field is infeasible for the sweep kernel (same contract as
+    the single-device path)."""
+    from paintfe_tpu.ops import warp_kernel as wk
+
+    mesh = mesh if mesh is not None else rows_mesh()
+    n = mesh.devices.size
+    interpret = jax.default_backend() != "tpu"
+    src_u8 = jnp.asarray(src, jnp.uint8)
+    src_h, src_w = src_u8.shape[0], src_u8.shape[1]
+    sxf = jnp.asarray(sx, jnp.float32)
+    syf = jnp.asarray(sy, jnp.float32)
+    h, w = sxf.shape
+
+    planned = wk.plan(sxf, syf, src_h, src_w)
+    if planned is None:
+        return None
+    _, _, wh, s_sweep = planned
+
+    # Pad H to a multiple of n * TH so every shard-local tile coincides
+    # with a full-field tile (same absolute row groups) — per-shard spans
+    # are then exactly the planned spans and the buckets stay feasible.
+    # Pad rows replicate the last row's taps (already included in the
+    # plan), never new geometry.
+    pad = (-h) % (n * wk.TH)
+    if pad:
+        sxf = jnp.concatenate([sxf, jnp.repeat(sxf[-1:], pad, axis=0)],
+                              axis=0)
+        syf = jnp.concatenate([syf, jnp.repeat(syf[-1:], pad, axis=0)],
+                              axis=0)
+    hb = (h + pad) // n
+    sharding = NamedSharding(mesh, P("rows", None))
+    fn = _warp_spatial_fn(mesh, wh, s_sweep, hb, w, src_h, src_w, mode,
+                          interpret)
+    out = fn(jax.device_put(src_u8, NamedSharding(mesh, P(None, None, None))),
+             jax.device_put(sxf, sharding), jax.device_put(syf, sharding))
+    return out[:h]
+
+
 def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
     """The headline fused chain (ops/fused_chain.fused_chain_kernel) over a
     row-sharded mesh: each shard exchanges its r boundary rows with its

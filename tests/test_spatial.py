@@ -67,6 +67,42 @@ def test_fused_chain_spatial_matches_single_device():
     np.testing.assert_array_equal(ref, out)
 
 
+def test_median_spatial_matches_single_device():
+    """The tiled-median Pallas kernel (scalar-prefetched dynamic-offset
+    DMA) under shard_map: halo-extended blocks must reproduce the
+    single-device kernel bit-exactly, including ragged heights where the
+    kernel's own edge-replicate pad interacts with the halo rows."""
+    from paintfe_tpu.ops.pallas_kernels import median_pallas
+
+    rng = np.random.default_rng(7)
+    for h in (64, 61):
+        img = rng.integers(0, 256, (h, 40, 4), np.uint8)
+        ref = np.asarray(median_pallas(img, 2))
+        out = np.asarray(spatial.median_spatial(img, 2, _mesh8()))
+        np.testing.assert_array_equal(ref, out)
+
+
+@pytest.mark.parametrize("mode", ["zero", "clamp"])
+def test_warp_spatial_matches_single_device(mode):
+    """The warp sweep-gather kernel under shard_map: source replicated,
+    displacement field row-sharded, per-shard DMA window planning with the
+    fleet-wide buckets.  Must be bit-identical to the single-device kernel
+    for both boundary semantics."""
+    from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
+
+    rng = np.random.default_rng(9)
+    h, w = 61, 50
+    src = rng.integers(0, 256, (h, w, 4), np.uint8)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # swirl-ish field with out-of-bounds excursions at the corners
+    sx = xx + 3.0 * np.sin(yy / 9.0) - 1.5
+    sy = yy + 2.0 * np.cos(xx / 7.0) + 0.75
+    ref = np.asarray(gather_bilinear_u8(src, sx, sy, mode=mode))
+    out = np.asarray(spatial.warp_spatial(src, sx, sy, mode=mode,
+                                          mesh=_mesh8()))
+    np.testing.assert_array_equal(ref, out)
+
+
 @pytest.mark.slow
 def test_fused_chain_spatial_bench_shape():
     """VERDICT r2 weak: the small-shape tests above can't catch tiling or
