@@ -271,24 +271,31 @@ def _keep_outside_norm(img, warped, norm):
     return jnp.where((norm >= 1.0)[..., None], img, warped)
 
 
-def _kernel_clamp_warp(img, src_x, src_y):
+def _kernel_clamp_warp(img, src_x, src_y, plan_key=None):
     """TPU fast path for the inverse-mapped samplers: the Pallas sweep
     gather in clamp mode (bit-exact with round_u8(sample_bilinear)).
     Returns None off-TPU, for small images (the XLA gather is cheap there
     and each kernel specialization costs a Mosaic compile), under an
     outer jax trace (the bucket plan needs concrete field values — e.g.
     the vmapped batch pipeline or a bench fori_loop), or when the field
-    is infeasible."""
+    is infeasible.
+
+    plan_key: set when the field is a pure function of the effect
+    parameters (dents/twist/bulge) — the DMA window plan then runs once
+    per parameter set and repeat calls are sync-free pure kernel time."""
     import jax.core
 
     if any(isinstance(v, jax.core.Tracer) for v in (img, src_x, src_y)):
         return None
     if not _kernel_warp_eligible(img.shape[0], img.shape[1]):
         return None
-    from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
+    from paintfe_tpu.ops import warp_kernel
 
-    return gather_bilinear_u8(img, src_x, src_y, mode="clamp",
-                              interpret=False)
+    if plan_key is not None:
+        return warp_kernel.gather_bilinear_u8_planned(
+            img, src_x, src_y, plan_key, mode="clamp", interpret=False)
+    return warp_kernel.gather_bilinear_u8(img, src_x, src_y, mode="clamp",
+                                          interpret=False)
 
 
 def _bulge_coords(amount, cx, cy, max_r, strength, h, w):
@@ -336,17 +343,26 @@ def _bulge_coords_fn(amount: float, ox: float, oy: float, h: int, w: int):
                                      strength, h, w))
 
 
+@functools.lru_cache(maxsize=8)
+def _bulge_field(amount: float, ox: float, oy: float, h: int, w: int):
+    """Device-resident (src_x, src_y, norm) for a bulge parameter set —
+    computed once; repeat calls (interactive slider jiggling back, batch
+    scripts) reuse the arrays instead of re-running the field program."""
+    return _bulge_coords_fn(amount, ox, oy, h, w)()
+
+
 def bulge(img, amount: float, origin=(0.5, 0.5), mask=None):
     """Radial scale about origin, inverse-mapped bilinear (distort.rs:396-458)."""
     h, w = img.shape[:2]
+    key = (float(amount), float(origin[0]), float(origin[1]), h, w)
     if _kernel_warp_eligible(h, w):
-        src_x, src_y, norm = _bulge_coords_fn(
-            float(amount), float(origin[0]), float(origin[1]), h, w)()
-        warped = _kernel_clamp_warp(img, src_x, src_y)
+        src_x, src_y, norm = _bulge_field(*key)
+        warped = _kernel_clamp_warp(img, src_x, src_y,
+                                    plan_key=("bulge",) + key)
         if warped is not None:
             out = _keep_outside_norm(jnp.asarray(img), warped, norm)
             return _masked(img, out, mask)
-    out = _bulge_fn(float(amount), float(origin[0]), float(origin[1]), h, w)(img)
+    out = _bulge_fn(*key)(img)
     return _masked(img, out, mask)
 
 
@@ -391,16 +407,23 @@ def _twist_coords_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
                                      twist_amount, h, w))
 
 
+@functools.lru_cache(maxsize=8)
+def _twist_field(angle_deg: float, ox: float, oy: float, h: int, w: int):
+    """Device-resident (src_x, src_y) for a twist parameter set."""
+    return _twist_coords_fn(angle_deg, ox, oy, h, w)()
+
+
 def twist(img, angle_deg: float, origin=(0.5, 0.5), mask=None):
     """Rotation by angle*(1-dist/max_r) about center (distort.rs:460-500)."""
     h, w = img.shape[:2]
+    key = (float(angle_deg), float(origin[0]), float(origin[1]), h, w)
     if _kernel_warp_eligible(h, w):
-        src_x, src_y = _twist_coords_fn(
-            float(angle_deg), float(origin[0]), float(origin[1]), h, w)()
-        warped = _kernel_clamp_warp(img, src_x, src_y)
+        src_x, src_y = _twist_field(*key)
+        warped = _kernel_clamp_warp(img, src_x, src_y,
+                                    plan_key=("twist",) + key)
         if warped is not None:
             return _masked(img, warped, mask)
-    out = _twist_fn(float(angle_deg), float(origin[0]), float(origin[1]), h, w)(img)
+    out = _twist_fn(*key)(img)
     return _masked(img, out, mask)
 
 
@@ -455,6 +478,14 @@ def _dents_coords_fn(scale, amount, seed, octaves, roughness, pinch, wrap, h, w)
                                      inv_scale, h, w))
 
 
+@functools.lru_cache(maxsize=8)
+def _dents_field(*key):
+    """Device-resident (src_x, src_y) for a dents parameter set — the
+    turbulence field (the expensive half of the op) is computed once per
+    parameter set and reused across frames."""
+    return _dents_coords_fn(*key)()
+
+
 def dents(img, scale, amount, seed=42, octaves=2, roughness=0.5, pinch=False,
           wrap=False, mask=None):
     """Turbulence-field displacement warp (distort.rs:248-310)."""
@@ -462,8 +493,9 @@ def dents(img, scale, amount, seed=42, octaves=2, roughness=0.5, pinch=False,
     key = (float(scale), float(amount), int(seed), int(octaves),
            float(roughness), bool(pinch), bool(wrap), h, w)
     if _kernel_warp_eligible(h, w):
-        src_x, src_y = _dents_coords_fn(*key)()
-        warped = _kernel_clamp_warp(img, src_x, src_y)
+        src_x, src_y = _dents_field(*key)
+        warped = _kernel_clamp_warp(img, src_x, src_y,
+                                    plan_key=("dents",) + key)
         if warped is not None:
             return _masked(img, warped, mask)
     out = _dents_fn(*key)(img)

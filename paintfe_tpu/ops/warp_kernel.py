@@ -342,6 +342,43 @@ def _gather_fn_checked(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret):
 _BUCKET_CACHE: dict = {}
 _BUCKET_CACHE_MAX = 128
 
+# plan_key -> (oy, ox, wh, s_sweep) | "infeasible", for fields that are a
+# pure function of their key (parametric effects like dents/twist/bulge)
+_PLAN_CACHE: dict = {}
+_INFEASIBLE = "infeasible"
+
+
+def gather_bilinear_u8_planned(src, sx, sy, plan_key, mode: str = "zero",
+                               interpret: Optional[bool] = None):
+    """gather_bilinear_u8 for callers whose field is a pure function of
+    `plan_key` (the dents/twist/bulge parameter set + shape): the window
+    plan — one blocking host round trip — runs once per key, and every
+    later call reuses the cached device-resident (oy, ox) windows with NO
+    host sync at all: steady state is pure kernel time.  Infeasibility is
+    cached too, so the XLA-gather fallback also skips the plan RTT on
+    repeat calls.  Returns None when the field is infeasible."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    src_h, src_w = src.shape[0], src.shape[1]
+    h, w = sx.shape[0], sx.shape[1]
+    key = (plan_key, h, w, src_h, src_w, mode, interpret)
+    planned = _PLAN_CACHE.get(key)
+    if planned is None:
+        planned = plan(jnp.asarray(sx, jnp.float32),
+                       jnp.asarray(sy, jnp.float32), src_h, src_w)
+        if planned is None:
+            planned = _INFEASIBLE
+        if len(_PLAN_CACHE) >= _BUCKET_CACHE_MAX:
+            _PLAN_CACHE.clear()
+        _PLAN_CACHE[key] = planned
+    if planned is _INFEASIBLE:
+        return None
+    oy, ox, wh, s_sweep = planned
+    hp, wp = _round_up(h, TH), _round_up(w, TW)
+    fn = _gather_fn(wh, s_sweep, hp, wp, src_h, src_w, mode, interpret)
+    return fn(jnp.asarray(src, jnp.uint8), jnp.asarray(sx, jnp.float32),
+              jnp.asarray(sy, jnp.float32), oy, ox, h, w)
+
 
 def gather_bilinear_u8(src, sx, sy, mode: str = "zero",
                        interpret: Optional[bool] = None,

@@ -148,3 +148,38 @@ def test_plan_buckets_monotonic():
     big = plan(xx - 40 * np.sin(yy / 11.0), yy, H, W)
     assert big is not None
     assert big[3] >= S_BUCKETS[1]
+
+
+def test_planned_path_identical_and_sync_free():
+    """gather_bilinear_u8_planned: first call plans (one host sync) and
+    caches device-resident windows per plan_key; later calls must reuse
+    them (no plan) and stay bit-identical.  Infeasible keys cache the
+    infeasibility so the fallback skips the plan RTT too."""
+    from unittest import mock
+
+    from paintfe_tpu.ops import warp_kernel as wk
+
+    src = _src(seed=5)
+    xx, yy = _grids()
+    sx, sy = (v.astype(np.float32) for v in FIELDS["swirl"](xx, yy))
+    key = ("test-field", 1.0)
+    first = wk.gather_bilinear_u8_planned(src, sx, sy, key, mode="zero",
+                                          interpret=True)
+    assert first is not None
+    assert np.array_equal(np.asarray(first), _ref_zero(src, sx, sy))
+    # repeat call: plan() must NOT run again
+    with mock.patch.object(wk, "plan",
+                           side_effect=AssertionError("re-planned")):
+        second = wk.gather_bilinear_u8_planned(src, sx, sy, key,
+                                               mode="zero", interpret=True)
+    assert np.array_equal(np.asarray(first), np.asarray(second))
+
+    # infeasible field: None once, then cached None without re-planning
+    sx_bad = ((xx * 7919.0) % W).astype(np.float32)
+    bad_key = ("test-bad", 2.0)
+    assert wk.gather_bilinear_u8_planned(src, sx_bad, yy, bad_key,
+                                         interpret=True) is None
+    with mock.patch.object(wk, "plan",
+                           side_effect=AssertionError("re-planned")):
+        assert wk.gather_bilinear_u8_planned(src, sx_bad, yy, bad_key,
+                                             interpret=True) is None
