@@ -115,20 +115,22 @@ def table():
     row("crystallize 16",
         _rotate_measure(lambda v: distort.crystallize(v, 16.0), crys_variant))
 
-    # dents routes through the warp kernel on TPU (host-side bucket plan
-    # per call) and outline early-outs on a host-side transparency check,
-    # so the in-program k-loop can't apply: rotate distinct inputs.
-    # two dents rows: dialog-typical magnitude (±16 px, sweep kernel) and
-    # extreme scale*amount (±1000 px — infeasible for the buckets by
-    # design, lands on the XLA gather fallback)
+    # dents routes through the warp kernel on TPU (per-parameter-set field
+    # + DMA-plan cache: the first call plans, later calls are sync-free
+    # pure kernel time), so rotate distinct inputs; the rotate fetch is
+    # the only host crossing.  Two dents rows: dialog-typical magnitude
+    # (±16 px, sweep kernel) and extreme scale*amount (±1000 px —
+    # infeasible for the buckets by design, lands on the XLA gather
+    # fallback, which runs AT the platform's random-gather ceiling: a
+    # bare 4-tap u32 gather at this size measures ~339 ms).
     row("dents s8 a2 (kernel)",
         _rotate_measure(lambda v: distort.dents(v, 8.0, 2.0), crys_variant))
     row("dents s50 a20 (fallback)",
         _rotate_measure(lambda v: distort.dents(v, 50.0, 20.0), crys_variant))
-    row("outline w3",
-        _rotate_measure(
-            lambda v: render.outline(v, 3.0, (255, 0, 255, 255)),
-            crys_variant))
+    # outline is a pure sync-free device program since the separable-EDT
+    # rewrite (no transparency-check round trip), so the k-loop applies
+    slope_row("outline w3",
+              lambda a, x: render.outline(x, 3.0, (255, 0, 255, 255)))
 
     # Flood fill / magic wand at 4K: distance map + threshold + scanline
     # reachability as one device program (this rig's ~30 MB/s dev tunnel

@@ -274,11 +274,12 @@ def _outline_fn(width, color, mode, anti_alias, h, w):
 
 def outline(img, width, color, mode=OutlineMode.OUTSIDE, anti_alias=True, mask=None):
     imj = jnp.asarray(img)
-    # transparency check as a device reduction: np.asarray here would pull
-    # the whole frame to the host (and re-upload it), which dwarfs the
-    # actual kernel on a tunneled device
-    if not bool(jnp.any(imj[..., 3] > 0)):
-        return img  # fully transparent -> unchanged (render.rs:436-438)
+    # No host-side transparency early-out (render.rs:436-438 returns the
+    # image unchanged when fully transparent): on a fully-transparent
+    # input the kernel's coverage is zero everywhere, so `touched` selects
+    # the source verbatim — same result with zero host syncs, and the op
+    # stays trace-safe (usable under jit/vmap).  The old `bool(jnp.any(...))`
+    # check cost a ~35 ms tunnel round trip per call, 60x the kernel.
     h, w = imj.shape[0], imj.shape[1]
     out = _outline_fn(
         int(width), tuple(int(c) for c in color), OutlineMode(mode),
