@@ -336,10 +336,23 @@ def _chain_kernel_fn(taps, r, h, w, th, tw, params, interpret):
     return jax.jit(run)
 
 
+def _pick_tiles(h, w):
+    """Prefer exact-divisor tiles: when (th | h) and (tw | w) the overlay
+    pad and output slice degenerate to no-ops (zero-width pad, full
+    slice), removing two full-frame XLA copies from the harness.
+    Measured on v5e at 4K (interleaved A/B medians, 5 trials): 128x512
+    (padded) 2.08 ms vs 240x768 (exact) 1.90 ms — the headline moves
+    from 4.0 to 4.4 GPix/s.  Falls back to 128x512 when no divisor
+    lands in the sweet-spot range."""
+    th = next((t for t in range(240, 63, -8) if h % t == 0), 128)
+    tw = next((t for t in range(768, 255, -128) if w % t == 0), 512)
+    return th, tw
+
+
 def fused_chain_kernel(img, overlay, *, sigma=2.0, brightness=10.0,
                        contrast=20.0, black=10.0, white=245.0, gamma=1.1,
                        sepia_strength=0.5, blend_opacity=0.6,
-                       th=128, tw=512, interpret=None):
+                       th=None, tw=None, interpret=None):
     """One-kernel version of fused_chain (soft-light flatten only);
     bit-identical to it and to composing the public ops."""
     from paintfe_tpu.ops.filters import gaussian_kernel
@@ -351,6 +364,9 @@ def fused_chain_kernel(img, overlay, *, sigma=2.0, brightness=10.0,
     img = jnp.asarray(img, jnp.uint8)
     overlay = jnp.asarray(overlay, jnp.uint8)
     h, w = img.shape[0], img.shape[1]
+    auto_th, auto_tw = _pick_tiles(h, w)
+    th = auto_th if th is None else th
+    tw = auto_tw if tw is None else tw
     th = min(th, _round_up(h, 8))
     tw = min(tw, _round_up(w, 128))
     params = (float(brightness), float(contrast), float(black), float(white),
