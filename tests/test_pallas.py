@@ -103,3 +103,29 @@ def test_fused_chain_kernel_matches_fused_chain():
     ref2 = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov2))
     out2 = np.asarray(fused_chain_kernel(img, ov2, interpret=True))
     np.testing.assert_array_equal(ref2, out2)
+
+
+def test_pick_tiles_exact_divisors():
+    """Tile auto-pick: exact divisors at the bench geometry (removes the
+    overlay-pad and out-slice copies), graceful fallback when none land
+    in range, and tile choice never changes results."""
+    from paintfe_tpu.ops.fused_chain import (_pick_tiles, fused_chain,
+                                             fused_chain_kernel)
+
+    assert _pick_tiles(2160, 3840) == (240, 768)   # 4K: both exact
+    th, tw = _pick_tiles(2161, 3841)               # primes: fallback
+    assert (th, tw) == (128, 512)
+    th, tw = _pick_tiles(1080, 1920)
+    assert 1080 % th == 0 and 1920 % tw == 0
+
+    import jax
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (72, 384, 4), np.uint8)   # 72 % 72-divisors
+    ov = rng.integers(0, 256, (72, 384, 4), np.uint8)
+    ref = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
+    auto = np.asarray(fused_chain_kernel(img, ov, interpret=True))
+    explicit = np.asarray(fused_chain_kernel(img, ov, th=32, tw=256,
+                                             interpret=True))
+    np.testing.assert_array_equal(ref, auto)
+    np.testing.assert_array_equal(ref, explicit)
