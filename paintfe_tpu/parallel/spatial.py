@@ -179,11 +179,18 @@ def _median_spatial_fn(mesh: Mesh, r: int, interpret: bool):
 def median_spatial(img, r: int, mesh: Optional[Mesh] = None):
     """Window median of one row-sharded image on the mesh; bit-identical
     to ops/pallas_kernels.median_pallas single-device."""
+    from paintfe_tpu.ops.pallas_kernels import median_pallas
+
     mesh = mesh if mesh is not None else rows_mesh()
     n = mesh.devices.size
     interpret = jax.default_backend() != "tpu"
     img = jnp.asarray(img, jnp.uint8)
     h = img.shape[0]
+    if (h + ((-h) % n)) // n < r:
+        # shard blocks shorter than the halo radius can't source their
+        # neighbors' r rows from one ppermute; tiny images don't benefit
+        # from sharding anyway
+        return median_pallas(img, r, interpret=interpret)
     pad = (-h) % n
     if pad:
         img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
@@ -286,6 +293,12 @@ def fused_chain_spatial(img, overlay, mesh: Optional[Mesh] = None, **params):
     img = jnp.asarray(img, jnp.uint8)
     overlay = jnp.asarray(overlay, jnp.uint8)
     h = img.shape[0]
+    if (h + ((-h) % n)) // n < r:
+        # shard blocks shorter than the blur radius can't fill their halo
+        # from one neighbor ppermute; run the single-device kernel
+        from paintfe_tpu.ops.fused_chain import fused_chain_kernel
+
+        return fused_chain_kernel(img, overlay, **params)
     pad = (-h) % n
     if pad:
         img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)

@@ -119,3 +119,23 @@ def test_fused_chain_spatial_bench_shape():
     ref = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
     out = np.asarray(fused_chain_spatial(img, ov, _mesh8()))
     np.testing.assert_array_equal(ref, out)
+
+
+def test_spatial_tiny_image_fallback():
+    """Images whose shard blocks would be shorter than the halo radius
+    fall back to the single-device kernel (one ppermute can't source a
+    full halo) — results must still match exactly."""
+    from paintfe_tpu.ops.fused_chain import fused_chain
+    from paintfe_tpu.ops.pallas_kernels import median_pallas
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (20, 40, 4), np.uint8)  # 20/8 = 2.5 < r=6
+    ov = rng.integers(0, 256, (20, 40, 4), np.uint8)
+    ref = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
+    out = np.asarray(spatial.fused_chain_spatial(img, ov, _mesh8()))
+    np.testing.assert_array_equal(ref, out)
+
+    img2 = rng.integers(0, 256, (12, 40, 4), np.uint8)  # 12/8 = 1.5 < r=2
+    ref2 = np.asarray(median_pallas(img2, 2))
+    out2 = np.asarray(spatial.median_spatial(img2, 2, _mesh8()))
+    np.testing.assert_array_equal(ref2, out2)
