@@ -139,3 +139,23 @@ def test_spatial_tiny_image_fallback():
     ref2 = np.asarray(median_pallas(img2, 2))
     out2 = np.asarray(spatial.median_spatial(img2, 2, _mesh8()))
     np.testing.assert_array_equal(ref2, out2)
+
+
+def test_fused_chain_grid_2d_mesh():
+    """dp x sp: batch of images on the 2-D ('batch', 'rows') mesh — each
+    image's rows halo-exchange within its 'rows' submesh while images
+    spread over 'batch'.  Bit-identical to the per-image single-device
+    kernel, including ragged heights."""
+    from paintfe_tpu.ops.fused_chain import fused_chain
+    from paintfe_tpu.parallel.spatial import fused_chain_grid, grid_mesh
+
+    rng = np.random.default_rng(17)
+    mesh = grid_mesh(2, 4, jax.devices()[:8])
+    for h in (64, 61):
+        imgs = rng.integers(0, 256, (4, h, 80, 4), np.uint8)
+        ovs = rng.integers(0, 256, (4, h, 80, 4), np.uint8)
+        ref = np.stack([
+            np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(imgs[i], ovs[i]))
+            for i in range(4)])
+        out = np.asarray(fused_chain_grid(imgs, ovs, mesh))
+        np.testing.assert_array_equal(ref, out)
