@@ -114,12 +114,25 @@ def execute_script_sync(
     interp = Interpreter(fns)
     interp_ref["interp"] = interp
     try:
-        interp.run(source)
+        _run_script(interp, source)
     except RhaiSyntaxError as e:
         raise ScriptError(e.message, e.line, e.column)
     except RhaiRuntimeError as e:
         raise ScriptError(e.message)
     return ctx.pixels, ctx.width, ctx.height, ctx.console, ctx.canvas_ops
+
+
+def _run_script(interp: Interpreter, source: str):
+    """Run through the Python-bytecode fast path (pycompile) when the
+    script is closure-free; the tree-walker otherwise (it is the semantic
+    oracle and the bulk vectorizer's home — see pycompile.py)."""
+    from paintfe_tpu.scripting.pycompile import try_compile
+
+    runner = try_compile(source)
+    if runner is not None:
+        runner(interp)
+    else:
+        interp.run(source)
 
 
 def apply_canvas_ops(canvas, ops: List[CanvasOpRequest], skip_layer: int):
@@ -234,7 +247,7 @@ def execute_script_async(source, pixels, width, height, mask=None,
                 orig_tick()
 
             interp.tick = cancellable_tick
-            interp.run(source)
+            _run_script(interp, source)
             elapsed_ms = int((time.perf_counter() - start) * 1000)
             # Completed carries elapsed_ms like the reference's
             # ScriptMessage::Completed (scripting.rs:232, :1596-1608)
