@@ -452,10 +452,54 @@ def main():
     }))
 
 
+def scripts_bench():
+    """Scripting-engine tiers, reproducible (CPU-side, no TPU needed):
+    the tree-walker vs the Python-bytecode transpiler on a 1M-iteration
+    arithmetic loop, and the predicated vectorizer on a branchy
+    for_each_pixel closure at 1024x1024."""
+    import os
+
+    import numpy as np
+
+    from paintfe_tpu.scripting.engine import execute_script_sync
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    loop_src = ("let acc = 0; for i in 0..1000000 { acc += i % 7; } "
+                "print_line(`${acc}`);")
+
+    def run_once(src, mode, image=img, w=8, h=8):
+        os.environ["PAINTFE_SCRIPT_COMPILE"] = mode
+        try:
+            t0 = time.perf_counter()
+            out = execute_script_sync(src, image, w, h, None)
+            return time.perf_counter() - t0, out[3]
+        finally:
+            os.environ.pop("PAINTFE_SCRIPT_COMPILE", None)
+
+    tw, ca = run_once(loop_src, "0")
+    tc, cb = run_once(loop_src, "1")
+    assert ca == cb
+    print(f"rhai 1M-iter loop  tree-walk {tw:6.2f} s ({1e6/tw/1e6:.2f}M it/s)"
+          f"   transpiled {tc:6.2f} s ({1e6/tc/1e6:.2f}M it/s)"
+          f"   x{tw/tc:.1f}")
+
+    big = np.zeros((1024, 1024, 4), np.uint8)
+    big[..., 0] = 128
+    big[..., 3] = 255
+    branchy = ("for_each_pixel(|r, g, b, a, x, y| "
+               "{ if r > 100 { [255 - r, g, b, a] } else { [r, g, b, a] } });")
+    tv, _ = run_once(branchy, "auto", big, 1024, 1024)
+    px = 1024 * 1024
+    print(f"branchy for_each_pixel 1Mpx (vectorized): {tv:6.2f} s "
+          f"({px/tv/1e6:.1f}M px/s)")
+
+
 if __name__ == "__main__":
     if "--table" in sys.argv:
         table()
     elif "--cli-cold" in sys.argv:
         cli_cold()
+    elif "--scripts" in sys.argv:
+        scripts_bench()
     else:
         main()

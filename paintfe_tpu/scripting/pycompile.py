@@ -7,11 +7,14 @@ AST node (~0.15M loop-iters/s measured).  This module compiles the SAME
 parsed AST to Python source once per script and runs it through CPython's
 bytecode VM instead — loops/branches/try-catch become native control
 flow, variables become Python locals (a static renaming pass reproduces
-Rhai's block scoping and shadowing exactly), while every OPERATOR and
-METHOD dispatches through the very same `Interpreter._binop` /
-`Interpreter._method` the tree-walker uses, so numeric semantics
-(i64 truncating division, shift bounds, string coercion, ...) are
-identical by construction.  Measured ~20x on arithmetic loop scripts.
+Rhai's block scoping and shadowing exactly), while operators and methods
+dispatch through the very same `Interpreter._binop` /
+`Interpreter._method` the tree-walker uses — or through exact-typed
+scalar fast paths (_make_fast_binops) that reproduce _binop's scalar
+branches bit-for-bit — so numeric semantics (i64 truncating division,
+shift bounds, string coercion, ...) are identical by construction.
+Measured 7-12x on a 1M-iteration arithmetic loop (0.16 -> 1.9M iters/s
+on the bench rig; `python bench.py --scripts` reproduces).
 
 Scope of the fast path: scripts WITHOUT closures.  Closures are the
 domain of the bulk vectorizer (api.py `for_each_pixel` etc.), which
