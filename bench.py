@@ -493,6 +493,22 @@ def scripts_bench():
     print(f"branchy for_each_pixel 1Mpx (vectorized): {tv:6.2f} s "
           f"({px/tv/1e6:.1f}M px/s)")
 
+    # impure closure (writes captured state) -> per-pixel scalar loop;
+    # the closure body itself runs compiled vs tree-walked
+    med = np.zeros((192, 192, 4), np.uint8)
+    med[..., 0] = 90
+    med[..., 3] = 255
+    impure = ("let n = 0; for_each_pixel(|x, y, r, g, b, a| "
+              "{ if r > 50 { n += 1; } [255 - r, g, b, a] }); "
+              "print_line(`${n}`);")
+    ti, ca = run_once(impure, "0", med.copy(), 192, 192)
+    tc2, cb2 = run_once(impure, "auto", med.copy(), 192, 192)
+    assert ca == cb2
+    ppx = 192 * 192
+    print(f"impure for_each_pixel (scalar loop)  tree-walk "
+          f"{ppx/ti/1e3:5.0f}k px/s   closure-compiled "
+          f"{ppx/tc2/1e3:5.0f}k px/s   x{ti/tc2:.1f}")
+
 
 if __name__ == "__main__":
     if "--table" in sys.argv:

@@ -163,6 +163,20 @@ def _type_of(v) -> str:
     return type(v).__name__
 
 
+def _closure_fast(closure, interp):
+    """Lazy import of the transpiler's closure compiler (pycompile imports
+    this module, so the import can't be top-level)."""
+    global _get_closure_fn
+    if _get_closure_fn is None:
+        from paintfe_tpu.scripting.pycompile import get_closure_fn
+
+        _get_closure_fn = get_closure_fn
+    return _get_closure_fn(closure, interp)
+
+
+_get_closure_fn = None
+
+
 _I64_MASK = (1 << 64) - 1
 
 
@@ -574,6 +588,14 @@ class Interpreter:
             raise RhaiRuntimeError(
                 f"closure expects {len(closure.params)} args, got {len(args)}"
             )
+        # Fast path: the closure body compiled to Python bytecode
+        # (pycompile.get_closure_fn), used only for scalar args — array
+        # args mean the bulk vectorizer is driving, whose predicated
+        # if-conversion needs THIS tree-walker's eval hooks.
+        if not any(isinstance(a, np.ndarray) for a in args):
+            fast = _closure_fast(closure, self)
+            if fast is not None:
+                return fast(self, args)
         local = dict(zip(closure.params, [_rhai_copy(a) for a in args]))
         try:
             return self.exec_block(closure.body, list(closure.scope_chain) + [local])

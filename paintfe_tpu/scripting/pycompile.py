@@ -53,7 +53,7 @@ class TranspileUnsupported(Exception):
 
 
 class _Compiler:
-    def __init__(self):
+    def __init__(self, closure_mode: bool = False):
         self.lines: List[str] = []
         self.indent = 1
         self.uid = 0
@@ -63,6 +63,7 @@ class _Compiler:
         self.fn_depth = 0          # inside a user fn body?
         self.fn_assigned: Optional[set] = None  # outer pynames written in fn
         self.dowhile_direct = 0    # compiling a dowhile's direct body?
+        self.closure_mode = closure_mode
 
     @staticmethod
     def copy_free(e) -> bool:
@@ -170,6 +171,8 @@ class _Compiler:
                 self.emit(f"{py} = _copy({val})")
             return
         if kind == "fn":
+            if self.closure_mode:
+                raise TranspileUnsupported("fn inside closure")
             self.compile_fn(s)
             return
         if kind == "assign":
@@ -377,7 +380,10 @@ class _Compiler:
         if target[0] == "var":
             py = self.resolve(target[1])
             if py is None:
-                self.emit(f"_nf({target[1]!r})")
+                if self.closure_mode:
+                    self.emit(f"_dynset({target[1]!r}, {op!r}, {val})")
+                else:
+                    self.emit(f"_nf({target[1]!r})")
                 return
             self.note_assign(py)
             if op == "=":
@@ -424,7 +430,13 @@ class _Compiler:
             return "(" + " + ".join(parts) + ")" if parts else "''"
         if kind == "var":
             py = self.resolve(e[1])
-            return py if py is not None else f"_nf({e[1]!r})"
+            if py is not None:
+                return py
+            if self.closure_mode:
+                # the captured chain can gain names between calls (the
+                # growing globals dict): dynamic walk, interp semantics
+                return f"_dyn({e[1]!r})"
+            return f"_nf({e[1]!r})"
         if kind == "array":
             return "[" + ", ".join(self.expr_t(x) for x in e[1]) + "]"
         if kind == "map":
@@ -597,7 +609,10 @@ class _Compiler:
         if target[0] == "var":
             py = self.resolve(target[1])
             if py is None:
-                self.emit(f"_nf({target[1]!r})")
+                if self.closure_mode:
+                    self.emit(f"_dynset({target[1]!r}, '=', {val_py})")
+                else:
+                    self.emit(f"_nf({target[1]!r})")
                 return
             self.note_assign(py)
             self.emit(f"{py} = {val_py}")
@@ -625,6 +640,17 @@ _BIN_HELPERS = {"+": "_Badd", "-": "_Bsub", "*": "_Bmul", "/": "_Bdiv",
                 "<=": "_Ble", ">": "_Bgt", ">=": "_Bge"}
 
 _F53 = 1 << 53
+
+
+def _uerr(ex):
+    """UnboundLocalError/NameError on a mangled script variable -> the
+    interp's 'variable not found' error (use-before-let reads)."""
+    import re
+
+    m = re.search(r"v\d+_(\w+)", str(ex))
+    if m is None:
+        raise ex  # not a script variable: a genuine engine bug
+    return I.RhaiRuntimeError(f"variable '{m.group(1)}' not found")
 
 
 def _make_fast_binops(B):
@@ -710,14 +736,6 @@ def _make_env(rt: _Runtime) -> dict:
 
     def _nf(name):
         raise I.RhaiRuntimeError(f"variable '{name}' not found")
-
-    def _uerr(ex):
-        import re
-
-        m = re.search(r"v\d+_(\w+)", str(ex))
-        if m is None:
-            raise ex  # not a script variable: a genuine engine bug
-        return I.RhaiRuntimeError(f"variable '{m.group(1)}' not found")
 
     def _forit(v):
         if isinstance(v, (I.RhaiRange, list)):
@@ -843,6 +861,170 @@ def _make_env(rt: _Runtime) -> dict:
 
 
 _SCALAR_TYPES = (int, float, str, bool)
+
+
+# ---------------------------------------------------------------------------
+# Closure-body compilation (the impure per-pixel scalar loop's fast path)
+# ---------------------------------------------------------------------------
+
+
+def _compile_closure(closure) -> object:
+    """Compile a Closure's body to a code object of
+    `def _cl(_ip, _CH, _args)`.  Captured names pre-resolve to direct
+    subscripts of the chain dicts (reads AND writes persist to the
+    enclosing environment exactly like the tree-walker); names absent at
+    compile time fall back to a dynamic chain walk.  Raises
+    TranspileUnsupported for nested closures / fn defs."""
+    c = _Compiler(closure_mode=True)
+    chain = closure.scope_chain
+    # chain dicts become pseudo-scopes whose "pynames" are subscripts
+    c.scopes = []
+    for i, scope in enumerate(chain):
+        c.scopes.append({n: f"_sc{i}[{n!r}]" for n in scope})
+    c.toplevel = {}  # sentinel: never matched, so let always mangles
+    params_scope = {}
+    c.scopes.append(params_scope)
+    c.fn_depth = 1
+    c.fn_base = 0
+    ppys = []
+    for p in closure.params:
+        params_scope[p] = c.mangle(p)
+        ppys.append(params_scope[p])
+
+    c.emit("_tick = _ip.tick")
+    for i in range(len(chain)):
+        c.emit(f"_sc{i} = _CH[{i}]")
+    for j, p in enumerate(ppys):
+        c.emit(f"{p} = _copy(_args[{j}])")
+    rv = c.tmp()
+    c.block_value(closure.body, rv)
+    c.emit(f"return {rv}")
+    src = "def _cl(_ip, _CH, _args):\n" + "\n".join(c.lines)
+    return compile(src, "<rhai-closure>", "exec")
+
+
+def get_closure_fn(closure, interp):
+    """Cached compiled runner for a Closure, or None.  The cache is keyed
+    on the chain dicts' length signature: a captured scope gaining a name
+    (the growing globals dict) invalidates pre-resolved subscripts, so the
+    body recompiles against the new contents."""
+    if os.environ.get("PAINTFE_SCRIPT_COMPILE", "auto") == "0":
+        return None
+    cached = getattr(closure, "_pyc", None)
+    if cached == "unsupported":
+        return None
+    sig = tuple(len(s) for s in closure.scope_chain)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    try:
+        code = _compile_closure(closure)
+    except Exception:
+        closure._pyc = "unsupported"
+        return None
+    chain = list(closure.scope_chain)
+    B = interp._binop
+
+    def _dyn(name):
+        for scope in reversed(chain):
+            if name in scope:
+                return scope[name]
+        raise I.RhaiRuntimeError(f"variable '{name}' not found")
+
+    def _dynset(name, op, value):
+        for scope in reversed(chain):
+            if name in scope:
+                if op != "=":
+                    value = B(op[:-1], scope[name], value)
+                scope[name] = value
+                return
+        raise I.RhaiRuntimeError(f"variable '{name}' not found")
+
+    def _cn(name, args):
+        # full interp resolution against the captured chain (scope vars
+        # holding closures/FnPtrs, Fn, type_of, user fns, host fns)
+        return interp.call_function(name, args, chain)
+
+    def _cv(val, args, name):
+        if isinstance(val, I.Closure):
+            return interp.call_closure(val, args)
+        if isinstance(val, I.FnPtr):
+            return interp.call_function(val.name, list(val.curried) + list(args),
+                                        chain)
+        # non-callable local shadows the name: continue past the scope
+        # walk exactly like interp.call_function's `break` path
+        return interp.call_function(name, args, [])
+
+    def _mc(obj, name, args):
+        return interp._method(obj, name, args, chain)
+
+    env = _make_fast_binops(B)
+    env.update({
+        "_B": B,
+        "_D": I.to_display,
+        "_T": I._truthy,
+        "_copy": lambda v: v if type(v) in _SCALAR_TYPES else I._rhai_copy(v),
+        "_dyn": _dyn,
+        "_dynset": _dynset,
+        "_cn": _cn,
+        "_cv": _cv,
+        "_mc": _mc,
+        "_si": I._string_inplace,
+        "_uerr": _uerr,
+        "UNIT": I.UNIT,
+        "RhaiRange": I.RhaiRange,
+        "RhaiRuntimeError": I.RhaiRuntimeError,
+        "RhaiSystemError": I.RhaiSystemError,
+        "_Throw": I._Throw,
+        "_Break": I._Break,
+        "_Continue": I._Continue,
+        "_Return": I._Return,
+        "_void": None,
+    })
+
+    def _ix(obj, idx):
+        try:
+            return obj[idx]
+        except (IndexError, TypeError, KeyError) as exc:
+            raise I.RhaiRuntimeError(f"index error: {exc}")
+
+    def _ai(obj, idx, op, value):
+        if isinstance(obj, dict):
+            if op != "=":
+                value = B(op[:-1], obj.get(idx, I.UNIT), value)
+            obj[idx] = value
+            return
+        if not isinstance(obj, list):
+            raise I.RhaiRuntimeError("indexed assignment needs an array or map")
+        if op != "=":
+            value = B(op[:-1], obj[idx], value)
+        obj[idx] = value
+
+    def _ap(obj, key, op, value):
+        if isinstance(obj, dict):
+            if op != "=":
+                value = B(op[:-1], obj.get(key, I.UNIT), value)
+            obj[key] = value
+            return
+        raise I.RhaiRuntimeError("property assignment needs a map")
+
+    def _forit(v):
+        if isinstance(v, (I.RhaiRange, list)):
+            return v
+        raise I.RhaiRuntimeError("for loop needs a range or array")
+
+    env["_ix"] = _ix
+    env["_ai"] = _ai
+    env["_ap"] = _ap
+    env["_forit"] = _forit
+    exec(code, env)
+    cl = env["_cl"]
+    chain_tuple = chain
+
+    def runner(ip, args):
+        return cl(ip, chain_tuple, args)
+
+    closure._pyc = (sig, runner)
+    return runner
 
 
 @functools.lru_cache(maxsize=64)

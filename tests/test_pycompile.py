@@ -186,3 +186,62 @@ def test_loop_throughput_improves(monkeypatch):
 
     assert a == b
     assert comp * 2 < walk, f"compiled {comp:.3f}s vs walked {walk:.3f}s"
+
+
+CLOSURE_CASES = [
+    # captured-variable write persists to the enclosing scope
+    'let seen = 0; for_region(0, 0, 4, 4, |x, y, r, g, b, a| '
+    '{ if r > 50 { seen += 1; } [255 - r, g, b, a] }); print_line(`${seen}`);',
+    # closure reading + writing through nested block captures
+    'let base = 10; { let scale = 2; let f = |v| base + v * scale; '
+    'print_line(`${f.call(3)}`); }',
+    # closure calling a user fn (resolves through interp.user_fns)
+    'fn tw(v) { v * 2 } let f = |v| tw(v) + 1; print_line(`${f.call(20)}`);',
+    # closure mutating a captured array
+    'let log = []; let add = |v| { log.push(v); }; add.call(1); add.call(2); '
+    'print_line(`${log}`);',
+    # captured scope gaining a name between calls (len-guard recompile)
+    'let f = |v| v + 1; print_line(`${f.call(1)}`); let extra = 5; '
+    'let g = |v| v + extra; print_line(`${g.call(1)}`);',
+    # throw from inside a closure caught outside
+    'let f = |v| { if v > 2 { throw "big"; } v }; '
+    'try { f.call(5); } catch (e) { print_line(e); } print_line(`${f.call(1)}`);',
+    # impure host calls inside the closure (RNG/console effects per call)
+    'let f = |v| { print_line(`v=${v}`); v }; f.call(1); f.call(2);',
+    # curried closures keep their pre-bound scope
+    'let add = |a, b| a + b; let inc = add.curry(10); '
+    'print_line(`${inc.call(5)}`);',
+]
+
+
+@pytest.mark.parametrize("src", CLOSURE_CASES)
+def test_closure_compiled_vs_interp(src, monkeypatch):
+    """Closure bodies compiled by pycompile (scalar-arg calls) must match
+    the tree-walker exactly — console, pixels, captured-state effects.
+    Mode auto (closure fast path active; main script tree-walked) vs
+    mode 0 (everything tree-walked)."""
+    a = run_mode(src, "0", monkeypatch)
+    b = run_mode(src, "auto", monkeypatch)
+    assert a == b, f"engines diverge on:\n{src}\ninterp={a}\ncompiled={b}"
+
+
+def test_impure_per_pixel_loop_equivalent_and_faster(monkeypatch):
+    import time
+
+    src = ('let n = 0; for_region(0, 0, 32, 32, |x, y, r, g, b, a| '
+           '{ n += 1; [g, b, r, a] }); print_line(`${n}`);')
+    img = np.zeros((32, 32, 4), np.uint8)
+    img[..., 0] = 90
+    img[..., 3] = 255
+
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "0")
+    t0 = time.perf_counter()
+    a = execute_script_sync(src, img.copy(), 32, 32, None)
+    walk = time.perf_counter() - t0
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "auto")
+    t0 = time.perf_counter()
+    b = execute_script_sync(src, img.copy(), 32, 32, None)
+    comp = time.perf_counter() - t0
+    assert a[3] == b[3] == ["1024"]
+    assert np.array_equal(a[0], b[0])
+    assert comp < walk, f"compiled {comp:.3f}s not faster than {walk:.3f}s"
