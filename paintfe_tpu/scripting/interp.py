@@ -237,6 +237,9 @@ class Interpreter:
         self.globals: Dict[str, Any] = {}
         self.user_fns: Dict[str, Any] = {}
         self.depth = 0
+        # name -> Closure shim wrapping a user fn's (params, body) over
+        # [globals], so pycompile's closure compiler serves user fns too
+        self._fn_shims: Dict[str, Closure] = {}
 
     # -- operation budget ----------------------------------------------------
 
@@ -571,6 +574,18 @@ class Interpreter:
                 self.depth -= 1
                 raise RhaiSystemError("maximum call depth exceeded")
             try:
+                # compiled-body fast path (user fns are closures over the
+                # globals scope); array args keep the tree-walker for the
+                # bulk vectorizer's benefit
+                if not any(isinstance(a, np.ndarray) for a in args):
+                    shim = self._fn_shims.get(name)
+                    if (shim is None or shim.body is not body
+                            or shim.params is not params):
+                        shim = Closure(params, body, [self.globals])
+                        self._fn_shims[name] = shim
+                    fast = _closure_fast(shim, self)
+                    if fast is not None:
+                        return fast(self, args)
                 local = dict(zip(params, [_rhai_copy(a) for a in args]))
                 try:
                     return self.exec_block(body, [self.globals, local])

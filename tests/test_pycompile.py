@@ -245,3 +245,23 @@ def test_impure_per_pixel_loop_equivalent_and_faster(monkeypatch):
     assert a[3] == b[3] == ["1024"]
     assert np.array_equal(a[0], b[0])
     assert comp < walk, f"compiled {comp:.3f}s not faster than {walk:.3f}s"
+
+
+USER_FN_TREEWALK_CASES = [
+    # closure in the script forces the tree-walked main; user fns compile
+    'let _c = |x| x; fn fib(n) { if n < 2 { n } else { fib(n-1) + fib(n-2) } }'
+    ' print_line(`${fib(12)}`);',
+    # fn re-registered at runtime with a different body: shim must refresh
+    'let _c = |x| x; fn v() { 1 } print_line(`${v()}`);'
+    ' if true { fn v() { 2 } } print_line(`${v()}`);',
+    # fn reading/writing globals from the tree-walked context
+    'let _c = |x| x; let acc = 0; fn add(n) { acc += n; } '
+    'for i in 0..50 { add(i); } print_line(`${acc}`);',
+]
+
+
+@pytest.mark.parametrize("src", USER_FN_TREEWALK_CASES)
+def test_user_fns_compiled_in_treewalk_context(src, monkeypatch):
+    a = run_mode(src, "0", monkeypatch)
+    b = run_mode(src, "auto", monkeypatch)
+    assert a == b, f"engines diverge on:\n{src}\ninterp={a}\ncompiled={b}"
