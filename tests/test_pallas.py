@@ -124,8 +124,9 @@ def test_pick_tiles_exact_divisors():
     img = rng.integers(0, 256, (72, 384, 4), np.uint8)   # 72 % 72-divisors
     ov = rng.integers(0, 256, (72, 384, 4), np.uint8)
     ref = np.asarray(jax.jit(lambda a, b: fused_chain(a, b))(img, ov))
-    auto = np.asarray(fused_chain_kernel(img, ov, interpret=True))
-    explicit = np.asarray(fused_chain_kernel(img, ov, th=32, tw=256,
-                                             interpret=True))
+    # interpret=None auto-selects per backend (the interpret kernel's
+    # exact-div variant assumes CPU's correctly-rounded divide)
+    auto = np.asarray(fused_chain_kernel(img, ov))
+    explicit = np.asarray(fused_chain_kernel(img, ov, th=32, tw=256))
     np.testing.assert_array_equal(ref, auto)
     np.testing.assert_array_equal(ref, explicit)
