@@ -1,0 +1,148 @@
+"""Generative dual-engine fuzz: random closure-free Rhai programs run
+through the tree-walker AND the transpiler; console output, pixels, and
+error messages must match exactly.
+
+The generator is seeded (no ambient randomness) and biased toward the
+constructs where the engines' implementations differ most: nested
+blocks/shadowing, loops with break/continue, user fns reading/writing
+globals, try/throw/catch, switch, compound assignment, string coercion,
+arrays/maps with clone-on-assign, and mixed int/float arithmetic
+(including division/modulo by possibly-zero values).
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from paintfe_tpu.scripting import ScriptError, execute_script_sync
+
+NAMES = ["a", "b", "c", "d", "e"]
+FNAMES = ["fx", "fy", "fz"]
+
+
+class Gen:
+    def __init__(self, seed):
+        self.r = random.Random(seed)
+        self.fns = []
+        self.depth = 0
+
+    def pick(self, xs):
+        return self.r.choice(xs)
+
+    def int_lit(self):
+        return str(self.pick([0, 1, 2, 3, 5, 7, -1, -3, 255, 1000]))
+
+    def float_lit(self):
+        return self.pick(["0.5", "1.5", "-2.25", "3.0", "0.0"])
+
+    def scalar_expr(self, d=0):
+        r = self.r.random()
+        if d > 2 or r < 0.3:
+            return self.pick([self.int_lit, self.float_lit,
+                              lambda: self.pick(NAMES)])()
+        if r < 0.75:
+            op = self.pick(["+", "-", "*", "/", "%", "==", "!=", "<", ">",
+                            "<=", ">="])
+            l = self.scalar_expr(d + 1)
+            rr = self.scalar_expr(d + 1)
+            return f"({l} {op} {rr})"
+        if r < 0.85 and self.fns:
+            fn = self.pick(self.fns)
+            return f"{fn}({self.scalar_expr(d + 1)})"
+        if r < 0.93:
+            c = self.cond_expr(d + 1)
+            return (f"(if {c} {{ {self.scalar_expr(d + 1)} }} "
+                    f"else {{ {self.scalar_expr(d + 1)} }})")
+        return (f"(switch {self.scalar_expr(d + 1)} "
+                f"{{ 0..=2 => {self.int_lit()}, "
+                f"{self.int_lit()} => {self.int_lit()}, "
+                f"_ => {self.scalar_expr(d + 1)} }})")
+
+    def cond_expr(self, d=0):
+        op = self.pick(["<", ">", "==", "!=", "<=", ">="])
+        l = self.scalar_expr(d + 1)
+        r = self.scalar_expr(d + 1)
+        e = f"({l} {op} {r})"
+        if self.r.random() < 0.3:
+            e2 = (f"({self.scalar_expr(d + 1)} "
+                  f"{self.pick(['<', '>'])} {self.scalar_expr(d + 1)})")
+            e = f"({e} {self.pick(['&&', '||'])} {e2})"
+        return e
+
+    def stmt(self, d=0):
+        r = self.r.random()
+        if r < 0.25:
+            return f"let {self.pick(NAMES)} = {self.scalar_expr()};"
+        if r < 0.4:
+            op = self.pick(["=", "+=", "-=", "*="])
+            return f"{self.pick(NAMES)} {op} {self.scalar_expr()};"
+        if r < 0.5:
+            return f'print_line(`v=${{{self.scalar_expr()}}}`);'
+        if r < 0.6 and d < 2:
+            n = self.r.randint(1, 3)
+            body = " ".join(self.stmt(d + 1) for _ in range(n))
+            return f"if {self.cond_expr()} {{ {body} }}" + (
+                f" else {{ {self.stmt(d + 1)} }}" if self.r.random() < 0.5
+                else "")
+        if r < 0.7 and d < 2:
+            v = self.pick(["i", "j"])
+            n = self.r.randint(1, 2)
+            body = " ".join(self.stmt(d + 1) for _ in range(n))
+            extra = ""
+            if self.r.random() < 0.3:
+                extra = f" if {v} == 2 {{ {self.pick(['break', 'continue'])}; }}"
+            return f"for {v} in 0..{self.r.randint(1, 6)} {{{extra} {body} }}"
+        if r < 0.78 and d < 2:
+            return (f"try {{ {self.stmt(d + 1)} throw {self.scalar_expr()}; }}"
+                    f" catch (err) {{ print_line(`c=${{err}}`); }}")
+        if r < 0.86 and d < 2:
+            n = self.r.randint(1, 2)
+            body = " ".join(self.stmt(d + 1) for _ in range(n))
+            return f"{{ let {self.pick(NAMES)} = {self.int_lit()}; {body} }}"
+        if r < 0.93:
+            arr = ", ".join(self.scalar_expr(2) for _ in range(2))
+            v = self.pick(NAMES)
+            return (f"let {v} = [{arr}]; {v}.push({self.scalar_expr(2)}); "
+                    f'print_line(`n=${{{v}.len}} s=${{{v}[0]}}`);')
+        return f'print_line("s" + {self.scalar_expr()});'
+
+    def program(self):
+        parts = []
+        # globals first so every name reference is definable
+        for n in NAMES:
+            parts.append(f"let {n} = {self.int_lit()};")
+        # a couple of user fns, some touching globals
+        for fn in FNAMES[: self.r.randint(0, 3)]:
+            self.fns.append(fn)
+            if self.r.random() < 0.5:
+                body = f"return {self.scalar_expr()};"
+            else:
+                body = (f"{self.pick(NAMES)} += 1; "
+                        f"{self.scalar_expr()}")
+            parts.append(f"fn {fn}(p) {{ {body} }}")
+        for _ in range(self.r.randint(3, 10)):
+            parts.append(self.stmt())
+        parts.append('print_line(`end ${' +
+                     " + ".join(NAMES) + "}`);")
+        return "\n".join(parts)
+
+
+def run_mode(src, mode, monkeypatch):
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", mode)
+    img = np.zeros((4, 4, 4), np.uint8)
+    try:
+        out, w, h, console, _ops = execute_script_sync(src, img, 4, 4, None)
+        return ("ok", console, np.asarray(out).tobytes())
+    except ScriptError as e:
+        return ("err", e.message)
+    except Exception as e:  # raw escapes must at least match by type+str
+        return ("raw", type(e).__name__, str(e))
+
+
+@pytest.mark.parametrize("seed", range(120))
+def test_fuzz_engines_agree(seed, monkeypatch):
+    src = Gen(seed).program()
+    a = run_mode(src, "0", monkeypatch)
+    b = run_mode(src, "1", monkeypatch)
+    assert a == b, f"engines diverge (seed {seed}):\n{src}\n{a}\nvs\n{b}"
