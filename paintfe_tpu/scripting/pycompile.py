@@ -510,6 +510,16 @@ class _Compiler:
             args = self.arglist(e[2])
             py = self.resolve(name)
             if py is not None:
+                if py in self.toplevel.values():
+                    # a pre-allocated top-level name may be UNBOUND at call
+                    # time (call before its let): interp then falls through
+                    # to fn resolution rather than erroring — guard it
+                    t = self.tmp()
+                    self.emit("try:")
+                    self.emit(f"    {t} = {py}")
+                    self.emit("except (UnboundLocalError, NameError):")
+                    self.emit(f"    {t} = _UNB")
+                    return f"_cvg({t}, {name!r}, {args})"
                 return f"_cv({py}, {args}, {name!r})"
             return f"_cn({name!r}, {args})"
         if kind == "method":
@@ -722,6 +732,9 @@ def _make_fast_binops(B):
 # ---------------------------------------------------------------------------
 
 
+_UNBOUND = object()  # a top-level name not yet let-bound at call time
+
+
 class _Runtime:
     def __init__(self, interp: I.Interpreter):
         self.interp = interp
@@ -825,6 +838,11 @@ def _make_env(rt: _Runtime) -> dict:
                 return I.FnPtr(obj.name, list(obj.curried) + list(args))
         return interp._method(obj, name, args)
 
+    def _cvg(val, name, args):
+        if val is _UNBOUND:
+            return _cn(name, args)
+        return _cv(val, args, name)
+
     def _copy_fast(v):
         return v if type(v) in _SCALAR_TYPES else I._rhai_copy(v)
 
@@ -844,6 +862,8 @@ def _make_env(rt: _Runtime) -> dict:
         "_swm": _swm,
         "_cn": _cn,
         "_cv": _cv,
+        "_cvg": _cvg,
+        "_UNB": _UNBOUND,
         "_mc": _mc,
         "_si": I._string_inplace,
         "UNIT": I.UNIT,

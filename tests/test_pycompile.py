@@ -65,6 +65,10 @@ DIVERGENCE_PRONE = [
     'let r = "";\nif true { fn late() { "L" } r = late(); } print_line(r);',
     # fn callable before its textual definition (top-level hoist)
     'print_line(`${early()}`); fn early() { 11 }',
+    # name is BOTH a fn and a later top-level let: before the let the call
+    # resolves to the fn; after, the variable shadows (scope-first)
+    'fn f() { 7 } print_line(`${f()}`); let f = 1;',
+    'fn g() { 8 } let g = Fn("h"); fn h() { 9 } print_line(`${g()}`);',
     # fns must NOT see enclosing block locals — targeted error
     '{ let hidden = 5; fn peek() { hidden } print_line(`${peek()}`); }',
     # do-until: continue still evaluates the condition

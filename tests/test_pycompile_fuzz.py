@@ -18,6 +18,7 @@ import pytest
 from paintfe_tpu.scripting import ScriptError, execute_script_sync
 
 NAMES = ["a", "b", "c", "d", "e"]
+# "fx" doubles as a global name in some programs: fn-vs-variable shadowing
 FNAMES = ["fx", "fy", "fz"]
 
 
@@ -123,6 +124,11 @@ class Gen:
             parts.append(f"fn {fn}(p) {{ {body} }}")
         for _ in range(self.r.randint(3, 10)):
             parts.append(self.stmt())
+        if self.fns and self.r.random() < 0.3:
+            # shadow a fn name with a variable mid-program (scope-first
+            # call resolution before vs after the let)
+            fn = self.pick(self.fns)
+            parts.insert(len(parts) // 2, f"let {fn} = {self.int_lit()};")
         parts.append('print_line(`end ${' +
                      " + ".join(NAMES) + "}`);")
         return "\n".join(parts)
