@@ -510,6 +510,28 @@ def scripts_bench():
           f"{ppx/tc2/1e3:5.0f}k px/s   x{ti/tc2:.1f}")
 
 
+def inpaint_bench():
+    """Content-aware fill latency vs the reference's published tiers
+    (src/ops/inpaint.rs:13-15: balanced ~0.5-2 s, high-quality ~3-10 s on
+    an unspecified CPU).  1024x768 canvas, 120x160 hole, native
+    PatchMatch (native/inpaint.cpp)."""
+    import numpy as np
+
+    from paintfe_tpu.ops import inpaint
+
+    rng = np.random.default_rng(0)
+    h, w = 768, 1024
+    src = rng.integers(0, 256, (h, w, 4), np.uint8)
+    mask = np.zeros((h, w), np.uint8)
+    mask[300:420, 400:560] = 255
+    for tier, (ps, it), ref in (("balanced", (5, 3), "0.5-2 s"),
+                                ("high_quality", (7, 6), "3-10 s")):
+        t0 = time.perf_counter()
+        inpaint.fill_region_patchmatch(src, mask, ps, it)
+        dt = time.perf_counter() - t0
+        print(f"inpaint {tier:13s} {dt:5.2f} s   (reference claim: {ref})")
+
+
 if __name__ == "__main__":
     if "--table" in sys.argv:
         table()
@@ -517,5 +539,7 @@ if __name__ == "__main__":
         cli_cold()
     elif "--scripts" in sys.argv:
         scripts_bench()
+    elif "--inpaint" in sys.argv:
+        inpaint_bench()
     else:
         main()
