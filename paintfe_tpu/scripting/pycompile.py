@@ -941,6 +941,22 @@ def get_closure_fn(closure, interp):
     except Exception:
         closure._pyc = "unsupported"
         return None
+    env = _closure_env(closure, interp)
+    exec(code, env)
+    cl = env["_cl"]
+    chain_tuple = list(closure.scope_chain)
+
+    def runner(ip, args):
+        return cl(ip, chain_tuple, args)
+
+    closure._pyc = (sig, runner)
+    return runner
+
+
+def _closure_env(closure, interp) -> dict:
+    """exec-globals for a compiled closure body: operator fast paths plus
+    chain-bound resolution helpers (full interp fidelity for dynamic
+    names, calls, and methods)."""
     chain = list(closure.scope_chain)
     B = interp._binop
 
@@ -1036,14 +1052,102 @@ def get_closure_fn(closure, interp):
     env["_ai"] = _ai
     env["_ap"] = _ap
     env["_forit"] = _forit
+    return env
+
+
+def _compile_closure_region(closure, with_xy: bool) -> object:
+    """Region-runner variant of _compile_closure for the pixel-state-free
+    scalar loop (api.py): the per-pixel iteration itself lives in the
+    generated code — one direct Python call per pixel (`_px`, whose body
+    is the compiled closure) instead of the call_closure dispatch chain,
+    with result clamping and row storeback inline.  Only legal when the
+    body provably never reads/writes ctx.pixels (closure_avoids_
+    pixel_state), which also guarantees the row snapshot semantics."""
+    c = _Compiler(closure_mode=True)
+    chain = closure.scope_chain
+    c.scopes = [{n: f"_sc{i}[{n!r}]" for n in scope}
+                for i, scope in enumerate(chain)]
+    c.toplevel = {}
+    params_scope = {}
+    c.scopes.append(params_scope)
+    c.fn_depth = 1
+    c.fn_base = 0
+    ppys = []
+    for p in closure.params:
+        params_scope[p] = c.mangle(p)
+        ppys.append(params_scope[p])
+
+    for i in range(len(chain)):
+        c.emit(f"_sc{i} = _CH[{i}]")
+    c.emit(f"def _px({', '.join(ppys)}):")
+    c.indent += 1
+    rv = c.tmp()
+    c.block_value(closure.body, rv)
+    c.emit(f"return {rv}")
+    c.indent -= 1
+    c.emit("_tick = _ip.tick")
+    c.emit("for _yi in range(len(_rows)):")
+    c.emit("    _row = _rows[_yi]")
+    c.emit("    _y = _y0 + _yi")
+    c.emit("    for _xi in range(len(_row)):")
+    c.emit("        _tick()")
+    c.emit("        _p = _row[_xi]")
+    if with_xy:
+        c.emit("        _res = _px(_x0 + _xi, _y, _p[0], _p[1], _p[2], _p[3])")
+    else:
+        c.emit("        _res = _px(_p[0], _p[1], _p[2], _p[3])")
+    c.emit("        if type(_res) is list and len(_res) >= 4:")
+    c.emit("            _row[_xi] = [_c8(_res[0]), _c8(_res[1]), "
+           "_c8(_res[2]), _c8(_res[3])]")
+    src = "def _rl(_ip, _CH, _rows, _x0, _y0):\n" + "\n".join(c.lines)
+    return compile(src, "<rhai-closure-region>", "exec")
+
+
+def get_closure_region_fn(closure, interp, with_xy: bool):
+    """Cached region runner for a pixel-state-free closure, or None.
+    Same chain-length invalidation as get_closure_fn."""
+    if os.environ.get("PAINTFE_SCRIPT_COMPILE", "auto") == "0":
+        return None
+    nparams = 6 if with_xy else 4
+    if len(closure.params) != nparams:
+        return None
+    cached = getattr(closure, "_pyc_region", None)
+    if cached == "unsupported":
+        return None
+    sig = tuple(len(s) for s in closure.scope_chain)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    try:
+        code = _compile_closure_region(closure, with_xy)
+    except Exception:
+        closure._pyc_region = "unsupported"
+        return None
+    env = _closure_env(closure, interp)
+
+    import numpy as _np
+
+    def _c8(v):
+        # exactly api._as_int + the 0..255 clamp of the scalar loop
+        if type(v) is int:  # bool has type bool, falls through
+            vi = v
+        elif isinstance(v, bool) or not isinstance(v, (int, _np.integer)):
+            if isinstance(v, float) and v == int(v):
+                vi = int(v)
+            else:
+                raise I.RhaiRuntimeError("argument must be an integer")
+        else:
+            vi = int(v)
+        return 0 if vi < 0 else (255 if vi > 255 else vi)
+
+    env["_c8"] = _c8
     exec(code, env)
-    cl = env["_cl"]
-    chain_tuple = chain
+    rl = env["_rl"]
+    chain = list(closure.scope_chain)
 
-    def runner(ip, args):
-        return cl(ip, chain_tuple, args)
+    def runner(ip, rows, x0, y0):
+        return rl(ip, chain, rows, x0, y0)
 
-    closure._pyc = (sig, runner)
+    closure._pyc_region = (sig, runner)
     return runner
 
 
