@@ -408,21 +408,27 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
             from paintfe_tpu.scripting.pycompile import get_closure_region_fn
 
             rows = ctx.pixels[y0:y1, x0:x1].tolist()
-            region_fn = get_closure_region_fn(cb, interp_ref["interp"], xs)
-            if region_fn is not None:
-                # compiled region runner: the per-pixel loop itself lives
-                # in generated code (one direct call per pixel)
-                region_fn(interp_ref["interp"], rows, x0, y0)
-            else:
-                for yi, row in enumerate(rows):
-                    y = y0 + yi
-                    for xi, p in enumerate(row):
-                        args = ([x0 + xi, y] if xs else []) + p
-                        res = call_closure(cb, args)
-                        if isinstance(res, list) and len(res) >= 4:
-                            row[xi] = [max(0, min(255, _as_int(v)))
-                                       for v in res[:4]]
-            ctx.pixels[y0:y1, x0:x1] = np.asarray(rows, np.uint8)
+            try:
+                region_fn = get_closure_region_fn(cb, interp_ref["interp"],
+                                                  xs)
+                if region_fn is not None:
+                    # compiled region runner: the per-pixel loop itself
+                    # lives in generated code (one direct call per pixel)
+                    region_fn(interp_ref["interp"], rows, x0, y0)
+                else:
+                    for yi, row in enumerate(rows):
+                        y = y0 + yi
+                        for xi, p in enumerate(row):
+                            args = ([x0 + xi, y] if xs else []) + p
+                            res = call_closure(cb, args)
+                            if isinstance(res, list) and len(res) >= 4:
+                                row[xi] = [max(0, min(255, _as_int(v)))
+                                           for v in res[:4]]
+            finally:
+                # a mid-loop throw/budget abort must leave the pixels
+                # processed so far written, exactly like the live
+                # per-pixel loop (rows are updated in place per pixel)
+                ctx.pixels[y0:y1, x0:x1] = np.asarray(rows, np.uint8)
             return
         for y in range(y0, y1):
             for x in range(x0, x1):

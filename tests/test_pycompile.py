@@ -269,3 +269,22 @@ def test_user_fns_compiled_in_treewalk_context(src, monkeypatch):
     a = run_mode(src, "0", monkeypatch)
     b = run_mode(src, "auto", monkeypatch)
     assert a == b, f"engines diverge on:\n{src}\ninterp={a}\ncompiled={b}"
+
+
+def test_midloop_throw_keeps_partial_writes(monkeypatch):
+    """A throw inside a per-pixel closure must leave already-processed
+    pixels written (the live loop writes per pixel; the batched paths
+    must match via their finally-storeback)."""
+    src = ('try { for_each_pixel(|x, y, r, g, b, a| '
+           '{ if y == 2 { throw "stop"; } [9, 9, 9, 255] }); } '
+           'catch (e) { print_line(e); }')
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[..., 3] = 255
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "0")
+    a = execute_script_sync(src, img.copy(), 4, 4, None)
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "auto")
+    b = execute_script_sync(src, img.copy(), 4, 4, None)
+    assert a[3] == b[3] == ["stop"]
+    assert np.array_equal(a[0], b[0])
+    assert (np.asarray(a[0])[:2, :, 0] == 9).all()   # rows 0-1 processed
+    assert (np.asarray(a[0])[2:, :, 0] == 0).all()   # rows 2+ untouched
