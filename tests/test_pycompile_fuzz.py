@@ -101,11 +101,26 @@ class Gen:
             n = self.r.randint(1, 2)
             body = " ".join(self.stmt(d + 1) for _ in range(n))
             return f"{{ let {self.pick(NAMES)} = {self.int_lit()}; {body} }}"
-        if r < 0.93:
+        if r < 0.86:
             arr = ", ".join(self.scalar_expr(2) for _ in range(2))
             v = self.pick(NAMES)
             return (f"let {v} = [{arr}]; {v}.push({self.scalar_expr(2)}); "
                     f'print_line(`n=${{{v}.len}} s=${{{v}[0]}}`);')
+        if r < 0.91 and d < 2:
+            # bounded while with a guaranteed-progress counter
+            v = self.pick(["wi", "wj"])
+            body = self.stmt(d + 1)
+            return (f"let {v} = 0; while {v} < {self.r.randint(1, 4)} "
+                    f"{{ {v} += 1; {body} }}")
+        if r < 0.95:
+            k = self.pick(["p", "q"])
+            return (f'let m_{k} = #{{ {k}: {self.scalar_expr(2)} }}; '
+                    f'm_{k}["{k}"] += {self.int_lit()}; '
+                    f'print_line(`m=${{m_{k}.{k}}}`);')
+        if r < 0.975:
+            v = self.pick(NAMES)
+            return (f'let s_{v} = "ab" + {v}; s_{v}.make_upper(); '
+                    f"print_line(s_{v} + `${{s_{v}.len}}`);")
         return f'print_line("s" + {self.scalar_expr()});'
 
     def program(self):
@@ -146,7 +161,7 @@ def run_mode(src, mode, monkeypatch):
         return ("raw", type(e).__name__, str(e))
 
 
-@pytest.mark.parametrize("seed", range(120))
+@pytest.mark.parametrize("seed", range(250))
 def test_fuzz_engines_agree(seed, monkeypatch):
     src = Gen(seed).program()
     a = run_mode(src, "0", monkeypatch)
