@@ -789,6 +789,7 @@ def _entry_data_offset(blob, end, ifd_off, want_tag) -> int:
 # without error but with a color cast).
 _CANON_COLORDATA_WB_OFFSET = {
     582: 25,                                   # ColorData1 (20D/350D)
+    653: 68,                                   # ColorData2 (1D Mk II/1DS Mk II)
     796: 63,                                   # ColorData3 (1D Mark II N)
     692: 63, 674: 63, 702: 63, 1227: 63,       # ColorData4 (40D..1D Mk IV)
     1250: 63, 1251: 63, 1337: 63, 1338: 63, 1346: 63,

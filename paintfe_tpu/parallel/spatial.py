@@ -81,42 +81,21 @@ def _fused_chain_spatial_fn(mesh: Mesh, r: int, params_items: tuple):
     """Jitted shard_map program for (mesh, halo radius, params) — cached so
     repeated calls are jit cache HITS (a fresh shard_map closure per call
     would retrace + relower every frame)."""
-    try:
-        from jax import shard_map  # jax >= 0.8
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-
     from paintfe_tpu.ops.fused_chain import fused_chain_kernel
 
     n = mesh.devices.size
     params = dict(params_items)
 
     def local(block, ov_block):
-        idx = jax.lax.axis_index("rows")
-        # neighbor halos over ICI; edge shards fall back to edge-replicate
-        up = jax.lax.ppermute(block[-r:], "rows",
-                              [(i, i + 1) for i in range(n - 1)])
-        down = jax.lax.ppermute(block[:r], "rows",
-                                [(i + 1, i) for i in range(n - 1)])
-        top = jnp.where(idx == 0, jnp.repeat(block[:1], r, axis=0), up)
-        bottom = jnp.where(idx == n - 1, jnp.repeat(block[-1:], r, axis=0), down)
-        extended = jnp.concatenate([top, block, bottom], axis=0)
-        ov_ext = jnp.concatenate(
-            [jnp.zeros_like(top), ov_block, jnp.zeros_like(bottom)], axis=0
-        )
+        if r == 0:  # blur has no taps (sigma ~ 0): pointwise, no halo
+            return fused_chain_kernel(block, ov_block, **params)
+        extended = _halo_extend(block, r, n)
+        ov_ext = jnp.pad(ov_block, ((r, r), (0, 0), (0, 0)))
         out = fused_chain_kernel(extended, ov_ext, **params)
         return out[r:-r]
 
-    # pallas out_shape carries no replication/vma info, so the checker is
-    # disabled (kwarg renamed check_rep -> check_vma across jax versions)
-    try:
-        fn = shard_map(local, mesh=mesh,
-                       in_specs=(P("rows", None, None),) * 2,
-                       out_specs=P("rows", None, None), check_vma=False)
-    except TypeError:  # pragma: no cover - older jax
-        fn = shard_map(local, mesh=mesh,
-                       in_specs=(P("rows", None, None),) * 2,
-                       out_specs=P("rows", None, None), check_rep=False)
+    fn = _shard_map(local, mesh, (P("rows", None, None),) * 2,
+                    P("rows", None, None))
     return jax.jit(fn)
 
 
@@ -146,21 +125,25 @@ def _fused_chain_grid_fn(mesh: Mesh, r: int, params_items: tuple):
     params = dict(params_items)
 
     def local(blk, ov_blk):  # [b, h_blk, w, 4] u8 x2
-        idx = jax.lax.axis_index("rows")
-        up = jax.lax.ppermute(blk[:, -r:], "rows",
-                              [(i, i + 1) for i in range(n_rows - 1)])
-        down = jax.lax.ppermute(blk[:, :r], "rows",
-                                [(i + 1, i) for i in range(n_rows - 1)])
-        top = jnp.where(idx == 0, jnp.repeat(blk[:, :1], r, axis=1), up)
-        bottom = jnp.where(idx == n_rows - 1,
-                           jnp.repeat(blk[:, -1:], r, axis=1), down)
-        ext = jnp.concatenate([top, blk, bottom], axis=1)
-        ov_ext = jnp.concatenate(
-            [jnp.zeros_like(top), ov_blk, jnp.zeros_like(bottom)], axis=1)
+        if r == 0:  # blur has no taps (sigma ~ 0): pointwise, no halo
+            ext, ov_ext = blk, ov_blk
+        else:
+            idx = jax.lax.axis_index("rows")
+            up = jax.lax.ppermute(blk[:, -r:], "rows",
+                                  [(i, i + 1) for i in range(n_rows - 1)])
+            down = jax.lax.ppermute(blk[:, :r], "rows",
+                                    [(i + 1, i) for i in range(n_rows - 1)])
+            top = jnp.where(idx == 0, jnp.repeat(blk[:, :1], r, axis=1), up)
+            bottom = jnp.where(idx == n_rows - 1,
+                               jnp.repeat(blk[:, -1:], r, axis=1), down)
+            ext = jnp.concatenate([top, blk, bottom], axis=1)
+            ov_ext = jnp.concatenate(
+                [jnp.zeros_like(top), ov_blk, jnp.zeros_like(bottom)], axis=1)
 
         def one(pair):
             img, ov = pair
-            return fused_chain_kernel(img, ov, **params)[r:-r]
+            out = fused_chain_kernel(img, ov, **params)
+            return out[r:-r] if r else out
 
         return jax.lax.map(one, (ext, ov_ext))
 
@@ -272,10 +255,10 @@ def median_spatial(img, r: int, mesh: Optional[Mesh] = None):
     interpret = jax.default_backend() != "tpu"
     img = jnp.asarray(img, jnp.uint8)
     h = img.shape[0]
-    if (h + ((-h) % n)) // n < r:
-        # shard blocks shorter than the halo radius can't source their
-        # neighbors' r rows from one ppermute; tiny images don't benefit
-        # from sharding anyway
+    if r <= 0 or (h + ((-h) % n)) // n < r:
+        # r == 0 is the identity window (no halo, and the [r:-r] crop
+        # would be empty); shard blocks shorter than the halo radius
+        # can't source their neighbors' r rows from one ppermute
         return median_pallas(img, r, interpret=interpret)
     pad = (-h) % n
     if pad:

@@ -202,6 +202,17 @@ class _PredicationUnsupported(Exception):
     (like any vectorization failure) and falls back to the scalar loop."""
 
 
+def _check_vector_shift(r):
+    """Shift counts outside 0..63 raise in the scalar oracle (per pixel, with
+    partial writes already applied); the vectorized pass cannot reproduce
+    that, so bail to the exact loop instead of numpy's undefined shift."""
+    if isinstance(r, np.ndarray):
+        if ((r < 0) | (r > 63)).any():
+            raise _PredicationUnsupported()
+    elif isinstance(r, (int, np.integer)) and (r < 0 or r > 63):
+        raise _PredicationUnsupported()
+
+
 def _merge_predicated(cond, t, f):
     """np.where-merge of the two branch outcomes of an if-converted
     conditional under a per-pixel bool-array condition."""
@@ -462,6 +473,10 @@ class Interpreter:
                 return -v
             if e[1] == "!":
                 if isinstance(v, np.ndarray):
+                    if v.dtype != np.bool_:
+                        # scalar oracle errors on '!' of a non-bool; fall
+                        # back to the exact loop rather than emit ~int
+                        raise _PredicationUnsupported()
                     return ~v  # vectorized closure context
                 return not _truthy(v)
         if kind == "and":
@@ -685,6 +700,7 @@ class Interpreter:
             raise RhaiRuntimeError("'^' needs two ints or two bools")
         if op == "<<":
             if is_arr:
+                _check_vector_shift(r)
                 # numpy int64 << wraps two's-complement like _wrap_i64
                 return l << r
             if not both_int:
@@ -694,6 +710,7 @@ class Interpreter:
             return _wrap_i64(l << r)
         if op == ">>":
             if is_arr:
+                _check_vector_shift(r)
                 return l >> r  # numpy int64 >> is arithmetic, like Rust i64
             if not both_int:
                 raise RhaiRuntimeError("'>>' needs two ints")

@@ -387,6 +387,12 @@ class _Compiler:
                 return
             self.note_assign(py)
             if op == "=":
+                if py in self.toplevel.values():
+                    # Pre-allocated top-level name: a plain store before its
+                    # `let` has run must still raise "variable not found"
+                    # like the interp, so read it first (compound ops read
+                    # anyway; the UnboundLocalError handler maps the error).
+                    self.emit(f"{py}")
                 self.emit(f"{py} = {val}")
             else:
                 h = _BIN_HELPERS.get(op[:-1])

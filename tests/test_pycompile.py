@@ -52,6 +52,12 @@ def test_conformance_corpus_agrees(src, expected, monkeypatch):
 
 
 DIVERGENCE_PRONE = [
+    # plain '=' store to a top-level name BEFORE its let: the pre-allocated
+    # Python local would silently bind; both engines must error (r4 review)
+    'x = 5; let x = 1; print_line(`${x}`);',
+    'fn f() { x = 5; } f(); let x = 1; print_line(`${x}`);',
+    # ...and the bound versions stay working
+    'fn f() { x = 5; } let x = 1; f(); print_line(`${x}`);',
     # block scoping + shadowing; outer value restored after the block
     'let x = 1; { let x = 2; print_line(`${x}`); } print_line(`${x}`);',
     # let rebinding from its own outer value

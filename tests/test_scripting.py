@@ -890,3 +890,53 @@ def test_predicated_path_actually_vectorizes():
         """
     )
     assert interp.ops < 2000, f"fell back to scalar loop ({interp.ops} ops)"
+
+
+def _err_both_ways(source, size=16, seed=7):
+    """Run with the vectorizer enabled and with it disabled; both must
+    raise the SAME ScriptError (fallback-to-scalar error parity)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (size, size, 4), dtype=np.uint8)
+    with pytest.raises(ScriptError) as ev:
+        execute_script_sync(source, img.copy(), size, size)
+    orig = _api_mod.closure_is_pure
+    _api_mod.closure_is_pure = lambda *a, **k: False
+    try:
+        with pytest.raises(ScriptError) as es:
+            execute_script_sync(source, img.copy(), size, size)
+    finally:
+        _api_mod.closure_is_pure = orig
+    assert ev.value.message == es.value.message
+    return ev.value.message
+
+
+def test_vectorized_not_on_int_falls_back_to_scalar_error():
+    # '!' on a non-bool errors in the scalar oracle; the vectorized pass
+    # must not silently compute ~int (round-4 review regression)
+    msg = _err_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| { let v = !r; [g, g, g, a] });")
+    assert "bool" in msg
+    msg = _err_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| { [!r, g, b, a] });")
+    assert "bool" in msg
+
+
+def test_vectorized_shift_range_falls_back_to_scalar_error():
+    # shift counts outside 0..63 raise "integer overflow" per pixel in the
+    # scalar oracle; the vectorized pass must bail, not do numpy UB
+    msg = _err_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| "
+        "{ let v = 1 << (r / 16 + 60); [v % 256, g, b, a] });")
+    assert "integer overflow" in msg
+
+
+def test_vectorized_shift_in_range_still_vectorizes():
+    _run_both_ways(
+        """
+        for_each_pixel(|x, y, r, g, b, a| {
+            let v = (r / 16) << 3;
+            let w = g >> 2;
+            if v > w { [v, w, b, a] } else { [w, v, b, a] }
+        });
+        """
+    )

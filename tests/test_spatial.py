@@ -162,3 +162,27 @@ def test_fused_chain_grid_2d_mesh():
             for i in range(4)])
         out = np.asarray(fused_chain_grid(imgs, ovs, mesh))
         np.testing.assert_array_equal(ref, out)
+
+
+def test_fused_chain_spatial_zero_sigma():
+    """sigma=0 makes the blur a no-tap identity (halo radius r=0): the
+    shard_map path must skip the halo exchange entirely instead of building
+    a zero-height edge replica (round-4 review regression — jnp.repeat(.., 0)
+    used to crash the broadcast inside jnp.where)."""
+    from paintfe_tpu.ops.fused_chain import fused_chain_kernel
+    from paintfe_tpu.parallel.spatial import fused_chain_grid, fused_chain_spatial, grid_mesh
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (64, 80, 4), np.uint8)
+    ov = rng.integers(0, 256, (64, 80, 4), np.uint8)
+    ref = np.asarray(fused_chain_kernel(img, ov, sigma=0.0))
+    out = np.asarray(spatial.fused_chain_spatial(img, ov, _mesh8(), sigma=0.0))
+    np.testing.assert_array_equal(ref, out)
+
+    mesh = grid_mesh(2, 4, jax.devices()[:8])
+    imgs = rng.integers(0, 256, (2, 64, 80, 4), np.uint8)
+    ovs = rng.integers(0, 256, (2, 64, 80, 4), np.uint8)
+    refs = np.stack([np.asarray(fused_chain_kernel(imgs[i], ovs[i], sigma=0.0))
+                     for i in range(2)])
+    outs = np.asarray(fused_chain_grid(imgs, ovs, mesh, sigma=0.0))
+    np.testing.assert_array_equal(refs, outs)
