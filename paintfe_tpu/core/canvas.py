@@ -13,15 +13,27 @@ Sparse-canvas economics come back later via dirty-rect windows
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional
+from typing import Any, List, Optional, Tuple
 
 import numpy as np
 
 from paintfe_tpu.core.blend import BlendMode
 from paintfe_tpu.core.composite import composite_stack_static
 
-MAX_DIMENSION = 65535  # reference clamps dims to 256 Mpix (tiled_image.rs:14-26)
+MAX_PIXELS = 256_000_000  # reference clamp (tiled_image.rs:14-26)
 TILE = 64  # reference chunk size (canvas/defs.rs:7)
+
+
+def clamp_dimensions(width: int, height: int) -> Tuple[int, int]:
+    """TiledImage::new's overflow guard: >256 Mpix (or a zero dimension)
+    clamps to 1x1 with a warning rather than erroring."""
+    if width * height > MAX_PIXELS or width <= 0 or height <= 0:
+        import sys
+
+        print(f"Canvas: dimensions {width}x{height} exceed 256M pixels, "
+              "clamped to 1x1", file=sys.stderr)
+        return 1, 1
+    return width, height
 
 
 def _empty(h: int, w: int) -> np.ndarray:
@@ -87,10 +99,21 @@ class Layer:
         return self.pixels.shape[1]
 
     def clone(self) -> "Layer":
+        # Value semantics like the Rust Layer Clone: the optional payloads
+        # (deep buffer, adjustment params, text blocks, metadata) are
+        # mutated in place by edit paths, so a snapshot sharing them would
+        # alias live state and survive undo.
+        import copy
+
         return dataclasses.replace(
             self,
             pixels=self.pixels.copy(),
             mask=None if self.mask is None else self.mask.copy(),
+            deep_pixels=copy.deepcopy(self.deep_pixels),
+            adjustment=copy.deepcopy(self.adjustment),
+            text_data=copy.deepcopy(self.text_data),
+            hdr_metadata=copy.deepcopy(self.hdr_metadata),
+            source_metadata=copy.deepcopy(self.source_metadata),
         )
 
 
@@ -123,6 +146,7 @@ class Canvas:
 
     @classmethod
     def new(cls, width: int, height: int, background=(0, 0, 0, 0)) -> "Canvas":
+        width, height = clamp_dimensions(width, height)
         c = cls(width=width, height=height)
         c.layers.append(Layer.new("Background", width, height, background))
         return c
@@ -178,7 +202,6 @@ class Canvas:
             stack = np.stack([l.pixels for l in run])
             modes = np.array([int(l.blend_mode) for l in run], np.int32)
             opacities = np.array([l.opacity for l in run], np.float32)
-            visibles = np.ones(len(run), bool)
             conceal = None
             if any(l.mask is not None and l.mask_enabled for l in run):
                 zero = np.zeros((self.height, self.width), np.uint8)
@@ -194,8 +217,10 @@ class Canvas:
                                        conceal, init=acc)
             )
 
+        has_adjustment = False
         for idx, layer in vis:
             if layer.content == "adjustment" and layer.adjustment is not None:
+                has_adjustment = True
                 acc = flush_run(acc)
                 acc = layer.adjustment.apply_with_opacity(acc, layer.opacity)
             elif idx == self.active_layer_index and self.preview is not None:
@@ -204,7 +229,40 @@ class Canvas:
                 run.append(merged)
             else:
                 run.append(layer)
-        return flush_run(acc)
+        out = flush_run(acc)
+        if has_adjustment:
+            # The reference only processes chunks present in some visible
+            # layer's store (composite_viewport active_chunks,
+            # canvas_state.rs:528-551), so adjustment layers never touch
+            # tiles with no data — those stay (0,0,0,0).  Without masking,
+            # e.g. Invert would turn empty tiles (255,255,255,0).
+            tile_mask = self.active_tile_mask(vis)
+            if tile_mask is not None:
+                out = np.where(tile_mask[..., None], out, np.uint8(0))
+        return out
+
+    def active_tile_mask(self, vis) -> Optional[np.ndarray]:
+        """Per-pixel bool mask of 64x64 tiles where some visible raster
+        layer (or the preview overlay) holds data.  With the dense store,
+        "chunk exists" is "any alpha nonzero in the tile" — the same
+        storage-parity convention as canonicalize_tiles.  Returns None
+        when every tile is active (the common opaque-background case)."""
+        any_alpha = np.zeros((self.height, self.width), bool)
+        for _, layer in vis:
+            if layer.content == "adjustment":
+                continue
+            any_alpha |= layer.pixels[..., 3] > 0
+        if self.preview is not None:
+            any_alpha |= self.preview[..., 3] > 0
+        th = -(-self.height // TILE)
+        tw = -(-self.width // TILE)
+        padded = np.zeros((th * TILE, tw * TILE), bool)
+        padded[: self.height, : self.width] = any_alpha
+        tiles = padded.reshape(th, TILE, tw, TILE).any(axis=(1, 3))
+        if tiles.all():
+            return None
+        expanded = np.repeat(np.repeat(tiles, TILE, axis=0), TILE, axis=1)
+        return expanded[: self.height, : self.width]
 
     def _apply_preview(self, pixels: np.ndarray) -> np.ndarray:
         """Pre-blend the preview into the active layer's pixels

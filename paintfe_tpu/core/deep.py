@@ -90,8 +90,15 @@ class DeepRgbaBuffer:
         """Update only the dirty region from the u8 preview
         (layers.rs:506-583): untouched deep samples keep full precision."""
         h, w = preview.shape[:2]
+        # clamp the origin too: a negative x0/y0 (brush dab straddling the
+        # canvas edge) would wrap as a Python index and silently sync an
+        # empty slice, leaving the deep buffer stale for the whole region
+        x0 = max(x0, 0)
+        y0 = max(y0, 0)
         x1 = min(x1, w)
         y1 = min(y1, h)
+        if x0 >= x1 or y0 >= y1:
+            return
         region = preview[y0:y1, x0:x1]
         fmt = PixelFormat(self.format)
         flat = self.data.reshape(h, w, 4)

@@ -163,9 +163,13 @@ class SnapshotCommand(Command):
 class HistoryManager:
     """Undo/redo stacks with a memory budget (history.rs:638-780)."""
 
-    def __init__(self, memory_limit_bytes: int = 512 * 1024 * 1024):
+    def __init__(self, max_entries: int = 50,
+                 memory_limit_bytes: int = 100 * 1024 * 1024):
+        # reference defaults: HistoryManager::new(50) + 100 MB
+        # (components/history.rs:648-663); count is pruned first
         self.undo_stack: List[Command] = []
         self.redo_stack: List[Command] = []
+        self.max_entries = max_entries
         self.memory_limit = memory_limit_bytes
 
     def push(self, command: Command):
@@ -176,6 +180,8 @@ class HistoryManager:
         self._trim()
 
     def _trim(self):
+        while len(self.undo_stack) > self.max_entries:
+            self.undo_stack.pop(0)
         while len(self.undo_stack) > 1 and self.memory_bytes() > self.memory_limit:
             self.undo_stack.pop(0)
 

@@ -61,7 +61,68 @@ def cmyk_to_rgb(cmyk: np.ndarray) -> np.ndarray:
 
 
 def soft_proof_cmyk(img: np.ndarray) -> np.ndarray:
-    """Display-only gamut proof: RGB -> CMYK -> RGB round-trip."""
+    """Display-only CMYK gamut proof (soft_proof.rs cmyk_soft_proof_pixel).
+
+    Not a bare RGB->CMYK->RGB round trip (that reconstructs the input
+    exactly); the reference's six-step pipeline is what visibly
+    desaturates out-of-gamut colors: naive CMYK, Gray Component
+    Replacement (ratio 0.5), 300% total-ink limit (CMY scaled first, K
+    only if still over), saturation-weighted gamut compression (0.12),
+    paper-white K lift (0.03), CMYK->RGB.  Alpha-0 and pure-black pixels
+    pass through unchanged; rounding is half-away (floor(x+0.5), values
+    are non-negative) to match Rust `.round()`.
+    """
     out = np.asarray(img, np.uint8).copy()
-    out[..., 0:3] = cmyk_to_rgb(rgb_to_cmyk(out[..., 0:3]))
+    a = out[..., 3]
+    rn = out[..., 0].astype(f32) / f32(255.0)
+    gn = out[..., 1].astype(f32) / f32(255.0)
+    bn = out[..., 2].astype(f32) / f32(255.0)
+
+    max_rgb = np.maximum(np.maximum(rn, gn), bn)
+    active = (a > 0) & (max_rgb > f32(0.0))
+    safe_max = np.where(active, max_rgb, f32(1.0))
+
+    # step 1: naive CMYK
+    k_naive = f32(1.0) - max_rgb
+    inv_k = f32(1.0) / safe_max
+    c0 = (f32(1.0) - rn - k_naive) * inv_k
+    m0 = (f32(1.0) - gn - k_naive) * inv_k
+    y0 = (f32(1.0) - bn - k_naive) * inv_k
+
+    # step 2: GCR — move half the common CMY component into K
+    k_add = np.minimum(np.minimum(c0, m0), y0) * f32(0.5)
+    cf = c0 - k_add
+    mf = m0 - k_add
+    yf = y0 - k_add
+    kf = k_naive + k_add * (f32(1.0) - k_naive)
+
+    # step 3: 300% total-ink limit; K (cheaper ink) is preserved unless
+    # scaling CMY alone still exceeds the limit
+    total = cf + mf + yf + kf
+    over = total > f32(3.0)
+    scale = np.where(over, f32(3.0) / np.where(over, total, f32(1.0)), f32(1.0))
+    cf = cf * scale
+    mf = mf * scale
+    yf = yf * scale
+    total2 = cf + mf + yf + kf
+    over2 = total2 > f32(3.0)
+    kf = np.where(over2, kf * (f32(3.0) / np.where(over2, total2, f32(1.0))), kf)
+
+    # step 4: gamut compression for vivid bright colors
+    sat = f32(1.0) - (np.minimum(np.minimum(cf, mf), yf)
+                      / np.maximum(np.maximum(np.maximum(cf, mf), yf), f32(0.001)))
+    compress = f32(1.0) - f32(0.12) * sat * (f32(1.0) - kf)
+    cf = cf * compress
+    mf = mf * compress
+    yf = yf * compress
+
+    # step 5: paper-white simulation
+    kf = kf + f32(0.03) * (f32(1.0) - kf)
+
+    # step 6: CMYK -> RGB
+    one_minus_k = f32(1.0) - kf
+    for ch, ink in ((0, cf), (1, mf), (2, yf)):
+        v = np.clip(np.floor((f32(1.0) - ink) * one_minus_k * f32(255.0)
+                             + f32(0.5)), 0, 255).astype(np.uint8)
+        out[..., ch] = np.where(active, v, out[..., ch])
     return out

@@ -36,7 +36,7 @@ class Project:
                      history_limit: int = 50) -> "Project":
         return cls(
             canvas=Canvas.new(width, height),
-            history=HistoryManager(),
+            history=HistoryManager(max_entries=history_limit),
             name=f"Untitled-{untitled_counter}",
         )
 

@@ -26,14 +26,46 @@ def test_mirror_positions():
     assert MirrorMode.QUARTERS.next() == MirrorMode.NONE
 
 
-def test_soft_proof_roundtrip_near_identity():
+def test_soft_proof_gamut_compression():
+    # The proof is NOT an identity round trip (soft_proof.rs): vivid
+    # saturated colors desaturate (GCR + gamut compression) and
+    # highlights mute slightly (paper-white K lift).
     img = fixtures.color_bands(64, 8)
     out = soft_proof_cmyk(img)
     assert out.shape == img.shape
-    d = np.abs(out[..., 0:3].astype(int) - img[..., 0:3].astype(int))
-    assert d.max() <= 2  # pure primaries survive the CMYK trip
+    # pure white picks up the 3% paper-white darkening only
+    white = np.array([[[255, 255, 255, 255]]], np.uint8)
+    pw = soft_proof_cmyk(white)[0, 0]
+    assert tuple(pw[:3]) == (247, 247, 247) and pw[3] == 255
+    # vivid blue is out of CMYK gamut: gamut compression backs off the
+    # C+M inks (R/G lift to 30) and paper white mutes the peak channel
+    blue = np.array([[[0, 0, 255, 255]]], np.uint8)
+    assert tuple(soft_proof_cmyk(blue)[0, 0]) == (30, 30, 247, 255)
+    # pure black and alpha-0 pixels pass through unchanged
+    black = np.array([[[0, 0, 0, 255]]], np.uint8)
+    assert tuple(soft_proof_cmyk(black)[0, 0]) == (0, 0, 0, 255)
+    clear = np.array([[[200, 50, 90, 0]]], np.uint8)
+    assert tuple(soft_proof_cmyk(clear)[0, 0]) == (200, 50, 90, 0)
     cmyk = rgb_to_cmyk(img[0, -1, 0:3])  # black band
     assert cmyk[3] > 0.99  # black -> full K
+
+
+def test_layer_clone_does_not_alias_payloads():
+    # Undo snapshots use Layer.clone(); editing the live layer's deep
+    # buffer / adjustment params / text blocks must not mutate snapshots.
+    from paintfe_tpu.core import deep
+    from paintfe_tpu.core.canvas import Layer
+
+    layer = Layer.new("l", 8, 8)
+    layer.deep_pixels = deep.DeepRgbaBuffer.from_rgba8(
+        layer.pixels, deep.PixelFormat.RGBA_F32)
+    layer.adjustment = deep.AdjustmentLayerData(
+        kind=deep.AdjustmentKind.EXPOSURE, ev=1.0)
+    snap = layer.clone()
+    layer.deep_pixels.data[:] = 0.5
+    layer.adjustment.ev = -2.0
+    assert float(snap.deep_pixels.data.ravel()[0]) == 0.0
+    assert snap.adjustment.ev == 1.0
 
 
 def test_pdn_blend_mode_mapping():
