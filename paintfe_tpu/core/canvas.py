@@ -241,36 +241,51 @@ class Canvas:
                 out = np.where(tile_mask[..., None], out, np.uint8(0))
         return out
 
-    def active_tile_mask(self, vis) -> Optional[np.ndarray]:
+    def active_tile_mask(self, vis, rect=None) -> Optional[np.ndarray]:
         """Per-pixel bool mask of 64x64 tiles where some visible raster
         layer (or the preview overlay) holds data.  With the dense store,
         "chunk exists" is "any alpha nonzero in the tile" — the same
         storage-parity convention as canonicalize_tiles.  Returns None
-        when every tile is active (the common opaque-background case)."""
-        any_alpha = np.zeros((self.height, self.width), bool)
+        when every tile is active (the common opaque-background case).
+
+        `rect` = (y0, x0, bh, bw) restricts the computation to the tiles
+        intersecting that window (the dirty-rect path) and returns the
+        mask slice for exactly that window; tiles stay aligned to the
+        global 64px grid, so the slice matches the full-image mask."""
+        if rect is None:
+            y0, x0, bh, bw = 0, 0, self.height, self.width
+        else:
+            y0, x0, bh, bw = rect
+        ty0 = (y0 // TILE) * TILE
+        tx0 = (x0 // TILE) * TILE
+        rh = min(-(-(y0 + bh) // TILE) * TILE, self.height) - ty0
+        rw = min(-(-(x0 + bw) // TILE) * TILE, self.width) - tx0
+        any_alpha = np.zeros((rh, rw), bool)
         for _, layer in vis:
             if layer.content == "adjustment":
                 continue
-            any_alpha |= layer.pixels[..., 3] > 0
+            any_alpha |= layer.pixels[ty0:ty0 + rh, tx0:tx0 + rw, 3] > 0
         if self.preview is not None:
-            any_alpha |= self.preview[..., 3] > 0
-        th = -(-self.height // TILE)
-        tw = -(-self.width // TILE)
+            any_alpha |= self.preview[ty0:ty0 + rh, tx0:tx0 + rw, 3] > 0
+        th = -(-rh // TILE)
+        tw = -(-rw // TILE)
         padded = np.zeros((th * TILE, tw * TILE), bool)
-        padded[: self.height, : self.width] = any_alpha
+        padded[:rh, :rw] = any_alpha
         tiles = padded.reshape(th, TILE, tw, TILE).any(axis=(1, 3))
         if tiles.all():
             return None
         expanded = np.repeat(np.repeat(tiles, TILE, axis=0), TILE, axis=1)
-        return expanded[: self.height, : self.width]
+        return expanded[y0 - ty0 : y0 - ty0 + bh, x0 - tx0 : x0 - tx0 + bw]
 
-    def _apply_preview(self, pixels: np.ndarray) -> np.ndarray:
+    def _apply_preview(self, pixels: np.ndarray,
+                       preview: Optional[np.ndarray] = None) -> np.ndarray:
         """Pre-blend the preview into the active layer's pixels
         (canvas_state.rs:619-658): replace / eraser-mask / coverage-weighted
-        Overwrite-Xor lerp / plain blend."""
+        Overwrite-Xor lerp / plain blend.  `preview` overrides self.preview
+        (the dirty-rect path passes matching window slices of both)."""
         from paintfe_tpu.core.blend import blend_u8
 
-        pp = self.preview
+        pp = self.preview if preview is None else preview
         if self.preview_replaces_layer:
             return pp.copy()
         has = pp[..., 3] > 0

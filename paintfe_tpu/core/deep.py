@@ -163,27 +163,32 @@ class AdjustmentLayerData:
     blue: Tuple[float, float, float, float] = (0.0, 0.0, 1.0, 0.0)
     alpha: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
 
-    def apply(self, pixels: np.ndarray) -> np.ndarray:
-        """Vectorized apply_to_pixel (layers.rs:276-313): truncating casts."""
+    def apply(self, pixels: np.ndarray, xp=np) -> np.ndarray:
+        """Vectorized apply_to_pixel (layers.rs:276-313): truncating casts.
+
+        `xp` selects the array module: np for the host compositor, jnp for
+        the device-resident path (core/device.py) — elementwise f32 math
+        without FMA is bit-identical between the two, and both numpy's C
+        cast and XLA's convert truncate toward zero."""
         p = pixels.astype(f32)
         r, g, b, a = p[..., 0], p[..., 1], p[..., 2], p[..., 3]
         if self.kind == AdjustmentKind.EXPOSURE:
             gain = f32(2.0) ** f32(self.ev)
-            out = np.stack([np.clip(r * gain, 0, 255), np.clip(g * gain, 0, 255),
-                            np.clip(b * gain, 0, 255), a], axis=-1)
+            out = xp.stack([xp.clip(r * gain, 0, 255), xp.clip(g * gain, 0, 255),
+                            xp.clip(b * gain, 0, 255), a], axis=-1)
         elif self.kind == AdjustmentKind.BRIGHTNESS_CONTRAST:
             c = f32(self.contrast)
             factor = (f32(259.0) * (c + f32(255.0))) / (f32(255.0) * (f32(259.0) - c))
             def ap(v):
-                return np.clip(factor * (v + f32(self.brightness) - f32(128.0)) + f32(128.0), 0, 255)
-            out = np.stack([ap(r), ap(g), ap(b), a], axis=-1)
+                return xp.clip(factor * (v + f32(self.brightness) - f32(128.0)) + f32(128.0), 0, 255)
+            out = xp.stack([ap(r), ap(g), ap(b), a], axis=-1)
         elif self.kind == AdjustmentKind.INVERT:
-            out = np.stack([255.0 - r, 255.0 - g, 255.0 - b, a], axis=-1)
+            out = xp.stack([255.0 - r, 255.0 - g, 255.0 - b, a], axis=-1)
         else:
             def mix(m):
                 m = np.asarray(m, f32)
-                return np.clip(r * m[0] + g * m[1] + b * m[2] + a * m[3], 0, 255)
-            out = np.stack([mix(self.red), mix(self.green), mix(self.blue),
+                return xp.clip(r * m[0] + g * m[1] + b * m[2] + a * m[3], 0, 255)
+            out = xp.stack([mix(self.red), mix(self.green), mix(self.blue),
                             mix(self.alpha)], axis=-1)
         return out.astype(np.uint8)  # truncating cast, like Rust `as u8`
 
@@ -213,9 +218,10 @@ class AdjustmentLayerData:
         t = f32(np.clip(opacity, 0.0, 1.0))
         return (p * (f32(1.0) - t) + adj * t).astype(f32)
 
-    def apply_with_opacity(self, pixels: np.ndarray, opacity: float) -> np.ndarray:
-        adjusted = self.apply(pixels).astype(f32)
+    def apply_with_opacity(self, pixels: np.ndarray, opacity: float,
+                           xp=np) -> np.ndarray:
+        adjusted = self.apply(pixels, xp).astype(f32)
         t = f32(np.clip(opacity, 0.0, 1.0))
         inv = f32(1.0) - t
         out = pixels.astype(f32) * inv + adjusted * t
-        return np.floor(out + f32(0.5)).astype(np.uint8)  # .round() as u8
+        return xp.floor(out + f32(0.5)).astype(np.uint8)  # .round() as u8

@@ -147,26 +147,18 @@ def select_color_range(pixels: np.ndarray, hue_center_deg: float,
                        hue_tolerance_deg: float, sat_min: float,
                        fuzziness: float, base: Optional[np.ndarray] = None,
                        mode: SelectionMode = SelectionMode.REPLACE) -> np.ndarray:
-    """HSL-proximity selection (adjustments.rs:1684-1792)."""
+    """HSL-proximity selection (adjustments.rs:1684-1792).
+
+    The hue/saturation math is the shared rgb_to_hsl (host-numpy flavor):
+    the epsilon branches and R/G/B tie-break order are the documented
+    parity minefield and must not fork from the HSL-family adjustments."""
+    from paintfe_tpu.core.colorspace import rgb_to_hsl
+
     h, w = pixels.shape[:2]
     r = pixels[..., 0].astype(f32) / f32(255.0)
     g = pixels[..., 1].astype(f32) / f32(255.0)
     b = pixels[..., 2].astype(f32) / f32(255.0)
-    mx = np.maximum(np.maximum(r, g), b)
-    mn = np.minimum(np.minimum(r, g), b)
-    l = (mx + mn) / 2.0
-    d = mx - mn
-    gray = np.abs(d) < 1e-6
-    safe_d = np.where(gray, 1.0, d)
-    s = np.where(gray, 0.0,
-                 np.where(l > 0.5, d / np.where(gray, 1, 2.0 - mx - mn),
-                          d / np.where(gray, 1, mx + mn)))
-    hr_raw = (g - b) / safe_d
-    hr = np.where(hr_raw < 0.0, hr_raw + 6.0, hr_raw) / 6.0
-    hg = ((b - r) / safe_d + 2.0) / 6.0
-    hb = ((r - g) / safe_d + 4.0) / 6.0
-    hue = np.where(np.abs(mx - r) < 1e-6, hr, np.where(np.abs(mx - g) < 1e-6, hg, hb))
-    hue = np.where(gray, 0.0, hue)
+    hue, s, _l = rgb_to_hsl(r, g, b, xp=np)
 
     hue_center = f32(hue_center_deg) / f32(360.0)
     hue_tol = max(f32(hue_tolerance_deg) / f32(360.0), f32(0.001))

@@ -384,6 +384,88 @@ def test_composite_dirty_rect_matches_full():
     np.testing.assert_array_equal(np.asarray(same), np.asarray(updated))
 
 
+def _full_feature_canvas(rng):
+    """Canvas exercising every composite feature: conceal masks, an
+    adjustment layer mid-stack, a brush preview on the active layer, and a
+    fully-transparent 64px tile (the adjustment active-tile discipline)."""
+    from paintfe_tpu.core import deep
+
+    c = Canvas.new(128, 128)
+    c.layers = []
+    base = Layer.new("base", 128, 128)
+    base.pixels = rng.integers(0, 256, (128, 128, 4), np.uint8)
+    base.pixels[64:, 64:] = 0  # one transparent 64x64 tile in every layer
+    c.layers.append(base)
+
+    masked = Layer.new("masked", 128, 128)
+    masked.pixels = rng.integers(0, 256, (128, 128, 4), np.uint8)
+    masked.pixels[64:, 64:] = 0
+    masked.opacity = 0.8
+    masked.blend_mode = BlendMode.MULTIPLY
+    masked.mask = rng.integers(0, 256, (128, 128), np.uint8)
+    c.layers.append(masked)
+
+    adj = Layer.new("invert", 128, 128)
+    adj.content = "adjustment"
+    adj.adjustment = deep.AdjustmentLayerData(kind=deep.AdjustmentKind.INVERT)
+    adj.opacity = 0.6
+    c.layers.append(adj)
+
+    top = Layer.new("top", 128, 128)
+    top.pixels = rng.integers(0, 256, (128, 128, 4), np.uint8)
+    top.pixels[64:, 64:] = 0
+    c.layers.append(top)
+
+    c.active_layer_index = 3
+    pv = np.zeros((128, 128, 4), np.uint8)
+    pv[10:40, 10:40] = rng.integers(0, 256, (30, 30, 4), np.uint8)
+    c.preview = pv
+    return c
+
+
+def test_composite_device_full_feature_parity():
+    """Device composite must be bit-equal to Canvas.composite with masks,
+    preview, and adjustment layers in play (round-4 review finding: the
+    device path used to drop all three)."""
+    from paintfe_tpu.core.device import DeviceLayerCache, composite_device
+
+    rng = np.random.default_rng(41)
+    c = _full_feature_canvas(rng)
+    cache = DeviceLayerCache()
+    dev = composite_device(c, cache)
+    host = c.composite()
+    np.testing.assert_array_equal(np.asarray(dev), host)
+    # the transparent tile stays (0,0,0,0) despite the invert adjustment
+    assert (np.asarray(dev)[70:128, 70:128] == 0).all()
+
+
+def test_composite_dirty_rect_full_feature_parity():
+    from paintfe_tpu.core.device import (
+        DeviceLayerCache, composite_device, composite_dirty_rect)
+
+    rng = np.random.default_rng(43)
+    c = _full_feature_canvas(rng)
+    cache = DeviceLayerCache()
+    full = composite_device(c, cache)
+
+    # edit a window of the masked layer (crossing the transparent tile)
+    px = c.layers[1].pixels.copy()
+    px[30:90, 50:110] = rng.integers(0, 256, (60, 60, 4), np.uint8)
+    px[64:, 64:] = 0
+    c.layers[1].pixels = px
+    updated = composite_dirty_rect(c, cache, full, (50, 30, 109, 89))
+    expected = composite_device(c, cache)
+    np.testing.assert_array_equal(np.asarray(updated), np.asarray(expected))
+
+    # move the preview: the dirty path must pre-blend the window slices
+    pv = np.zeros((128, 128, 4), np.uint8)
+    pv[60:100, 20:60] = rng.integers(0, 256, (40, 40, 4), np.uint8)
+    c.preview = pv
+    updated2 = composite_dirty_rect(c, cache, updated, (10, 10, 109, 109))
+    expected2 = composite_device(c, cache)
+    np.testing.assert_array_equal(np.asarray(updated2), np.asarray(expected2))
+
+
 def test_os_clipboard_bridge_roundtrip(tmp_path, monkeypatch):
     """Plumbing test with stub wl-copy/wl-paste tools backed by a file."""
     from paintfe_tpu.ops import clipboard as cb

@@ -65,6 +65,35 @@ def test_device_cache_avoids_reupload():
     assert cache.memory_bytes() == 32 * 32 * 4
 
 
+def test_device_cache_evicts_dead_layers():
+    """Entries for garbage-collected layers must disappear (a recycled id()
+    could otherwise return a dead layer's buffer, and dead entries would
+    pin HBM forever — round-4 review finding)."""
+    import gc
+
+    c = Canvas.from_image(fixtures.test_gradient(16, 16))
+    cache = DeviceLayerCache()
+    cache.get(c.layers[0])
+    assert cache.resident_count() == 1
+    c.layers.clear()
+    gc.collect()
+    assert cache.resident_count() == 0
+    assert cache.memory_bytes() == 0
+
+
+def test_device_cache_pins_host_array():
+    """The cache holds the uploaded host array, so identity revalidation
+    can never be fooled by id() recycling of a freed pixels array."""
+    c = Canvas.from_image(fixtures.test_gradient(16, 16))
+    cache = DeviceLayerCache()
+    dev = cache.get(c.layers[0])
+    old = c.layers[0].pixels
+    c.layers[0].pixels = old + 1  # replace: identity check must miss
+    dev2 = cache.get(c.layers[0])
+    assert dev2 is not dev
+    np.testing.assert_array_equal(np.asarray(dev2), c.layers[0].pixels)
+
+
 def test_composite_device_matches_host():
     c = Canvas.from_image(fixtures.test_checkerboard(64, 64))
     top = Layer(name="fg", pixels=fixtures.blend_test_foreground(64, 64))
