@@ -51,6 +51,10 @@ class Project:
         fps = 10.0
         if path.suffix.lower() == ".pfe":
             canvas = pfe.load_pfe(str(path))
+        elif path.suffix.lower() == ".pdn":
+            from paintfe_tpu.io import pdn
+
+            canvas = pdn.load_pdn(str(path))
         elif codecs.detect_animation(path):
             frames, delays = codecs.load_frames(path)
             canvas = Canvas.from_image(frames[0])
@@ -65,7 +69,18 @@ class Project:
             if delays and delays[0] > 0:
                 fps = 1000.0 / float(delays[0])
         else:
-            canvas = Canvas.from_image(codecs.load_image(path))
+            from paintfe_tpu.io import deep_export
+
+            deep = deep_export.load_deep_image(path)
+            if deep is not None:
+                # 16-bit PNG / 16/32-bit TIFF: keep the deep payload so a
+                # re-export stays 16/32-bit (io.rs:588-640), like the CLI
+                preview, pixel_format, buf = deep
+                canvas = Canvas.from_image(preview)
+                canvas.layers[0].pixel_format = pixel_format
+                canvas.layers[0].deep_pixels = buf
+            else:
+                canvas = Canvas.from_image(codecs.load_image(path))
         return cls(
             canvas=canvas,
             history=HistoryManager(),

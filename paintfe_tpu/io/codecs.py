@@ -122,6 +122,10 @@ def save_image(img: np.ndarray, path, fmt: Optional[str] = None, quality: int = 
             else:
                 pil.save(path, format="TIFF")
         elif fmt == "gif":
+            # No transparent index on purpose: the reference's GIF path
+            # (quantize_rgba io.rs:2960-2989 + gif::Frame default) builds an
+            # RGB-only palette with no transparency either — transparent
+            # pixels flatten to their stored RGB in both implementations.
             pil.convert("P", palette=Image.ADAPTIVE).save(path, format="GIF")
         else:
             raise CodecError(f"unsupported save format '{fmt}'")

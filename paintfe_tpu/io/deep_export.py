@@ -259,6 +259,13 @@ def read_png16(path) -> np.ndarray:
     raw = zlib.decompress(bytes(idat))
     stride = w * 2 * channels
     bpp = 2 * channels
+    fast = _png_defilter_native(raw, h, stride, bpp)
+    if fast is not None:
+        arr = np.frombuffer(fast, ">u2").astype(np.uint16).reshape(h, w, channels)
+        if channels == 3:
+            arr = np.concatenate(
+                [arr, np.full((h, w, 1), 65535, np.uint16)], axis=-1)
+        return arr
     out = bytearray()
     prev = bytes(stride)
     for y in range(h):
@@ -295,9 +302,49 @@ def read_png16(path) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _png_defilter_native(raw: bytes, h: int, stride: int, bpp: int):
+    """C++ defilter fast path (native/bytecodec.cpp) — foreign 16-bit PNGs
+    use adaptive per-row filters 1-4, which are byte-serial and minutes-slow
+    in the Python oracle loop below.  Returns None when the native library
+    is unavailable (the oracle runs instead)."""
+    import ctypes
+
+    from paintfe_tpu import native
+
+    lib = native.load()
+    if lib is None or len(raw) < h * (stride + 1):
+        return None
+    out = bytearray(h * stride)
+    rc = lib.png_defilter(
+        (ctypes.c_uint8 * len(raw)).from_buffer_copy(raw),
+        (ctypes.c_uint8 * len(out)).from_buffer(out),
+        h, stride, bpp)
+    return bytes(out) if rc == 0 else None
+
+
+def _lzw_encode_native(data: bytes):
+    """C++ LZW fast path (native/bytecodec.cpp); None -> Python oracle."""
+    import ctypes
+
+    from paintfe_tpu import native
+
+    lib = native.load()
+    if lib is None:
+        return None
+    cap = 2 * len(data) + 64
+    out = bytearray(cap)
+    n = lib.tiff_lzw_encode(
+        (ctypes.c_uint8 * len(data)).from_buffer_copy(data), len(data),
+        (ctypes.c_uint8 * cap).from_buffer(out), cap)
+    return bytes(out[:n]) if n >= 0 else None
+
+
 def _lzw_encode(data: bytes) -> bytes:
     """TIFF-flavor LZW: MSB-first bit packing, Clear=256, EOI=257, 9->12 bit
     codes with the TIFF 'early change' (width bumps one code early)."""
+    fast = _lzw_encode_native(data)
+    if fast is not None:
+        return fast
     CLEAR, EOI = 256, 257
     out = bytearray()
     bitbuf = 0
@@ -463,6 +510,12 @@ def read_tiff_deep(path) -> np.ndarray:
     """Read an RGBA TIFF written by write_tiff16/write_tiff_f32 back as
     u16 or f32 [H, W, 4] (PIL flattens 16-bit RGBA to 8 bits, so deep TIFF
     import needs its own reader)."""
+    # one TIFF IFD parser for the whole package: raw.py's _parse_ifd
+    # (full type table incl. rationals/doubles; the private subset this
+    # function used to carry drifted from it).  Imported lazily — raw.py
+    # imports _lzw_decode from this module.
+    from paintfe_tpu.io.raw import _parse_ifd
+
     with open(path, "rb") as fh:
         blob = fh.read()
     if blob[:4] == b"II*\0":
@@ -472,21 +525,7 @@ def read_tiff_deep(path) -> np.ndarray:
     else:
         raise ValueError("not a TIFF")
     (ifd_off,) = struct.unpack(end + "I", blob[4:8])
-    (n_tags,) = struct.unpack(end + "H", blob[ifd_off:ifd_off + 2])
-    tags = {}
-    TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
-    for k in range(n_tags):
-        off = ifd_off + 2 + k * 12
-        tag, typ, count = struct.unpack(end + "HHI", blob[off:off + 8])
-        size = TYPE_SIZE.get(typ, 1) * count
-        if size <= 4:
-            payload = blob[off + 8:off + 8 + size]
-        else:
-            (voff,) = struct.unpack(end + "I", blob[off + 8:off + 12])
-            payload = blob[voff:voff + size]
-        fmt_char = {1: "B", 3: "H", 4: "I", 11: "f"}.get(typ)
-        if fmt_char:
-            tags[tag] = struct.unpack(end + "%d%s" % (count, fmt_char), payload)
+    tags, _next = _parse_ifd(blob, end, ifd_off)
     w = tags[256][0]
     h = tags[257][0]
     bits = tags[258][0]

@@ -112,12 +112,27 @@ def _read_deferred(data: bytes, pos: int, length: int) -> bytes:
 
 
 def load_pdn_native(path) -> Canvas:
-    """Decode a .pdn fully in-process (no external host)."""
-    from paintfe_tpu.io.nrbf import NrbfObject, NrbfReader
+    """Decode a .pdn fully in-process (no external host).
 
+    Every decode failure surfaces as PdnError — corrupt deferred payloads,
+    missing members, bad gzip, or stride/shape mismatches raise
+    struct.error / TypeError / ValueError deep inside; load_pdn's
+    `except PdnError` (the external-host fallback trigger) must see them
+    all, not a raw traceback."""
     data = pathlib.Path(path).read_bytes()
     if not data.startswith(b"PDN3"):
         raise PdnError("not a Paint.NET file (missing PDN3 magic)")
+    try:
+        return _decode_pdn(data)
+    except PdnError:
+        raise
+    except Exception as e:  # noqa: BLE001 - surface as a PdnError
+        raise PdnError(f"failed to decode .pdn: {type(e).__name__}: {e}")
+
+
+def _decode_pdn(data: bytes) -> Canvas:
+    from paintfe_tpu.io.nrbf import NrbfObject, NrbfReader
+
     hlen = data[4] | (data[5] << 8) | (data[6] << 16)
     body_off = 7 + hlen + 2  # skip the 2-byte deferred-format marker
     try:

@@ -5,9 +5,10 @@ fixed-int little-endian encoding: String/Vec = u64 length + payload,
 usize = u64, Option = u8 tag, bool = u8, f32 = 4 LE bytes.  Sparse chunked
 layers: only non-transparent 64x64 chunks serialized (16384 bytes each).
 
-Implements V1 write for plain raster stacks, V3 write when experimental
-features are present (folders, adjustment layers, deep pixels, HDR,
-metadata), and V0/V1/V2/V3 read.
+Implements V1 write for plain raster stacks, V2 when text layers are
+present, V3 when experimental features are (folders, adjustment layers,
+deep pixels, HDR, non-u8 formats, source metadata), and V0/V1/V2/V3 read
+— the same auto-selection ladder as build_pfe (io.rs:256-283).
 """
 
 from __future__ import annotations
@@ -132,7 +133,16 @@ _ADJ_KINDS = [AdjustmentKind.EXPOSURE, AdjustmentKind.BRIGHTNESS_CONTRAST,
               AdjustmentKind.INVERT, AdjustmentKind.CHANNEL_MIXER]
 
 
+def _meta_nonempty(meta) -> bool:
+    return meta is not None and (
+        meta.source_format is not None or bool(meta.png_text_chunks)
+    )
+
+
 def _needs_v3(canvas: Canvas) -> bool:
+    """V3 feature detection mirroring build_pfe's has_experimental_layers
+    (io.rs:257-276): adjustment layers, non-u8 formats, HDR, deep pixels,
+    source metadata (source_format / png_text_chunks), or folders."""
     if canvas.folders or any(l.folder_id is not None for l in canvas.layers):
         return True
     return any(
@@ -140,17 +150,26 @@ def _needs_v3(canvas: Canvas) -> bool:
         or l.deep_pixels is not None
         or (l.pixel_format not in (None, PixelFormat.RGBA_U8))
         or (l.hdr_metadata is not None and l.hdr_metadata.enabled)
+        or _meta_nonempty(l.source_metadata)
         for l in canvas.layers
     )
 
 
+def _text_payload(layer) -> bytes:
+    from paintfe_tpu.ops.text_layer import text_data_to_json
+
+    return text_data_to_json(layer.text_data)
+
+
 def save_pfe(canvas: Canvas, path: str):
-    """Write a V1 container, or V3 when experimental features are present
-    (build_pfe auto-selection, io.rs:256-283)."""
+    """Write a V1 container, V2 when text layers are present, or V3 when
+    experimental features are (build_pfe auto-selection, io.rs:256-283)."""
     if _needs_v3(canvas):
         return _save_v3(canvas, path)
+    has_text = any(l.content == "text" for l in canvas.layers)
+    v2 = has_text
     wtr = _Writer()
-    wtr.string("PFE1")
+    wtr.string("PFE2" if v2 else "PFE1")
     wtr.u32(canvas.width)
     wtr.u32(canvas.height)
     wtr.u64(canvas.active_layer_index)
@@ -160,12 +179,20 @@ def save_pfe(canvas: Canvas, path: str):
         wtr.u8(1 if layer.visible else 0)
         wtr.f32(layer.opacity)
         wtr.u8(int(layer.blend_mode))
+        if v2:
+            wtr.u8(1 if layer.content == "text" else 0)  # layer_type
         chunks = list(_chunks_of(np.asarray(layer.pixels, np.uint8)))
         wtr.u64(len(chunks))
         for cx, cy, data in chunks:
             wtr.u32(cx)
             wtr.u32(cy)
             wtr.bytes_vec(data)
+        if v2:
+            if layer.content == "text" and layer.text_data is not None:
+                wtr.u8(1)
+                wtr.bytes_vec(_text_payload(layer))
+            else:
+                wtr.u8(0)
     with open(path, "wb") as f:
         f.write(wtr.getvalue())
 
@@ -216,21 +243,27 @@ def _load_v1v2(rd: _Reader, v2: bool) -> Canvas:
         visible = rd.u8() == 1
         opacity = rd.f32()
         mode = rd.u8()
-        if v2:
-            _layer_type = rd.u8()
+        layer_type = rd.u8() if v2 else 0
         n_chunks = rd.u64()
         chunks = []
         for _ in range(n_chunks):
             cx = rd.u32()
             cy = rd.u32()
             chunks.append((cx, cy, rd.bytes_vec()))
-        if v2:
-            _text_data = rd.option(rd.bytes_vec)
+        text_blob = rd.option(rd.bytes_vec) if v2 else None
         px = _paste_chunks(w, h, chunks)
-        canvas.layers.append(
-            Layer(name=name, pixels=px, visible=visible, opacity=opacity,
-                  blend_mode=BlendMode(mode if mode <= 24 else 0))
-        )
+        layer = Layer(name=name, pixels=px, visible=visible, opacity=opacity,
+                      blend_mode=BlendMode(mode if mode <= 24 else 0))
+        if layer_type == 1:
+            layer.content = "text"
+            if text_blob:
+                # our own JSON payload round-trips; reference-bincode text
+                # payloads return None (accepted text-parity gap) and the
+                # layer keeps its rasterized pixels
+                from paintfe_tpu.ops.text_layer import text_data_from_json
+
+                layer.text_data = text_data_from_json(text_blob)
+        canvas.layers.append(layer)
     canvas.active_layer_index = min(active, max(len(canvas.layers) - 1, 0))
     return canvas
 
@@ -381,6 +414,9 @@ def _save_v3(canvas: Canvas, path: str):
         if layer.content == "adjustment" and layer.adjustment is not None:
             wtr.u8(1)
             wtr.bytes_vec(_write_adjustment(layer.adjustment))
+        elif layer.content == "text" and layer.text_data is not None:
+            wtr.u8(1)
+            wtr.bytes_vec(_text_payload(layer))
         else:
             wtr.u8(0)
         fmt = layer.pixel_format or PixelFormat.RGBA_U8
@@ -446,6 +482,10 @@ def _load_v3(rd: _Reader) -> Canvas:
         )
         if layer.content == "adjustment" and content_data:
             layer.adjustment = _read_adjustment(content_data)
+        elif layer.content == "text" and content_data:
+            from paintfe_tpu.ops.text_layer import text_data_from_json
+
+            layer.text_data = text_data_from_json(content_data)
         canvas.layers.append(layer)
     canvas.active_layer_index = min(active, max(len(canvas.layers) - 1, 0))
     return canvas

@@ -633,9 +633,13 @@ def _normalize_levels(data: np.ndarray, tags: Dict[int, list],
         if rh * rw == len(black) and rh > 0:
             black_map = np.array(black, np.float32).reshape(rh, rw)
         elif data.ndim == 3 and len(black) == data.shape[2]:
-            # per-sample black for linear multi-channel raws
+            # per-sample black for linear multi-channel raws; scale by the
+            # LARGEST black level (like the patterned branch below) so a
+            # sensor-saturated pixel reaches 1.0 in every channel — the
+            # white-preserving convention; excess in low-black channels
+            # clips
             sub = data - np.array(black, np.float32)
-            scale = f32(1.0) / np.maximum(white0 - f32(min(black)), floor)
+            scale = f32(1.0) / np.maximum(white0 - f32(max(black)), floor)
             return np.clip(sub * scale, 0.0, 1.0)
         else:
             raise RawError(

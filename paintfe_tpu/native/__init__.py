@@ -17,7 +17,8 @@ import threading
 
 _DIR = pathlib.Path(__file__).resolve().parent
 _LIB_PATH = _DIR / "libpaintfe_native.so"
-_SOURCES = [_DIR / "inpaint.cpp", _DIR / "ljpeg.cpp", _DIR / "jpegdct.cpp"]
+_SOURCES = [_DIR / "inpaint.cpp", _DIR / "ljpeg.cpp", _DIR / "jpegdct.cpp",
+            _DIR / "bytecodec.cpp"]
 _lock = threading.Lock()
 _lib = None
 _build_error = None
@@ -83,6 +84,16 @@ def load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
         ]
         lib.jpegdct_decode.restype = ctypes.c_int
+        lib.png_defilter.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint32,
+        ]
+        lib.png_defilter.restype = ctypes.c_int
+        lib.tiff_lzw_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_uint64,
+        ]
+        lib.tiff_lzw_encode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import functools
+import json
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -193,6 +194,103 @@ class TextLayerData:
         out = _apply_effects(out, self.effects)
         self.raster_generation = self.cache_generation
         return out
+
+
+# -- container (de)serialization -----------------------------------------------
+
+_WARP_TYPES = {"arc": ArcWarp, "circular": CircularWarp,
+               "path": PathFollowWarp, "envelope": EnvelopeWarp}
+
+
+def text_data_to_json(data: TextLayerData) -> bytes:
+    """Serialize a TextLayerData tree for the PFE container's text payload
+    (the reference bincodes its TextLayerData into LayerDataV2/V3's
+    text_data bytes, io.rs:331-360; our payload is self-describing JSON —
+    cross-decoding the Rust bincode layout is part of the accepted
+    text-parity gap)."""
+
+    def enc(obj):
+        if dataclasses.is_dataclass(obj) and not isinstance(obj, type):
+            d = {f.name: enc(getattr(obj, f.name))
+                 for f in dataclasses.fields(obj)}
+            for tag, cls in _WARP_TYPES.items():
+                if isinstance(obj, cls):
+                    d["_warp"] = tag
+            return d
+        if isinstance(obj, enum.Enum):
+            return obj.value
+        if isinstance(obj, (list, tuple)):
+            return [enc(v) for v in obj]
+        return obj
+
+    def jsonable(v):  # numpy scalars (e.g. a computed rotation) -> native
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        raise TypeError(f"unserializable text field value {v!r}")
+
+    return json.dumps(enc(data), default=jsonable).encode("utf-8")
+
+
+def text_data_from_json(blob: bytes) -> Optional[TextLayerData]:
+    """Inverse of text_data_to_json; returns None for payloads this build
+    cannot decode (e.g. reference-written bincode text data)."""
+    try:
+        raw = json.loads(blob.decode("utf-8"))
+
+        def style(d):
+            d = dict(d)
+            d["color"] = tuple(d["color"])
+            return TextStyle(**d)
+
+        def warp(d):
+            if d is None:
+                return None
+            tag = d.pop("_warp", None)
+            cls = _WARP_TYPES.get(tag)
+            if cls is None:
+                # unknown/missing warp tag: fail the WHOLE payload (-> None,
+                # layer keeps its rasterized pixels) rather than silently
+                # decoding with the warp dropped — a later rasterize() would
+                # overwrite correct pixels with un-warped text
+                raise ValueError(f"unknown text warp tag {tag!r}")
+            return cls(**{k: tuple(v) if isinstance(v, list) else v
+                          for k, v in d.items()})
+
+        def block(d):
+            runs = [TextRun(text=r["text"], style=style(r["style"]))
+                    for r in d["runs"]]
+            para = ParagraphStyle(
+                alignment=TextAlignment(d["paragraph"]["alignment"]),
+                line_spacing=d["paragraph"]["line_spacing"],
+                indent=d["paragraph"]["indent"])
+            return TextBlock(id=d["id"], position=tuple(d["position"]),
+                             rotation=d["rotation"], runs=runs,
+                             paragraph=para, max_width=d["max_width"],
+                             warp=warp(d["warp"]))
+
+        eff = raw["effects"]
+        outline = shadow = None
+        if eff.get("outline"):
+            o = dict(eff["outline"])
+            o["color"] = tuple(o["color"])
+            o["position"] = OutlinePosition(o["position"])
+            outline = OutlineEffect(**o)
+        if eff.get("shadow"):
+            s = dict(eff["shadow"])
+            s["color"] = tuple(s["color"])
+            shadow = ShadowEffect(**s)
+        return TextLayerData(
+            blocks=[block(b) for b in raw["blocks"]],
+            effects=TextEffects(outline=outline, shadow=shadow),
+            cache_generation=raw.get("cache_generation", 1),
+            raster_generation=raw.get("raster_generation", 0),
+            next_block_id=raw.get("next_block_id", 1),
+        )
+    except (ValueError, KeyError, TypeError, AttributeError,
+            UnicodeDecodeError):
+        return None
 
 
 # -- layout + rendering -----------------------------------------------------------

@@ -245,3 +245,26 @@ def test_cli_profile_prints_stage_timers(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "load:" in out and "encode:" in out
+
+
+@pytest.mark.skipif(not PDN_FIXTURE.exists(), reason="reference pdn fixture not mounted")
+def test_pdn_truncated_deferred_payload_is_pdnerror(tmp_path):
+    """Corruption deep in the deferred-payload walk (struct.error,
+    gzip errors, reshape mismatches) must surface as PdnError so load_pdn's
+    host fallback / the CLI's keep-going error path can catch it."""
+    from paintfe_tpu.io.pdn import PdnError, load_pdn_native
+
+    blob = PDN_FIXTURE.read_bytes()
+    bad = tmp_path / "trunc.pdn"
+    bad.write_bytes(blob[: len(blob) - 100])
+    with pytest.raises(PdnError):
+        load_pdn_native(bad)
+
+
+@pytest.mark.skipif(not PDN_FIXTURE.exists(), reason="reference pdn fixture not mounted")
+def test_project_open_routes_pdn(tmp_path):
+    from paintfe_tpu.core.project import Project
+
+    proj = Project.open(PDN_FIXTURE)
+    assert (proj.canvas.width, proj.canvas.height) == (800, 600)
+    assert len(proj.canvas.layers) == 2

@@ -270,3 +270,190 @@ def test_cli_deep_png_to_tiff(tmp_path):
     assert rc == 0
     back = de.read_tiff_deep(tmp_path / "out" / "in.tiff")
     np.testing.assert_array_equal(back, u16)
+
+
+# -- native byte codecs (native/bytecodec.cpp) vs the Python oracles ---------
+
+
+def _forward_filter_png16(pixels: np.ndarray, filters) -> bytes:
+    """Test-side encoder: apply the PNG forward filters per row (the spec's
+    inverse of read_png16's reconstruction) so foreign adaptive-filtered
+    files are representable."""
+    h, w = pixels.shape[:2]
+    data = np.ascontiguousarray(pixels, dtype=">u2").reshape(h, w * 4)
+    rows = data.view(np.uint8).reshape(h, w * 8).astype(np.int32)
+    bpp = 8
+    raw = bytearray()
+    prev = np.zeros(w * 8, np.int32)
+    for y in range(h):
+        cur = rows[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        f = filters[y % len(filters)]
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            pa = np.abs(prev - upleft)
+            pb = np.abs(left - upleft)
+            pc = np.abs(left + prev - 2 * upleft)
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, upleft))
+            enc = cur - pr
+        raw.append(f)
+        raw += (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    return bytes(raw)
+
+
+def _write_png16_filtered(path, pixels: np.ndarray, filters):
+    import struct as _struct
+    import zlib as _zlib
+
+    from paintfe_tpu.io.deep_export import _png_chunk
+
+    h, w = pixels.shape[:2]
+    raw = _forward_filter_png16(pixels, filters)
+    ihdr = _struct.pack(">IIBBBBB", w, h, 16, 6, 0, 0, 0)
+    with open(path, "wb") as fh:
+        fh.write(b"\x89PNG\r\n\x1a\n")
+        fh.write(_png_chunk(b"IHDR", ihdr))
+        fh.write(_png_chunk(b"IDAT", _zlib.compress(raw, 6)))
+        fh.write(_png_chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("filters", [(0,), (1,), (2,), (3,), (4,),
+                                     (0, 1, 2, 3, 4)])
+def test_png16_adaptive_filters_native_matches_oracle(tmp_path, filters,
+                                                      monkeypatch):
+    """Foreign 16-bit PNGs use filters 1-4; the native defilter and the
+    Python oracle must reconstruct identical pixels."""
+    from paintfe_tpu.io import deep_export as de
+
+    rng = np.random.default_rng(sum(filters) + 11)
+    u16 = rng.integers(0, 65536, (10, 13, 4), np.uint16)
+    path = tmp_path / "f.png"
+    _write_png16_filtered(path, u16, filters)
+    native_out = de.read_png16(path)
+    np.testing.assert_array_equal(native_out, u16)
+    # force the Python oracle and compare
+    monkeypatch.setattr(de, "_png_defilter_native", lambda *a: None)
+    np.testing.assert_array_equal(de.read_png16(path), u16)
+
+
+def test_lzw_native_matches_python_oracle(monkeypatch):
+    from paintfe_tpu.io import deep_export as de
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"\x00" * 5000,                                   # long run
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8).tolist()),  # noise
+        bytes((rng.integers(0, 4, 70000, dtype=np.uint8) * 64).tolist()),
+        # enough repetition to overflow the 12-bit table and force a
+        # mid-stream Clear
+        bytes(rng.integers(0, 256, 200000, dtype=np.uint8).tolist()),
+    ]
+    for data in cases:
+        fast = de._lzw_encode(data)
+        monkeypatch.setattr(de, "_lzw_encode_native", lambda d: None)
+        slow = de._lzw_encode(data)
+        monkeypatch.undo()
+        assert fast == slow, f"native/python LZW divergence on {len(data)}B"
+
+
+# -- PFE V2 (text layers) + V3 metadata promotion ----------------------------
+
+
+def test_pfe_v2_text_layer_roundtrip(tmp_path):
+    from paintfe_tpu.ops.text_layer import (
+        ArcWarp, OutlineEffect, OutlinePosition, ParagraphStyle, ShadowEffect,
+        TextAlignment, TextBlock, TextEffects, TextLayerData, TextRun,
+        TextStyle,
+    )
+
+    c = Canvas.from_image(fixtures.test_gradient(64, 64))
+    tl = Layer.new("caption", 64, 64)
+    tl.content = "text"
+    td = TextLayerData()
+    block = TextBlock(
+        position=(5.0, 7.0), rotation=12.5,
+        runs=[TextRun(text="Hi", style=TextStyle(font_size=18.0,
+                                                 color=(10, 20, 30, 255),
+                                                 italic=True))],
+        paragraph=ParagraphStyle(alignment=TextAlignment.CENTER,
+                                 line_spacing=1.5),
+        max_width=120.0, warp=ArcWarp(bend=0.25),
+    )
+    td.add_block(block)
+    td.effects = TextEffects(
+        outline=OutlineEffect(color=(1, 2, 3, 255), width=3.0,
+                              position=OutlinePosition.CENTER),
+        shadow=ShadowEffect(offset_x=4.0, blur_radius=1.5),
+    )
+    tl.text_data = td
+    tl.pixels = td.rasterize(64, 64)
+    c.layers.append(tl)
+
+    p = tmp_path / "text.pfe"
+    pfe.save_pfe(c, str(p))
+    with open(p, "rb") as fh:
+        assert fh.read(12)[8:] == b"PFE2"  # text-only canvas selects V2
+
+    loaded = pfe.load_pfe(str(p))
+    lt = loaded.layers[1]
+    assert lt.content == "text"
+    assert lt.text_data is not None
+    blk = lt.text_data.blocks[0]
+    assert blk.position == (5.0, 7.0) and blk.rotation == 12.5
+    assert blk.runs[0].text == "Hi"
+    assert blk.runs[0].style.font_size == 18.0
+    assert blk.runs[0].style.color == (10, 20, 30, 255)
+    assert blk.runs[0].style.italic
+    assert blk.paragraph.alignment == TextAlignment.CENTER
+    assert blk.max_width == 120.0
+    assert type(blk.warp).__name__ == "ArcWarp" and blk.warp.bend == 0.25
+    eff = lt.text_data.effects
+    assert eff.outline.position == OutlinePosition.CENTER
+    assert eff.outline.width == 3.0
+    assert eff.shadow.offset_x == 4.0 and eff.shadow.blur_radius == 1.5
+    np.testing.assert_array_equal(lt.pixels, tl.pixels)
+
+
+def test_pfe_v3_promotion_on_source_metadata(tmp_path):
+    """source_metadata (source_format / png_text_chunks) promotes to V3 like
+    build_pfe's has_experimental_layers (io.rs:257-276); a V1 write would
+    silently drop it."""
+    c = Canvas.from_image(fixtures.test_gradient(32, 32))
+    c.layers[0].source_metadata = ImageMetadata(
+        source_format="png", png_text_chunks=[("Title", "x")])
+    p = tmp_path / "meta.pfe"
+    pfe.save_pfe(c, str(p))
+    with open(p, "rb") as fh:
+        assert fh.read(12)[8:] == b"PFE3"
+    loaded = pfe.load_pfe(str(p))
+    assert loaded.layers[0].source_metadata.source_format == "png"
+    assert loaded.layers[0].source_metadata.png_text_chunks == [("Title", "x")]
+
+
+def test_pfe_v3_text_layer_keeps_text_data(tmp_path):
+    from paintfe_tpu.ops.text_layer import TextBlock, TextLayerData, TextRun
+
+    c = Canvas.from_image(fixtures.test_gradient(32, 32))
+    c.layers[0].source_metadata = ImageMetadata(source_format="png")  # force V3
+    tl = Layer.new("t", 32, 32)
+    tl.content = "text"
+    td = TextLayerData()
+    td.add_block(TextBlock(position=(1.0, 2.0), runs=[TextRun(text="v3")]))
+    tl.text_data = td
+    c.layers.append(tl)
+    p = tmp_path / "t3.pfe"
+    pfe.save_pfe(c, str(p))
+    loaded = pfe.load_pfe(str(p))
+    assert loaded.layers[1].content == "text"
+    assert loaded.layers[1].text_data.blocks[0].runs[0].text == "v3"

@@ -202,3 +202,22 @@ def test_print_image_writes_temp_png(tmp_path, monkeypatch):
     path = print_image(img)
     assert path.name == "paintfe_print.png"
     np.testing.assert_array_equal(codecs.load_image(path), img)
+
+
+def test_project_open_preserves_deep_payload(tmp_path):
+    """Project.open must keep 16-bit payloads like the CLI loader does
+    (io.rs:588-640); PIL-only loading silently flattens to 8 bits."""
+    from paintfe_tpu.core.project import Project
+    from paintfe_tpu.io import deep_export as de
+
+    u16 = np.random.default_rng(8).integers(0, 65536, (8, 8, 4), np.uint16)
+    src = tmp_path / "deep.png"
+    de.write_png16(src, 8, 8, u16)
+    proj = Project.open(src)
+    layer = proj.canvas.layers[0]
+    assert layer.deep_pixels is not None
+    np.testing.assert_array_equal(layer.deep_pixels.data.reshape(8, 8, 4), u16)
+    # and a re-save keeps the full depth
+    out = tmp_path / "deep_out.tiff"
+    proj.save(out)
+    np.testing.assert_array_equal(de.read_tiff_deep(out), u16)

@@ -902,3 +902,16 @@ def test_lossy_dng_linear_3ch_tiled(tmp_path):
     lin = base.astype(np.float32) / 255.0
     expect = np.clip(np.floor(_srgb(lin) * 255.0 + 0.5), 0, 255)
     assert np.abs(out[..., :3].astype(int) - expect.astype(int)).mean() < 6
+
+
+def test_per_sample_black_white_preserving(tmp_path):
+    """Per-sample BlackLevel on linear RGB must scale by the LARGEST black
+    level so sensor-saturated pixels stay white (the min() it used to use
+    left high-black channels short of 1.0 -> cyan whites)."""
+    h, w = 8, 8
+    img = np.full((h, w, 3), 4095, np.uint16)  # saturated everywhere
+    extra = [(50714, 3, 3, [256, 0, 0])]       # per-sample BlackLevel
+    p = tmp_path / "ps.dng"
+    write_dng(p, img, photometric=34892, extra_tags=extra, white=4095)
+    out = raw.load_dng(p)
+    assert (out[..., :3] == 255).all(), "saturated input must stay white"
