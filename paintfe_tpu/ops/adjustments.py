@@ -274,9 +274,17 @@ def gradient_map_stops(img, stops, mask=None):
 
         return gradient_map(img, gradient_map_lut(stops), mask)
 
-    stops = sorted(stops, key=lambda st: st[0])
-    ts = [np.float32(st[0]) for st in stops]
-    cols = [np.asarray(st[1], np.float32) for st in stops]
+    key = tuple((float(st[0]), tuple(float(c) for c in st[1]))
+                for st in sorted(stops, key=lambda st: st[0]))  # stable
+    return _masked(img, _gradient_map_stops_fn(key)(img), mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _gradient_map_stops_fn(stops: tuple):
+    """Jitted program per stop tuple (cached builder — the hard-won rule:
+    a fresh jit closure per call retraces every frame)."""
+    ts = [np.float32(t) for t, _ in stops]
+    cols = [np.asarray(col, np.float32) for _, col in stops]
 
     @jax.jit
     def run(img):
@@ -298,7 +306,7 @@ def gradient_map_stops(img, stops, mask=None):
         mapped = jnp.clip(jnp.floor(c + 0.5), 0.0, 255.0)
         return jnp.concatenate([mapped[..., 0:3].astype(jnp.uint8), img[..., 3:4]], axis=-1)
 
-    return _masked(img, run(img), mask)
+    return run
 
 
 @jax.jit
@@ -366,6 +374,13 @@ def levels(img, in_black, in_white, gamma, out_black, out_white, mask=None):
 
 
 def levels_direct(img, in_black, in_white, gamma, out_black, out_white, mask=None):
+    fn = _levels_direct_fn(float(in_black), float(in_white), float(gamma),
+                           float(out_black), float(out_white))
+    return _masked(img, fn(img), mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _levels_direct_fn(in_black, in_white, gamma, out_black, out_white):
     """Levels evaluated directly per pixel — bit-identical to the LUT gather
     because pixel values are integers 0..255 and the formula + rounding is
     the LUT builder's own math.  On TPU this runs as fused VPU elementwise
@@ -385,7 +400,7 @@ def levels_direct(img, in_black, in_white, gamma, out_black, out_white, mask=Non
         rgb = round_u8(out)
         return jnp.concatenate([rgb, img[..., 3:4]], axis=-1)
 
-    return _masked(img, run(img), mask)
+    return run
 
 
 def _levels_eval(v, in_black, in_white, gamma, out_black=0, out_white=255):
@@ -445,6 +460,16 @@ def curves_direct(img, channel_points, mask=None):
     """Multi-channel curves evaluated per pixel (no table gathers): the RGB
     curve applies first with u8 quantization, then the per-channel curve —
     the same composition order as luts.multi_channel_luts."""
+    key = tuple(
+        (tuple((float(x), float(y)) for x, y in points) if points else (),
+         bool(enabled))
+        for points, enabled in channel_points
+    )
+    return _masked(img, _curves_direct_fn(key)(img), mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _curves_direct_fn(channel_points: tuple):
     prepared = []
     for points, enabled in channel_points:
         prepared.append(luts.curves_tangents(points) if enabled and points else None)
@@ -463,7 +488,7 @@ def curves_direct(img, channel_points, mask=None):
             chans.append(v.astype(jnp.uint8))
         return jnp.stack(chans, axis=-1)
 
-    return _masked(img, run(img), mask)
+    return run
 
 
 def levels_per_channel(img, master, r_ch, g_ch, b_ch, mask=None):
@@ -471,22 +496,31 @@ def levels_per_channel(img, master, r_ch, g_ch, b_ch, mask=None):
     master formula, u8 quantize, channel formula — the same composition the
     LUT path bakes via compose_luts."""
     if jax.default_backend() == "tpu":
-        @jax.jit
-        def run(img):
-            chans = []
-            for c, ch in enumerate((r_ch, g_ch, b_ch)):
-                v = img[..., c].astype(jnp.float32)
-                v = _levels_eval(v, *master)
-                v = _levels_eval(v, *ch)
-                chans.append(v.astype(jnp.uint8))
-            return jnp.concatenate(
-                [jnp.stack(chans, axis=-1), img[..., 3:4]], axis=-1
-            )
-
-        return _masked(img, run(img), mask)
+        key = tuple(tuple(float(v) for v in ch)
+                    for ch in (master, r_ch, g_ch, b_ch))
+        return _masked(img, _levels_per_channel_fn(key)(img), mask)
     lut3 = luts.levels_multi_channel_luts(master, r_ch, g_ch, b_ch)
     luts4 = np.concatenate([lut3, luts.identity_lut()[None]], axis=0)
     return apply_rgba_luts(img, luts4, mask)
+
+
+@functools.lru_cache(maxsize=64)
+def _levels_per_channel_fn(key: tuple):
+    master, r_ch, g_ch, b_ch = key
+
+    @jax.jit
+    def run(img):
+        chans = []
+        for c, ch in enumerate((r_ch, g_ch, b_ch)):
+            v = img[..., c].astype(jnp.float32)
+            v = _levels_eval(v, *master)
+            v = _levels_eval(v, *ch)
+            chans.append(v.astype(jnp.uint8))
+        return jnp.concatenate(
+            [jnp.stack(chans, axis=-1), img[..., 3:4]], axis=-1
+        )
+
+    return run
 
 
 def curves(img, channel_points, mask=None):

@@ -114,27 +114,43 @@ def _apply_all_layers(canvas: Canvas, transform: CanvasTransform):
         canvas.width, canvas.height = canvas.height, canvas.width
 
 
+def _clear_preview(canvas: Canvas):
+    """Every canvas transform drops the interactive stroke overlay first
+    (transform.rs calls state.clear_preview_state() in all 9 entry points):
+    a pre-transform-shaped preview would misalign — or, after a 90-degree
+    rotation of a non-square canvas, crash the next composite on a shape
+    mismatch."""
+    canvas.preview = None
+    canvas.preview_replaces_layer = False
+    canvas.preview_is_eraser = False
+
+
 def flip_canvas_horizontal(canvas: Canvas):
+    _clear_preview(canvas)
     if not _try_transform_selected_region(canvas, CanvasTransform.FLIP_H):
         _apply_all_layers(canvas, CanvasTransform.FLIP_H)
 
 
 def flip_canvas_vertical(canvas: Canvas):
+    _clear_preview(canvas)
     if not _try_transform_selected_region(canvas, CanvasTransform.FLIP_V):
         _apply_all_layers(canvas, CanvasTransform.FLIP_V)
 
 
 def rotate_canvas_90cw(canvas: Canvas):
+    _clear_preview(canvas)
     if not _try_transform_selected_region(canvas, CanvasTransform.ROT90_CW):
         _apply_all_layers(canvas, CanvasTransform.ROT90_CW)
 
 
 def rotate_canvas_90ccw(canvas: Canvas):
+    _clear_preview(canvas)
     if not _try_transform_selected_region(canvas, CanvasTransform.ROT90_CCW):
         _apply_all_layers(canvas, CanvasTransform.ROT90_CCW)
 
 
 def rotate_canvas_180(canvas: Canvas):
+    _clear_preview(canvas)
     if not _try_transform_selected_region(canvas, CanvasTransform.ROT180):
         _apply_all_layers(canvas, CanvasTransform.ROT180)
 
@@ -145,6 +161,7 @@ def rotate_canvas_arbitrary(canvas: Canvas, degrees: float,
     samples transparent (transform.rs:134-186)."""
     if abs(degrees) < 0.001:
         return
+    _clear_preview(canvas)
     for layer in canvas.layers:
         layer.pixels = np.asarray(
             tfm.rotate_arbitrary(layer.pixels, degrees, interpolation)
@@ -153,6 +170,7 @@ def rotate_canvas_arbitrary(canvas: Canvas, degrees: float,
 
 def resize_image(canvas: Canvas, new_w: int, new_h: int,
                  interpolation: str = "bilinear"):
+    _clear_preview(canvas)
     for layer in canvas.layers:
         layer.pixels = tfm.resize(layer.pixels, new_w, new_h, interpolation)
         if layer.mask is not None:
@@ -165,6 +183,7 @@ def resize_image(canvas: Canvas, new_w: int, new_h: int,
 
 def resize_canvas(canvas: Canvas, new_w: int, new_h: int, anchor=(0, 0),
                   fill=(0, 0, 0, 0)):
+    _clear_preview(canvas)
     for layer in canvas.layers:
         layer.pixels = tfm.resize_canvas(layer.pixels, new_w, new_h, anchor, fill)
         if layer.mask is not None:

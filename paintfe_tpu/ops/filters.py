@@ -357,20 +357,32 @@ def zoom_blur(img, center_x=0.5, center_y=0.5, strength=0.3, samples=8,
 # ---------------------------------------------------------------------------
 
 
+# Module-level jits (a fresh closure per call would be a jit cache MISS
+# every call — the CLAUDE.md hard-won rule); amount/intensity ride as
+# traced scalars so one compile serves all parameter values per shape.
+@jax.jit
+def _sharpen_mix(src_u8, blur_u8, amt):
+    s = src_u8.astype(jnp.float32)
+    b = blur_u8.astype(jnp.float32)
+    rgb = round_u8(s[..., 0:3] + amt * (s[..., 0:3] - b[..., 0:3]))
+    return jnp.concatenate([rgb, src_u8[..., 3:4]], axis=-1)
+
+
+@jax.jit
+def _glow_mix(src_u8, blur_u8, inten):
+    s = src_u8.astype(jnp.float32) / 255.0
+    b = blur_u8.astype(jnp.float32) / 255.0
+    res = 1.0 - (1.0 - s[..., 0:3]) * (1.0 - b[..., 0:3] * inten)
+    rgb = round_u8(res * 255.0)
+    return jnp.concatenate([rgb, src_u8[..., 3:4]], axis=-1)
+
+
 def sharpen(img, amount: float, radius: float, mask=None):
     """Unsharp mask: out = src + amount*(src - gaussian(src, radius)); RGB
     only, alpha preserved (effects/stylize.rs:96-141)."""
     h, w = img.shape[:2]
     blurred = _gaussian_fn(float(radius), h, w)(img)
-
-    @jax.jit
-    def mix(src_u8, blur_u8, amt):
-        s = src_u8.astype(jnp.float32)
-        b = blur_u8.astype(jnp.float32)
-        rgb = round_u8(s[..., 0:3] + amt * (s[..., 0:3] - b[..., 0:3]))
-        return jnp.concatenate([rgb, src_u8[..., 3:4]], axis=-1)
-
-    out = mix(img, blurred, jnp.float32(float(amount)))
+    out = _sharpen_mix(img, blurred, jnp.float32(float(amount)))
     return _masked(img, out, mask)
 
 
@@ -379,16 +391,7 @@ def glow(img, radius: float, intensity: float, mask=None):
     (effects/stylize.rs:26-72): 1-(1-s)(1-b*i) per RGB channel in [0,1]."""
     h, w = img.shape[:2]
     blurred = _gaussian_fn(float(radius), h, w)(img)
-
-    @jax.jit
-    def mix(src_u8, blur_u8, inten):
-        s = src_u8.astype(jnp.float32) / 255.0
-        b = blur_u8.astype(jnp.float32) / 255.0
-        res = 1.0 - (1.0 - s[..., 0:3]) * (1.0 - b[..., 0:3] * inten)
-        rgb = round_u8(res * 255.0)
-        return jnp.concatenate([rgb, src_u8[..., 3:4]], axis=-1)
-
-    out = mix(img, blurred, jnp.float32(float(intensity)))
+    out = _glow_mix(img, blurred, jnp.float32(float(intensity)))
     return _masked(img, out, mask)
 
 
@@ -429,6 +432,7 @@ def _oddeven_merge_network(n: int):
     return [(i, j) for (i, j) in comparators if i < n and j < n]
 
 
+@functools.lru_cache(maxsize=32)
 def _median_fn(r: int, h: int, w: int):
     k = (2 * r + 1) ** 2
     network = _oddeven_merge_network(k)

@@ -74,10 +74,18 @@ def _pass_fn(ntaps: int, c: int, hp: int, w: int, wp: int, tile_h: int,
 
 def _conv_pass(planar: jnp.ndarray, taps: jnp.ndarray, r: int, tile_h: int,
                interpret: bool) -> jnp.ndarray:
-    """One edge-clamped separable pass along the last axis of [C, H, W] f32."""
+    """One edge-clamped separable pass along the last axis of [C, H, W] f32.
+
+    The tile width is padded to a POWER OF TWO, not just a multiple of 128:
+    the kernel's fori_loop uses a dynamic lane roll, and Mosaic's dynamic
+    roll is wrong on non-power-of-two vreg widths (measured on v5e:
+    384/640 lanes corrupt for every nonzero shift, 256/512/1024 correct —
+    see ops/warp_kernel.py _window_width and CLAUDE.md)."""
     c, h, w = planar.shape
     hp = _round_up(h, tile_h)
-    wp = _round_up(w + 2 * r, 128)
+    wp = 128
+    while wp < w + 2 * r:
+        wp *= 2
     padded = jnp.concatenate(
         [jnp.repeat(planar[:, :, :1], r, 2), planar, jnp.repeat(planar[:, :, -1:], r, 2)],
         axis=2,
@@ -126,21 +134,23 @@ from paintfe_tpu.utils.quant import exact_div
 # off) unless barriered; Mosaic lowers the divide directly (no rewrite) but
 # the TPU VPU divide is not correctly rounded, so the compiled path applies
 # the same one-step Newton refinement as utils.quant.exact_div does on TPU.
-_EDIV_BARRIER = True
+# The mode is threaded as an explicit `barrier` argument (True = interpret)
+# — a module global read at trace time would latch whichever specialization
+# was built last and silently break bit-exactness on a retrace.
 
 
-def _ediv(x, c):
-    if _EDIV_BARRIER:
+def _ediv(x, c, barrier: bool):
+    if barrier:
         return exact_div(x, c)
     c = jnp.float32(c)
     q = x / c
     return q + (x - q * c) / c
 
 
-def _rdiv(x, c):
+def _rdiv(x, c, barrier: bool):
     """Runtime-divisor divide with the TPU Newton step (plain on CPU
     interpret, where hardware division is already correctly rounded)."""
-    if _EDIV_BARRIER:
+    if barrier:
         return x / c
     q = x / c
     return q + (x - q * c) / c
@@ -156,14 +166,14 @@ def _trunc_u8(x):
     return jnp.clip(x, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _blend_planar(base, top, mode: int, opacity):
+def _blend_planar(base, top, mode: int, opacity, barrier: bool):
     """blend_u8 (core/blend.py) restated for [4, th, w] channel-planar u8
     tiles; same math, same fast paths, same truncating quantization.  All
     arithmetic runs on 2D per-channel planes (Mosaic relayouts singleton
     leading dims of 3D mask vectors poorly)."""
     opacity = jnp.clip(jnp.float32(opacity), 0.0, 1.0)
-    bf = [_ediv(_u8_to_f32(base[c]), 255.0) for c in range(4)]
-    tf = [_ediv(_u8_to_f32(top[c]), 255.0) for c in range(4)]
+    bf = [_ediv(_u8_to_f32(base[c]), 255.0, barrier) for c in range(4)]
+    tf = [_ediv(_u8_to_f32(top[c]), 255.0, barrier) for c in range(4)]
     base_a = bf[3]
     top_a = tf[3] * opacity
     mode = BlendMode(int(mode))
@@ -180,7 +190,8 @@ def _blend_planar(base, top, mode: int, opacity):
         planes = []
         for c in range(3):
             rgb = _rdiv(
-                bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a), safe
+                bf[c] * base_a * (1.0 - top_a) + tf[c] * top_a * (1.0 - base_a),
+                safe, barrier
             )
             planes.append(q(jnp.where(empty, 0.0, rgb)))
         planes.append(q(jnp.where(empty, 0.0, xor_a)))
@@ -192,7 +203,8 @@ def _blend_planar(base, top, mode: int, opacity):
         safe = jnp.where(empty, 1.0, out_a)
         planes = []
         for c in range(3):
-            rgb = _rdiv(mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv, safe)
+            rgb = _rdiv(mixer(bf[c], tf[c]) * top_a + bf[c] * base_a * inv,
+                        safe, barrier)
             planes.append(q(jnp.where(empty, 0.0, rgb)))
         planes.append(q(jnp.where(empty, 0.0, out_a)))
 
@@ -207,14 +219,15 @@ def _blend_planar(base, top, mode: int, opacity):
     return jnp.stack(planes, axis=0)
 
 
-def _make_composite_kernel(modes: tuple):
+def _make_composite_kernel(modes: tuple, barrier: bool):
     n = len(modes)
 
     def kernel(opac_ref, layers_ref, out_ref):
         """opac: [N] f32 SMEM; layers: [N, 4, th, w] u8 VMEM; out: [4, th, w]."""
         acc = jnp.zeros(out_ref.shape, jnp.uint8)
         for i, mode in enumerate(modes):
-            acc = _blend_planar(acc, layers_ref[i], int(mode), opac_ref[i])
+            acc = _blend_planar(acc, layers_ref[i], int(mode), opac_ref[i],
+                                barrier)
         out_ref[...] = acc
 
     return kernel
@@ -225,12 +238,9 @@ def _composite_fn(modes: tuple, n: int, hp: int, wp: int, tile_h: int,
                   interpret: bool):
     grid = (hp // tile_h, wp // 128)
 
-    global _EDIV_BARRIER
-    _EDIV_BARRIER = interpret  # applied when the kernel body is traced below
-
     def run(layers, opacities):
         return pl.pallas_call(
-            _make_composite_kernel(modes),
+            _make_composite_kernel(modes, barrier=interpret),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -245,11 +255,15 @@ def _composite_fn(modes: tuple, n: int, hp: int, wp: int, tile_h: int,
 
 
 def composite_stack_pallas(layers, modes, opacities, tile_h: int = 128,
-                           interpret: bool = False):
+                           interpret: bool = None):
     """Composite a [N, H, W, 4] u8 layer stack bottom-up in one Pallas kernel.
 
     `modes` is a host-known tuple (one specialization per mode sequence,
-    like composite_stack_static).  Bit-identical to the XLA compositor."""
+    like composite_stack_static).  Bit-identical to the XLA compositor.
+    interpret=None auto-detects the backend like the other kernel entry
+    points (a real Mosaic compile on a CPU host would just fail)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     layers = jnp.asarray(layers, jnp.uint8)
     n, h, w = layers.shape[0], layers.shape[1], layers.shape[2]
     planar = jnp.transpose(layers, (0, 3, 1, 2))  # [N, 4, H, W]
@@ -351,10 +365,14 @@ def gaussian_blur_fused_planar(planar, h: int, w: int, sigma: float,
     if taps.shape[0] == 1:
         return jnp.asarray(planar, jnp.uint8)
     if taps.shape[0] > 41:  # radius > 20: VMEM-unfriendly unroll
-        from paintfe_tpu.ops.filters import gaussian_blur
+        # Call the XLA separable program directly — going through
+        # filters.gaussian_blur would re-dispatch to this kernel on TPU
+        # (infinite mutual recursion)
+        from paintfe_tpu.ops.filters import _gaussian_fn
 
         img = jnp.transpose(jnp.asarray(planar, jnp.uint8), (1, 2, 0))
-        return jnp.transpose(gaussian_blur(img, float(sigma)), (2, 0, 1))
+        out = _gaussian_fn(float(sigma), h, w)(img)
+        return jnp.transpose(out, (2, 0, 1))
     r = (taps.shape[0] - 1) // 2
     th = min(th, _round_up(h, 8))
     tw = min(tw, _round_up(w, 128))

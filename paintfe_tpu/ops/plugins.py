@@ -75,12 +75,32 @@ class PluginHost:
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             )
 
+    def _read_response_line(self) -> bytes:
+        """Blocking readline bounded by self.timeout: an unresponsive plugin
+        (deadlock, infinite loop) is killed and surfaces as PluginError
+        instead of hanging the host — the crash-isolation contract."""
+        import threading
+
+        result = {}
+
+        def reader():
+            result["line"] = self.proc.stdout.readline()
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        t.join(self.timeout)
+        if t.is_alive():
+            self.close()  # kills the plugin; the reader sees EOF and exits
+            raise PluginError(
+                f"plugin unresponsive after {self.timeout:.0f}s (killed)")
+        return result.get("line", b"")
+
     def _rpc(self, payload: dict) -> dict:
         self._ensure()
         try:
             self.proc.stdin.write((json.dumps(payload) + "\n").encode())
             self.proc.stdin.flush()
-            line = self.proc.stdout.readline()
+            line = self._read_response_line()
         except (BrokenPipeError, OSError) as e:
             raise PluginError(f"plugin crashed: {e}")
         if not line:

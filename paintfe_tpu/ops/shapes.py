@@ -393,12 +393,43 @@ def extract_svg_path_data(svg: str) -> str:
 
 
 def _svg_tokens(d: str):
-    """Yield SVG path commands and floats."""
+    """Yield SVG path commands and floats.
+
+    Lexing is command-aware because the SVG grammar makes the arc flags
+    (operands 4 and 5 of A/a) single '0'/'1' CHARACTERS that need no
+    separator from the following number — minified paths write
+    'a1 1 0 011 0' meaning flags 0,1 then x=1 y=0.  A greedy number regex
+    would lex '011' as 11.0 and shift every later operand."""
     import re
 
-    for m in re.finditer(r"[MmLlHhVvCcSsQqTtAaZz]|[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?", d):
-        t = m.group(0)
-        yield t if t.isalpha() else float(t)
+    num = re.compile(r"[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?")
+    i = 0
+    n = len(d)
+    cmd = None
+    operand = 0
+    while i < n:
+        ch = d[i]
+        if ch in " \t\r\n,":
+            i += 1
+            continue
+        if ch in "MmLlHhVvCcSsQqTtAaZz":
+            cmd = ch
+            operand = 0
+            i += 1
+            yield ch
+            continue
+        if cmd in ("A", "a") and operand % 7 in (3, 4) and ch in "01":
+            yield float(ch)
+            operand += 1
+            i += 1
+            continue
+        m = num.match(d, i)
+        if m is None:
+            i += 1  # skip unrecognized characters (previous behavior)
+            continue
+        yield float(m.group(0))
+        operand += 1
+        i = m.end()
 
 
 def _flatten_cubic(p0, p1, p2, p3, tol, out, depth=0):

@@ -355,6 +355,12 @@ def _warp_positions(block: TextBlock, glyphs):
     if warp is None:
         return glyphs
     total_w = max((g[2] for g in glyphs), default=1.0) + 1.0
+    # vertical span of the block (baseline min..max plus one glyph height),
+    # for the envelope's top/bottom interpolation fraction
+    y_min = min((g[3] for g in glyphs), default=0.0)
+    y_max = max((g[3] for g in glyphs), default=0.0)
+    glyph_h = max((g[1].font_size for g in glyphs), default=24.0)
+    total_h = (y_max - y_min) + glyph_h
     out = []
     for ch, style, x, y, _ang in glyphs:
         t = x / total_w
@@ -383,8 +389,12 @@ def _warp_positions(block: TextBlock, glyphs):
                 return mt * mt * a + 2 * mt * tt * b + tt * tt * c
             top = quad(warp.top, t)
             bottom = quad(warp.bottom, t)
-            # interpolate by glyph's vertical position within the line
-            frac = 0.5
+            # interpolate by the glyph's vertical position within the block
+            # (the reference resamples pixels between the two curves,
+            # warp.rs:446-530; at glyph granularity the baseline sits ~80%
+            # down its line box).  A constant 0.5 made the default
+            # symmetric envelope cancel to a literal no-op.
+            frac = min(max((y - y_min + 0.8 * glyph_h) / total_h, 0.0), 1.0)
             out.append((ch, style, x, y + top * (1 - frac) + bottom * frac, 0.0))
         else:
             out.append((ch, style, x, y, 0.0))
@@ -433,16 +443,72 @@ def _render_block(img: Image.Image, block: TextBlock):
             img.alpha_composite(tile, (int(rx) - tile.width // 4, int(ry) - tile.height // 4))
 
 
+def _disc_dilate(mask: np.ndarray, radius: float) -> np.ndarray:
+    """Circular max-dilation of a float coverage mask (the reference's
+    dilate_mask, text_layer/effects.rs:167-214: Euclidean disc, preserves
+    anti-aliased values)."""
+    ir = int(np.ceil(radius))
+    if ir <= 0:
+        return mask
+    r_sq = radius * radius
+    h, w = mask.shape
+    out = mask.copy()
+    shifted = np.zeros_like(mask)
+    for dy in range(-ir, ir + 1):
+        if dy * dy > r_sq:
+            continue
+        for dx in range(-ir, ir + 1):
+            if (dx == 0 and dy == 0) or dx * dx + dy * dy > r_sq:
+                continue
+            shifted[:] = 0.0
+            ys0, ys1 = max(0, -dy), min(h, h - dy)
+            xs0, xs1 = max(0, -dx), min(w, w - dx)
+            shifted[ys0:ys1, xs0:xs1] = mask[ys0 + dy:ys1 + dy,
+                                             xs0 + dx:xs1 + dx]
+            np.maximum(out, shifted, out=out)
+    return out
+
+
+def _render_text_shadow(rgba: np.ndarray, s: "ShadowEffect") -> np.ndarray:
+    """The text drop shadow (text_layer/effects.rs render_shadow:220-300):
+    offset the coverage, disc-dilate by `spread`, tint with the shadow color
+    applying its alpha ONCE, Gaussian-blur, and composite beneath the text.
+    Distinct from ops.effects.render.drop_shadow, whose widen pass is
+    blur-derived and which takes a separate opacity (render.rs:175-260)."""
+    from paintfe_tpu.core.blend import BlendMode, blend_u8
+    from paintfe_tpu.ops.filters import gaussian_blur
+
+    h, w = rgba.shape[:2]
+    cov = rgba[..., 3].astype(np.float32)  # coverage * 255
+    dx, dy = int(round(s.offset_x)), int(round(s.offset_y))
+    mask = np.zeros((h, w), np.float32)
+    ys0, ys1 = max(0, dy), min(h, h + dy)
+    xs0, xs1 = max(0, dx), min(w, w + dx)
+    if ys1 > ys0 and xs1 > xs0:
+        mask[ys0:ys1, xs0:xs1] = cov[ys0 - dy:ys1 - dy, xs0 - dx:xs1 - dx]
+    if s.spread > 0.5:
+        mask = _disc_dilate(mask, float(s.spread))
+    sr, sg, sb, sa = (int(c) for c in s.color)
+    shadow = np.empty((h, w, 4), np.uint8)
+    shadow[..., 0] = sr
+    shadow[..., 1] = sg
+    shadow[..., 2] = sb
+    shadow[..., 3] = np.clip(
+        np.floor(mask * np.float32(sa / 255.0) + np.float32(0.5)), 0, 255
+    ).astype(np.uint8)
+    if s.blur_radius > 0.5:
+        shadow = np.asarray(gaussian_blur(shadow, float(s.blur_radius)))
+    # text over shadow (the reference renders the shadow first, then draws
+    # outline/fill on top)
+    return np.asarray(blend_u8(shadow, rgba, int(BlendMode.NORMAL), 1.0))
+
+
 def _apply_effects(rgba: np.ndarray, effects: TextEffects) -> np.ndarray:
     from paintfe_tpu.ops.effects import render as render_fx
 
     out = rgba
     if effects.shadow is not None:
-        s = effects.shadow
-        out = np.asarray(render_fx.drop_shadow(
-            out, int(s.offset_x), int(s.offset_y), float(s.blur_radius),
-            s.spread > 0.0, tuple(s.color), s.color[3] / 255.0,
-        ))
+        out = _render_text_shadow(out, effects.shadow)
     if effects.outline is not None:
         o = effects.outline
         pos = {OutlinePosition.OUTSIDE: render_fx.OutlineMode.OUTSIDE,

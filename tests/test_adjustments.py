@@ -190,3 +190,20 @@ def test_lut_composition_fuses_chain():
     step = adj.apply_rgb_lut(np.asarray(adj.apply_rgb_lut(img, l1)), l2)
     fused = adj.apply_rgb_lut(img, luts.compose_luts(l1, l2))
     np.testing.assert_array_equal(np.asarray(step), np.asarray(fused))
+
+
+def test_direct_builders_are_cached():
+    """The jitted direct-formula builders must be lru-cached (CLAUDE.md:
+    a fresh jit closure per call is a cache MISS every call)."""
+    from paintfe_tpu.ops import adjustments as adj
+    from paintfe_tpu.ops import filters as flt
+
+    assert adj._levels_direct_fn(0.0, 255.0, 1.0, 0.0, 255.0) is \
+        adj._levels_direct_fn(0.0, 255.0, 1.0, 0.0, 255.0)
+    key = ((((0.0, 0.0), (255.0, 255.0)), True),)
+    assert adj._curves_direct_fn(key) is adj._curves_direct_fn(key)
+    stops = ((0.0, (0.0, 0.0, 0.0, 255.0)), (1.0, (255.0, 255.0, 255.0, 255.0)))
+    assert adj._gradient_map_stops_fn(stops) is adj._gradient_map_stops_fn(stops)
+    lv = ((0.0, 255.0, 1.0, 0.0, 255.0),) * 4
+    assert adj._levels_per_channel_fn(lv) is adj._levels_per_channel_fn(lv)
+    assert flt._median_fn(1, 16, 16) is flt._median_fn(1, 16, 16)

@@ -115,3 +115,23 @@ def test_crop_to_selection():
     canvas.selection = np.zeros((12, 20), np.uint8)
     crop_to_selection(canvas)
     assert (canvas.width, canvas.height) == (20, 12)
+
+
+def test_canvas_transforms_clear_preview():
+    """Every canvas transform drops the stroke preview first (the reference
+    calls clear_preview_state in all 9 entry points); a stale pre-rotation
+    preview on a non-square canvas used to crash the next composite."""
+    from paintfe_tpu.ops import canvas_transform as ct
+
+    for op in (ct.rotate_canvas_90cw, ct.rotate_canvas_90ccw,
+               ct.rotate_canvas_180, ct.flip_canvas_horizontal,
+               lambda c: ct.rotate_canvas_arbitrary(c, 30.0),
+               lambda c: ct.resize_image(c, 40, 30),
+               lambda c: ct.resize_canvas(c, 50, 60)):
+        c = Canvas.new(32, 64, background=(10, 20, 30, 255))
+        c.preview = np.zeros((64, 32, 4), np.uint8)
+        c.preview[5:10, 5:10] = [255, 0, 0, 255]
+        op(c)
+        assert c.preview is None
+        out = c.composite()  # crashed on shape mismatch before the fix
+        assert out.shape[0] == c.height and out.shape[1] == c.width

@@ -221,3 +221,21 @@ def test_project_open_preserves_deep_payload(tmp_path):
     out = tmp_path / "deep_out.tiff"
     proj.save(out)
     np.testing.assert_array_equal(de.read_tiff_deep(out), u16)
+
+
+def test_plugin_unresponsive_times_out(tmp_path):
+    """A plugin that accepts the request but never answers must be killed
+    and surface as PluginError (round-4 review: the timeout was dead code
+    and readline blocked forever)."""
+    import stat as _stat
+    import time
+
+    p = tmp_path / "hang_plugin.py"
+    p.write_text("#!/usr/bin/env python3\nimport time\ntime.sleep(600)\n")
+    p.chmod(p.stat().st_mode | _stat.S_IEXEC)
+    host = PluginHost(p, timeout=1.0)
+    t0 = time.monotonic()
+    with pytest.raises(PluginError, match="unresponsive"):
+        host.describe()
+    assert time.monotonic() - t0 < 10.0
+    host.close()

@@ -130,3 +130,48 @@ def test_pick_tiles_exact_divisors():
     explicit = np.asarray(fused_chain_kernel(img, ov, th=32, tw=256))
     np.testing.assert_array_equal(ref, auto)
     np.testing.assert_array_equal(ref, explicit)
+
+
+def test_fused_blur_large_radius_fallback_no_redispatch(monkeypatch):
+    """taps > 41 must go straight to the XLA program: routing through
+    filters.gaussian_blur would re-dispatch to this kernel on a TPU backend
+    (infinite mutual recursion, round-4 review)."""
+    from paintfe_tpu.ops import filters
+    from paintfe_tpu.ops.pallas_kernels import gaussian_blur_fused
+
+    def boom(*a, **k):  # the dispatcher must NOT be on this path
+        raise AssertionError("fallback routed through gaussian_blur")
+
+    monkeypatch.setattr(filters, "gaussian_blur", boom)
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 52, 4), np.uint8)
+    out = np.asarray(gaussian_blur_fused(img, 8.0, interpret=True))
+    ref = np.asarray(filters._gaussian_fn(8.0, 40, 52)(img))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_conv_pass_pads_to_power_of_two_lanes():
+    """The dynamic-lane-roll kernel is only correct on power-of-two vreg
+    widths (measured on v5e, see CLAUDE.md); the pass must never build a
+    384/640/3968-lane tile."""
+    import paintfe_tpu.ops.pallas_kernels as pk
+
+    seen = []
+    orig = pk._pass_fn
+
+    def spy(ntaps, c, hp, w, wp, tile_h, interpret):
+        seen.append(wp)
+        return orig(ntaps, c, hp, w, wp, tile_h, interpret)
+
+    pk._pass_fn = spy
+    try:
+        rng = np.random.default_rng(4)
+        # w=300 (+2r) used to round to 384 lanes — a measured-corrupt width
+        img = rng.integers(0, 256, (16, 300, 4), np.uint8)
+        out = np.asarray(gaussian_blur_pallas(img, 2.5))
+        from paintfe_tpu.ops import filters
+        ref = np.asarray(filters._gaussian_fn(2.5, 16, 300)(img))
+        np.testing.assert_array_equal(out, ref)
+    finally:
+        pk._pass_fn = orig
+    assert seen and all(wp & (wp - 1) == 0 for wp in seen), seen

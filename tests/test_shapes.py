@@ -162,3 +162,15 @@ def test_extract_svg_path_data():
         shapes.extract_svg_path_data("<svg></svg>")
     with pytest.raises(shapes.SvgPathError):
         shapes.parse_custom_shape("x", "t", "M 5 5")  # no drawable geometry
+
+
+def test_svg_arc_compact_flags():
+    """SVG arc flags are single characters that need no separator from the
+    next number ('a1 1 0 011 0' = flags 0,1 then x=1 y=0 — standard
+    minifier output); a greedy number lexer reads '011' as 11.0."""
+    from paintfe_tpu.ops.shapes import parse_svg_path
+
+    assert parse_svg_path("M0 0 a1 1 0 011 0 z") == \
+        parse_svg_path("M0 0 a1 1 0 0 1 1 0 z")
+    assert parse_svg_path("M10 10 A5 5 0 10-3 4") == \
+        parse_svg_path("M10 10 A5 5 0 1 0 -3 4")

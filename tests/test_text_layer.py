@@ -94,3 +94,62 @@ def test_canvas_text_layer_rasterizes_on_composite():
     tl.ensure_text_layers_rasterized(c)
     out = c.composite()
     assert (out[..., 0] < 250).any()  # dark text over white
+
+
+def test_text_shadow_alpha_applied_once():
+    """render_shadow (text_layer/effects.rs:220-300) applies the shadow
+    color's alpha exactly once; the old path passed it both as opacity and
+    in the color -> (sa/255)^2 darkening."""
+    from paintfe_tpu.ops.text_layer import ShadowEffect, TextEffects, _apply_effects
+
+    rgba = np.zeros((64, 64, 4), np.uint8)
+    rgba[8:40, 8:40] = [200, 10, 10, 255]  # opaque block
+    eff = TextEffects(shadow=ShadowEffect(color=(0, 0, 0, 160), offset_x=12.0,
+                                          offset_y=12.0, blur_radius=0.0))
+    out = _apply_effects(rgba, eff)
+    # a shadow-only pixel (offset region beyond the block) carries alpha
+    # exactly sa=160, not round(160^2/255)=100
+    assert out[45, 45, 3] == 160
+    np.testing.assert_array_equal(out[45, 45, :3], [0, 0, 0])
+    # the text itself is untouched on top
+    np.testing.assert_array_equal(out[20, 20], [200, 10, 10, 255])
+
+
+def test_text_shadow_spread_radius_honored():
+    """spread dilates the shadow by ITS radius (disc), not by the blur."""
+    from paintfe_tpu.ops.text_layer import ShadowEffect, TextEffects, _apply_effects
+
+    rgba = np.zeros((64, 64, 4), np.uint8)
+    rgba[20:30, 20:30] = [0, 0, 0, 255]
+    base = TextEffects(shadow=ShadowEffect(color=(0, 0, 0, 255), offset_x=0.0,
+                                           offset_y=0.0, blur_radius=0.0,
+                                           spread=0.0))
+    spread = TextEffects(shadow=ShadowEffect(color=(0, 0, 0, 255), offset_x=0.0,
+                                             offset_y=0.0, blur_radius=0.0,
+                                             spread=5.0))
+    out0 = _apply_effects(rgba.copy(), base)
+    out5 = _apply_effects(rgba.copy(), spread)
+    assert out0[25, 15, 3] == 0          # no spread: 5px out stays clear
+    assert out5[25, 15, 3] == 255        # spread 5: dilated (disc reaches)
+    assert out5[16, 16, 3] == 0          # diagonal ~5.7px: outside the disc
+
+
+def test_envelope_warp_default_is_not_a_noop():
+    """The default symmetric envelope (top -20, bottom +20) used to cancel
+    exactly (frac hardcoded 0.5) so the warp did nothing."""
+    from paintfe_tpu.ops.text_layer import (
+        EnvelopeWarp, TextBlock, TextLayerData, TextRun, TextStyle)
+
+    def raster(warp):
+        td = TextLayerData()
+        td.add_block(TextBlock(
+            position=(4.0, 30.0),
+            runs=[TextRun(text="WAVE", style=TextStyle(font_size=20.0,
+                                                       color=(0, 0, 0, 255)))],
+            warp=warp))
+        return td.rasterize(120, 80)
+
+    flat = raster(None)
+    warped = raster(EnvelopeWarp())  # defaults top=(0,-20,0) bottom=(0,20,0)
+    assert (flat[..., 3] > 0).any() and (warped[..., 3] > 0).any()
+    assert (flat != warped).any(), "default envelope warp was a no-op"
