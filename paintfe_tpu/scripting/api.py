@@ -373,8 +373,8 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
         vectorized attempt (e.g. array truthiness in data-dependent `if`)
         cannot have leaked any observable effect."""
         y0, y1, x0, x1 = region if region else (0, ctx.height, 0, ctx.width)
-        px = ctx.pixels[y0:y1, x0:x1].astype(np.int64)
         if closure_is_pure(cb, frozenset(interp_ref["interp"].user_fns)):
+            px = ctx.pixels[y0:y1, x0:x1].astype(np.int64)
             try:
                 args = []
                 if xs:
@@ -388,10 +388,21 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
                 if res is UNIT:
                     return
                 if isinstance(res, list) and len(res) >= 4:
-                    out = np.stack(
-                        [np.clip(np.broadcast_to(np.asarray(c), px.shape[:2]), 0, 255) for c in res[:4]],
-                        axis=-1,
-                    ).astype(np.uint8)
+                    chans = []
+                    for c in res[:4]:
+                        arr = np.broadcast_to(np.asarray(c), px.shape[:2])
+                        if arr.dtype.kind in "fb":
+                            # the scalar oracle's _as_int accepts only
+                            # integral floats and rejects bools — bail so
+                            # the loop raises the exact per-pixel error
+                            # instead of silently truncating/casting
+                            if arr.dtype.kind == "b":
+                                raise TypeError("bool channel result")
+                            if (not np.isfinite(arr).all()
+                                    or (arr != np.floor(arr)).any()):
+                                raise TypeError("non-integral channel result")
+                        chans.append(np.clip(arr, 0, 255))
+                    out = np.stack(chans, axis=-1).astype(np.uint8)
                     ctx.pixels[y0:y1, x0:x1] = out
                     return
                 return
@@ -449,6 +460,8 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
 
     @register("for_region")
     def for_region(x, y, w, h, cb):
+        if not isinstance(cb, Closure):
+            raise RhaiRuntimeError("for_region expects a closure")
         x, y, w, h = _as_int(x), _as_int(y), _as_int(w), _as_int(h)
         x0 = max(x, 0)
         y0 = max(y, 0)

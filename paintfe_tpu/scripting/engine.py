@@ -161,7 +161,12 @@ def apply_canvas_ops(canvas, ops: List[CanvasOpRequest], skip_layer: int):
             canvas.width, canvas.height = canvas.height, canvas.width
         elif op.kind in ("resize_image", "resize_canvas"):
             canvas.width, canvas.height = op.w, op.h
-        if canvas.selection is not None and op.kind != "flip_h":
+        # The reference's apply_canvas_ops never touches the selection
+        # (scripting.rs:1640-1723).  Our selection is a dense [H, W] array,
+        # so it only has to go when the canvas dimensions changed and the
+        # stale shape would crash downstream consumers.
+        if canvas.selection is not None and canvas.selection.shape[:2] != (
+                canvas.height, canvas.width):
             canvas.selection = None
 
 
@@ -260,6 +265,14 @@ def execute_script_async(source, pixels, width, height, mask=None,
             messages.put(ScriptMessage("error", e))
         except (RhaiSyntaxError, RhaiRuntimeError) as e:
             messages.put(ScriptMessage("error", ScriptError(str(e))))
+        except BaseException as e:  # noqa: BLE001 - terminal-message contract
+            # Any other escape (an engine bug, RecursionError, ...) must
+            # still produce the terminal message: the reference worker
+            # always sends Completed or Error, and a consumer draining the
+            # queue until a terminal message would hang forever otherwise.
+            messages.put(ScriptMessage(
+                "error", ScriptError(f"internal script engine error: "
+                                     f"{type(e).__name__}: {e}")))
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()

@@ -97,6 +97,12 @@ def to_display(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, float):
+        if v != v:
+            return "NaN"  # Rust f64 Display
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
         if v == int(v) and abs(v) < 1e15:
             return f"{v:.1f}"
         return repr(v)
@@ -340,7 +346,10 @@ class Interpreter:
             if isinstance(iterable, RhaiRange):
                 it = iterable
             elif isinstance(iterable, list):
-                it = iterable
+                # Rhai's for-in yields cloned VALUES over a snapshot:
+                # mutating the loop variable must not write through to the
+                # array (and body pushes don't extend the iteration)
+                it = [_rhai_copy(x) for x in iterable]
             else:
                 raise RhaiRuntimeError("for loop needs a range or array")
             for v in it:
@@ -559,17 +568,23 @@ class Interpreter:
                 orig[name] = _merge_predicated(cond, st[name], sf[name])
         return _merge_predicated(cond, v_t, v_f)
 
-    def call_function(self, name, args, scopes):
+    def call_function(self, name, args, scopes, deref_vars=True):
         # A variable holding a closure (FnPtr) is directly callable in Rhai.
-        for scope in reversed(scopes):
-            if name in scope:
-                v = scope[name]
-                if isinstance(v, Closure):
-                    return self.call_closure(v, args)
-                if isinstance(v, FnPtr):
-                    return self.call_function(
-                        v.name, list(v.curried) + list(args), scopes)
-                break
+        # Dereferencing an FnPtr resolves FUNCTIONS only (user/host fns) —
+        # never variables again: `let f = Fn("f"); f();` must be "function
+        # not found", not unbounded recursion through the same scope (and
+        # the compiled engine already implements exactly this rule).
+        if deref_vars:
+            for scope in reversed(scopes):
+                if name in scope:
+                    v = scope[name]
+                    if isinstance(v, Closure):
+                        return self.call_closure(v, args)
+                    if isinstance(v, FnPtr):
+                        return self.call_function(
+                            v.name, list(v.curried) + list(args), scopes,
+                            deref_vars=False)
+                    break
         if name == "Fn":  # function-pointer constructor: Fn("name")
             if len(args) != 1 or not isinstance(args[0], str):
                 raise RhaiRuntimeError("Fn() expects one string argument")
@@ -648,6 +663,12 @@ class Interpreter:
         if op == "-":
             return l - r
         if op == "*":
+            if not is_arr and (isinstance(l, (list, dict, str))
+                               or isinstance(r, (list, dict, str))):
+                # Rhai defines no '*' for arrays/maps/strings; Python's
+                # sequence repetition would also alias elements (a
+                # clone-on-let escape hatch)
+                raise RhaiRuntimeError("'*' needs two numbers")
             return l * r
         if op == "/":
             if both_int:
@@ -665,9 +686,11 @@ class Interpreter:
                     q = np.abs(l) // np.abs(ra)
                     return np.where((np.asarray(l) >= 0) == (ra >= 0), q, -q)
                 return l / r  # vectorized float semantics
-            if isinstance(r, (int, float)) and r == 0 and both_int:
-                raise RhaiRuntimeError("division by zero")
-            return l / r
+            # f64 division is IEEE like Rhai's (1.0/0.0 = inf, 0.0/0.0 =
+            # NaN) — Python's ZeroDivisionError would be uncatchable by
+            # script try/catch and escape the engine uncategorized
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return float(np.float64(l) / np.float64(r))
         if op == "%":
             if both_int:
                 if r == 0:
@@ -677,9 +700,22 @@ class Interpreter:
                 if _int_like(l) and _int_like(r) and (np.asarray(r) == 0).any():
                     raise RhaiRuntimeError("modulo by zero")
                 return np.fmod(l, r)
-            return float(np.fmod(l, r))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return float(np.fmod(l, r))  # x % 0.0 = NaN (Rust f64 %)
         if op == "**":
-            return l**r
+            if is_arr:
+                return l**r
+            if both_int:
+                if r < 0:
+                    # Rhai's checked i64 pow rejects negative exponents;
+                    # Python would silently produce a float
+                    raise RhaiRuntimeError(
+                        "integer raised to a negative exponent")
+                return l**r
+            # f64 powf: full IEEE — (-2.0)**0.5 = NaN (Python makes it
+            # complex), 0.0**-1.0 = inf (Python raises)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return float(np.power(np.float64(l), np.float64(r)))
         if op == "&":
             if isinstance(l, bool) and isinstance(r, bool):
                 return l and r  # non-short-circuit boolean AND (Rhai)
@@ -743,6 +779,12 @@ class Interpreter:
     def _method(self, obj, name, args, scopes=None):
         import math
 
+        if args is not None:
+            # Rhai passes call ARGUMENTS by value (only the receiver is a
+            # reference): `arr.push(a)` stores a clone of `a`, so later
+            # mutations of `a` must not alias into `arr`.  Scalars,
+            # strings, and closures pass through _rhai_copy unchanged.
+            args = [_rhai_copy(a) for a in args]
         if isinstance(obj, Closure) and args is not None:
             if name == "call":
                 return self.call_closure(obj, args)
@@ -764,7 +806,8 @@ class Interpreter:
             if name == "call":
                 return self.call_function(
                     obj.name, list(obj.curried) + list(args),
-                    scopes if scopes is not None else [self.globals])
+                    scopes if scopes is not None else [self.globals],
+                    deref_vars=False)
             if name == "curry":
                 return FnPtr(obj.name, list(obj.curried) + list(args))
         if args is None:  # property access

@@ -698,6 +698,10 @@ def _make_fast_binops(B):
             q = abs(l) // abs(r)
             return q if (l >= 0) == (r >= 0) else -q
         if _num(l) and _num(r):
+            if r == 0:
+                # IEEE inf/NaN corner: route through the interp (Python's
+                # `/` raises ZeroDivisionError; Rhai f64 yields inf/NaN)
+                return B("/", l, r)
             return l / r
         return B("/", l, r)
 
@@ -709,9 +713,10 @@ def _make_fast_binops(B):
             rem = abs(l) % abs(r)
             return rem if l >= 0 else -rem
         if type(l) is float or type(r) is float:
-            # math.fmod raises on a zero divisor where np.fmod (the interp
-            # path) yields nan — route that corner through the interp
-            if _num(l) and _num(r) and r != 0:
+            # math.fmod raises on a zero divisor or non-finite numerator
+            # where np.fmod (the interp path) yields nan — route those
+            # corners through the interp
+            if _num(l) and _num(r) and r != 0 and math.isfinite(l):
                 return math.fmod(l, r)
         return B("%", l, r)
 
@@ -757,8 +762,12 @@ def _make_env(rt: _Runtime) -> dict:
         raise I.RhaiRuntimeError(f"variable '{name}' not found")
 
     def _forit(v):
-        if isinstance(v, (I.RhaiRange, list)):
+        if isinstance(v, I.RhaiRange):
             return v
+        if isinstance(v, list):
+            # Rhai for-in yields cloned values over a snapshot (matches
+            # the tree-walker's loop binding)
+            return [I._rhai_copy(x) for x in v]
         raise I.RhaiRuntimeError("for loop needs a range or array")
 
     def _ix(obj, idx):
@@ -1050,8 +1059,12 @@ def _closure_env(closure, interp) -> dict:
         raise I.RhaiRuntimeError("property assignment needs a map")
 
     def _forit(v):
-        if isinstance(v, (I.RhaiRange, list)):
+        if isinstance(v, I.RhaiRange):
             return v
+        if isinstance(v, list):
+            # Rhai for-in yields cloned values over a snapshot (matches
+            # the tree-walker's loop binding)
+            return [I._rhai_copy(x) for x in v]
         raise I.RhaiRuntimeError("for loop needs a range or array")
 
     env["_ix"] = _ix

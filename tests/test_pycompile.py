@@ -52,6 +52,34 @@ def test_conformance_corpus_agrees(src, expected, monkeypatch):
 
 
 DIVERGENCE_PRONE = [
+    # IEEE f64 arithmetic corners (r4 review): div/pow by/of zero are
+    # VALUES (inf/NaN), never raw Python exceptions; printing them uses
+    # Rust Display names
+    'let x = 1.0 / 0.0; print_line(`${x}`);',
+    'let x = -1.0 / 0.0; print_line(`${x}`);',
+    'let x = 0.0 / 0.0; print_line(`${x}`);',
+    'let x = 1e200 * 1e200; print_line(`${x}`);',
+    'let x = 0.0 ** -1.0; print_line(`${x}`);',
+    'let x = (-2.0) ** 0.5; print_line(`${x}`);',  # NaN, never complex
+    'let x = (1.5 / 0.0) % 2.0; print_line(`${x}`);',
+    'let x = 1.5 % 0.0; print_line(`${x}`);',
+    'print_line(`${2 ** -1}`);',                   # int pow: negative errors
+    'try { let x = 2 ** -1; } catch (e) { print_line("caught"); }',
+    # '*' is undefined for containers/strings (Rhai; Python repetition
+    # would also alias elements past clone-on-let)
+    'let a = [[1]]; let b = a * 2; print_line("no");',
+    'let s = "ab" * 3; print_line("no");',
+    # FnPtr deref resolves FUNCTIONS only: self-named variable must be
+    # "function not found", not unbounded recursion (r4 review)
+    'let f = Fn("f"); f();',
+    'let f = Fn("f"); f.call();',
+    'fn h() { 7 } let f = Fn("h"); print_line(`${f()}`);',
+    # Rhai clone-on-value: method args are cloned...
+    'let a = [1]; let arr = []; arr.push(a); a.push(2); '
+    'print_line(`${arr[0].len()} ${a.len()}`);',
+    # ...and for-in binds cloned values over a snapshot
+    'let arr = [[1], [2]]; for x in arr { x.push(9); } '
+    'print_line(`${arr[0].len()}`);',
     # plain '=' store to a top-level name BEFORE its let: the pre-allocated
     # Python local would silently bind; both engines must error (r4 review)
     'x = 5; let x = 1; print_line(`${x}`);',
@@ -244,16 +272,27 @@ def test_impure_per_pixel_loop_equivalent_and_faster(monkeypatch):
     img[..., 0] = 90
     img[..., 3] = 255
 
+    # warm both paths first (parse cache, closure-region compile): the
+    # timing below must compare steady states, not a cold compile against
+    # a warm walk (order-dependent flake when other suites pre-warm caches)
     monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "0")
-    t0 = time.perf_counter()
     a = execute_script_sync(src, img.copy(), 32, 32, None)
-    walk = time.perf_counter() - t0
     monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "auto")
-    t0 = time.perf_counter()
     b = execute_script_sync(src, img.copy(), 32, 32, None)
-    comp = time.perf_counter() - t0
     assert a[3] == b[3] == ["1024"]
     assert np.array_equal(a[0], b[0])
+
+    def best_of(env, k=3):
+        monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", env)
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.perf_counter()
+            execute_script_sync(src, img.copy(), 32, 32, None)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    walk = best_of("0")
+    comp = best_of("auto")
     assert comp < walk, f"compiled {comp:.3f}s not faster than {walk:.3f}s"
 
 

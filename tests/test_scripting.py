@@ -940,3 +940,77 @@ def test_vectorized_shift_in_range_still_vectorizes():
         });
         """
     )
+
+
+def test_vectorized_float_channel_falls_back_to_scalar_error():
+    # the scalar oracle's _as_int rejects non-integral channel values; the
+    # vectorized pass must bail (and error identically), not truncate
+    msg = _err_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| { [r + 0.5, g, b, a] });")
+    assert "integer" in msg
+
+
+def test_vectorized_bool_channel_falls_back_to_scalar_error():
+    msg = _err_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| { [r > 10, g, b, a] });")
+    assert "integer" in msg
+
+
+def test_vectorized_integral_float_channels_match():
+    # integral floats ARE accepted by _as_int (10.0 -> 10): the vectorized
+    # pass must produce the same pixels as the scalar loop
+    _run_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| { [(r / 2) * 2.0, g, b, a] });")
+
+
+def test_for_region_non_closure_is_script_error():
+    img = np.zeros((8, 8, 4), np.uint8)
+    with pytest.raises(ScriptError, match="closure"):
+        execute_script_sync("for_region(0, 0, 2, 2, 42);", img, 8, 8)
+
+
+def test_async_engine_bug_still_sends_terminal_message(monkeypatch):
+    """Even an uncategorized engine escape must produce the terminal error
+    message — a consumer draining the queue would hang forever otherwise."""
+    import queue as _q
+
+    from paintfe_tpu.scripting import engine as eng
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic engine bug")
+
+    monkeypatch.setattr(eng, "_run_script", boom)
+    img = np.zeros((4, 4, 4), np.uint8)
+    thread, messages = eng.execute_script_async("let x = 1;", img, 4, 4)
+    thread.join(timeout=30)
+    assert not thread.is_alive()
+    kinds = []
+    while True:
+        try:
+            m = messages.get_nowait()
+        except _q.Empty:
+            break
+        kinds.append(m.kind)
+    assert "error" in kinds
+
+
+def test_canvas_op_replay_keeps_selection_on_flips():
+    """apply_canvas_ops never touches the selection (scripting.rs:1640-1723)
+    unless the canvas dimensions changed and the dense mask shape went
+    stale; flip_v used to clear it while flip_h kept it."""
+    from paintfe_tpu.core.canvas import Canvas
+    from paintfe_tpu.scripting.api import CanvasOpRequest
+    from paintfe_tpu.scripting.engine import apply_canvas_ops
+
+    for kind in ("flip_h", "flip_v", "rot180"):
+        c = Canvas.new(16, 16, background=(1, 2, 3, 255))
+        sel = np.zeros((16, 16), np.uint8)
+        sel[2:6, 2:6] = 255
+        c.selection = sel.copy()
+        apply_canvas_ops(c, [CanvasOpRequest(kind=kind)], skip_layer=0)
+        assert c.selection is not None, kind
+    # dims change -> stale dense mask must go
+    c = Canvas.new(16, 8, background=(1, 2, 3, 255))
+    c.selection = np.zeros((8, 16), np.uint8)
+    apply_canvas_ops(c, [CanvasOpRequest(kind="rot90cw")], skip_layer=0)
+    assert c.selection is None
