@@ -22,82 +22,135 @@ from paintfe_tpu.io import codecs
 from paintfe_tpu.parallel.pipeline import NotVectorizable, run_batch, trace_script
 
 
+FLUSH_AT = 64  # compute a shape bucket once this many images accumulate
+
+
 def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
                       script_source: Optional[str]) -> int:
     from paintfe_tpu.cli import build_output_path, run_one
 
     ops = []
+    per_bucket_trace = False
     if script_source:
         try:
             ops = trace_script(script_source)
         except NotVectorizable as e:
-            if args.verbose:
-                print(f"note: script uses per-pixel API ({e}); running per-image")
-            return _fallback_serial(inputs, args, fmt, script_source)
+            if str(e) in ("width", "height"):
+                # dimension-derived op params: the chain is still a pure op
+                # chain, but must be re-traced per shape bucket so width()/
+                # height() report the REAL dims (a 1x1 dummy trace would
+                # silently bake wrong parameters)
+                per_bucket_trace = True
+            else:
+                if args.verbose:
+                    print(f"note: script uses per-pixel API ({e}); "
+                          "running per-image")
+                return _fallback_serial(inputs, args, fmt, script_source)
         except Exception as e:
             print(f"  error: script error: {e}", file=sys.stderr)
             return 1
 
-    any_failure = False
+    state = {"failed": False, "done": 0}
     t0 = time.time()
 
-    # Load everything (host IO) with the decode-ahead thread pool,
-    # bucketing by shape for static-shape batches.
-    from paintfe_tpu.parallel.prefetch import prefetch_images
-
-    buckets = defaultdict(list)  # (h, w) -> [(index, image)]
-    loaded = {}
-    for idx, (path, img) in enumerate(prefetch_images(inputs)):
-        if isinstance(img, Exception):
-            print(f"  error: {img}", file=sys.stderr)
-            any_failure = True
-            continue
-        loaded[idx] = img
-        buckets[img.shape[:2]].append(idx)
-
-    processed = {}
-    for shape, idxs in buckets.items():
-        batch = np.stack([loaded[i] for i in idxs])
-        out = run_batch(batch, ops)
-        for k, i in enumerate(idxs):
-            processed[i] = out[k]
-
-    for idx, path in enumerate(inputs):
-        if idx not in processed:
-            continue
-        output_path = build_output_path(path, args.output, args.output_dir, fmt)
+    def save_one(idx, img):
+        output_path = build_output_path(inputs[idx], args.output,
+                                        args.output_dir, fmt)
         try:
             codecs.save_image(
-                processed[idx], output_path, fmt, quality=args.quality,
+                img, output_path, fmt, quality=args.quality,
                 webp_lossless=not args.webp_lossy,
                 tiff_compression=args.tiff_compression,
             )
+            state["done"] += 1
             if args.verbose:
                 print(f"  -> {output_path}")
         except codecs.CodecError as e:
             print(f"  error: {e}", file=sys.stderr)
-            any_failure = True
+            state["failed"] = True
+
+    def flush_bucket(shape, idxs, loaded):
+        """Compute one static-shape batch.  A bucket failure keeps going:
+        its images fall back to the per-image path (which reports each
+        error itself) instead of aborting every other bucket — and in
+        multi-host mode an exception here would strand the peers in the
+        exit-agreement collective."""
+        try:
+            bops = ops
+            if per_bucket_trace:
+                bops = trace_script(script_source,
+                                    dims=(shape[1], shape[0]))
+            batch = np.stack([loaded.pop(i) for i in idxs])
+            out = run_batch(batch, bops)
+        except NotVectorizable:
+            for i in idxs:
+                loaded.pop(i, None)
+                if not _run_one_safe(inputs[i], args, fmt, script_source):
+                    state["failed"] = True
+                else:
+                    state["done"] += 1
+            return
+        except Exception as e:
+            print(f"  error: batch of {len(idxs)} {shape[1]}x{shape[0]} "
+                  f"images failed ({e}); retrying per-image",
+                  file=sys.stderr)
+            for i in idxs:
+                loaded.pop(i, None)
+                if not _run_one_safe(inputs[i], args, fmt, script_source):
+                    state["failed"] = True
+                else:
+                    state["done"] += 1
+            return
+        for k, i in enumerate(idxs):
+            save_one(i, out[k])
+
+    # Stream decode -> bucket -> flush: the decode-ahead window stays
+    # bounded (a full-glob drain would hold every decoded image in host
+    # memory before the first compute).
+    from paintfe_tpu.parallel.prefetch import prefetch_images
+
+    buckets = defaultdict(list)  # (h, w) -> [input index]
+    loaded = {}
+    for idx, (path, img) in enumerate(prefetch_images(inputs)):
+        if isinstance(img, Exception):
+            print(f"  error: {img}", file=sys.stderr)
+            state["failed"] = True
+            continue
+        loaded[idx] = img
+        shape = img.shape[:2]
+        buckets[shape].append(idx)
+        if len(buckets[shape]) >= FLUSH_AT:
+            flush_bucket(shape, buckets.pop(shape), loaded)
+    for shape, idxs in buckets.items():
+        flush_bucket(shape, idxs, loaded)
 
     if args.verbose:
-        n = len(processed)
         dt = time.time() - t0
+        n = state["done"]
         print(f"sharded batch: {n} images in {dt:.2f}s ({n / max(dt, 1e-9):.1f} img/s)")
-    return 1 if any_failure else 0
+    return 1 if state["failed"] else 0
+
+
+def _run_one_safe(input_path, args, fmt, script_source) -> bool:
+    from paintfe_tpu.cli import build_output_path, run_one
+
+    output_path = build_output_path(input_path, args.output, args.output_dir,
+                                    fmt)
+    try:
+        run_one(
+            input_path, output_path, script_source, fmt, args.quality,
+            not args.webp_lossy, args.tiff_compression, args.flatten,
+            args.verbose,
+        )
+        return True
+    except Exception as e:
+        print(f"  error: {e}", file=sys.stderr)
+        return False
 
 
 def _fallback_serial(inputs, args, fmt, script_source) -> int:
-    from paintfe_tpu.cli import build_output_path, run_one
-
     any_failure = False
-    for i, input_path in enumerate(inputs):
-        output_path = build_output_path(input_path, args.output, args.output_dir, fmt)
-        try:
-            run_one(
-                input_path, output_path, script_source, fmt, args.quality,
-                not args.webp_lossy, args.tiff_compression, args.flatten,
-                args.verbose,
-            )
-        except Exception as e:
-            print(f"  error: {e}", file=sys.stderr)
+    for input_path in inputs:
+        if not _run_one_safe(input_path, args, fmt, script_source):
             any_failure = True
     return 1 if any_failure else 0

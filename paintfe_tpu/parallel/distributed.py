@@ -48,7 +48,16 @@ def maybe_initialize(verbose: bool = False) -> bool:
     coord = os.environ.get("PAINTFE_COORDINATOR")
     nproc = os.environ.get("PAINTFE_NUM_PROCESSES")
     pid = os.environ.get("PAINTFE_PROCESS_ID")
-    if not (coord and nproc and pid):
+    if (coord or nproc or pid) and not (coord and nproc and pid):
+        # Partial wiring is a launcher bug: silently degrading to N
+        # independent single-process runs makes every host process the
+        # full input list and race on the same output files.
+        missing = [n for n, v in (("PAINTFE_COORDINATOR", coord),
+                                  ("PAINTFE_NUM_PROCESSES", nproc),
+                                  ("PAINTFE_PROCESS_ID", pid)) if not v]
+        raise RuntimeError(
+            "partial multi-process wiring: missing " + ", ".join(missing))
+    if not coord:
         # no explicit wiring: multi-process only when the environment
         # (TPU pod / SLURM auto-init) already set one up.  NB this may
         # initialize the backend — fine, because without the env vars we

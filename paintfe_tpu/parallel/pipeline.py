@@ -115,11 +115,63 @@ def _levels_device(img, black, white, gamma):
     return jnp.concatenate([out.astype(jnp.uint8), img[..., 3:4]], axis=-1)
 
 
-def trace_script(source: str) -> List[PipelineOp]:
+# Per-op argument conversion matching the host API's validators EXACTLY
+# (scripting/api.py register("apply_*")): the traced batch path must accept
+# and reject the same arguments as the per-image interpreter — int() where
+# the API uses _as_int would silently truncate 2.5 where the oracle errors.
+# tests/test_pipeline_equivalence.py's coverage guard keeps this table in
+# lockstep with _OP_TABLE.
+def _build_arg_specs():
+    from paintfe_tpu.scripting.api import _as_float, _as_int
+
+    def int_min1(v):
+        return max(_as_int(v), 1)
+
+    def int_min1_f(v):
+        return float(max(_as_int(v), 1))
+
+    def int_f(v):
+        return float(_as_int(v))
+
+    def passthrough(v):
+        return v
+
+    return {
+        "apply_blur": (_as_float,),
+        "apply_box_blur": (int_f,),
+        "apply_motion_blur": (_as_float, _as_float),
+        "apply_sharpen": (_as_float,),
+        "apply_reduce_noise": (_as_float,),
+        "apply_median": (int_min1,),
+        "apply_sepia": (_as_float,),
+        "apply_brightness_contrast": (_as_float, _as_float),
+        "apply_exposure": (_as_float,),
+        "apply_levels": (_as_float, _as_float, _as_float),
+        "apply_noise": (_as_float, passthrough),
+        "apply_pixelate": (int_min1,),
+        "apply_crystallize": (int_min1_f,),
+        "apply_bulge": (_as_float,),
+        "apply_twist": (_as_float,),
+        "apply_glow": (_as_float, _as_float),
+        "apply_vignette": (_as_float, _as_float),
+        "apply_halftone": (_as_float,),
+        "apply_ink": (_as_float, _as_float),
+        "apply_oil_painting": (int_min1,),
+    }
+
+
+def trace_script(source: str, dims: Optional[Tuple[int, int]] = None
+                 ) -> List[PipelineOp]:
     """Record a script's op chain by running it against a recording context.
 
     Only works for scripts that are pure op chains (no pixel reads, no
     selections, no RNG-dependent flow).  Raises NotVectorizable otherwise.
+
+    `dims` = (width, height) reported by the script's width()/height()
+    calls.  When None, those calls raise NotVectorizable("width"/"height"):
+    the trace runs against a 1x1 dummy, so dimension-derived op parameters
+    would be silently wrong — callers re-trace per shape bucket with the
+    bucket's real dims instead (run_sharded_batch does).
     """
     from paintfe_tpu.scripting.api import ScriptContext, build_host_fns
     from paintfe_tpu.scripting.interp import Interpreter
@@ -128,18 +180,42 @@ def trace_script(source: str) -> List[PipelineOp]:
     ctx = ScriptContext(np.zeros((1, 1, 4), np.uint8), 1, 1, None, rng_seed=0)
     interp_ref = {}
     fns = build_host_fns(ctx, interp_ref)
+    arg_specs = _build_arg_specs()
 
     recorded = {}
     for name in fns:
         if name in _OP_TABLE:
             def make(name=name):
+                spec = arg_specs.get(name)
+
                 def rec(*args):
-                    ops.append(PipelineOp(name, tuple(float(a) if isinstance(a, (int, float)) and not isinstance(a, bool) else a for a in args)))
+                    if spec is not None:
+                        if len(args) > len(spec):
+                            from paintfe_tpu.scripting.interp import (
+                                RhaiRuntimeError)
+
+                            raise RhaiRuntimeError(
+                                f"function not found: {name} "
+                                f"({len(args)} args)")
+                        args = tuple(conv(a) for conv, a in zip(spec, args))
+                    else:
+                        args = tuple(
+                            float(a) if isinstance(a, (int, float))
+                            and not isinstance(a, bool) else a for a in args)
+                    ops.append(PipelineOp(name, args))
                     from paintfe_tpu.scripting.interp import UNIT
                     return UNIT
                 return rec
             recorded[name] = make()
-        elif name in ("width", "height", "print", "print_line", "progress", "sleep", "PI",
+        elif name in ("width", "height"):
+            def make_dim(name=name):
+                def dim():
+                    if dims is None:
+                        raise NotVectorizable(name)
+                    return dims[0] if name == "width" else dims[1]
+                return dim
+            recorded[name] = make_dim()
+        elif name in ("print", "print_line", "progress", "sleep", "PI",
                       "clamp", "clamp_f", "lerp", "distance", "abs", "min", "max",
                       "floor", "ceil", "round", "sqrt", "pow", "sin", "cos", "tan",
                       "atan2", "rgb_to_hsl", "hsl_to_rgb"):

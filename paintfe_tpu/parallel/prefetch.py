@@ -35,10 +35,8 @@ def prefetch_images(paths: Iterable, load: Optional[Callable] = None,
 
     with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as pool:
         pending = {}
-        it = iter(range(len(paths)))
-        submitted = 0
-        for submitted in range(min(depth, len(paths))):
-            pending[submitted] = pool.submit(safe_load, paths[submitted])
+        for i in range(min(depth, len(paths))):
+            pending[i] = pool.submit(safe_load, paths[i])
         submitted = min(depth, len(paths))
         for i in range(len(paths)):
             result = pending.pop(i).result()
@@ -57,6 +55,7 @@ class DoubleBuffer:
         self._produce = produce
         self._n = n
         self._next = None
+        self._next_exc: Optional[BaseException] = None
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
 
@@ -64,13 +63,22 @@ class DoubleBuffer:
         for i in range(self._n):
             if self._thread is not None:
                 self._thread.join()
+                if self._next_exc is not None:
+                    # a produce() failure on the staging thread must reach
+                    # the consumer, not silently yield the stale previous
+                    # slot
+                    raise self._next_exc
                 item = self._next
             else:
                 item = self._produce(i)
             if i + 1 < self._n:
                 def stage(j=i + 1):
                     with self._lock:
-                        self._next = self._produce(j)
+                        try:
+                            self._next = self._produce(j)
+                            self._next_exc = None
+                        except BaseException as e:  # re-raised on the consumer
+                            self._next_exc = e
 
                 self._thread = threading.Thread(target=stage, daemon=True)
                 self._thread.start()

@@ -51,8 +51,16 @@ def process_spatial(img, fn: Callable, mesh: Optional[Mesh] = None):
         img = jnp.concatenate([img, jnp.repeat(img[-1:], pad, axis=0)], axis=0)
     sharding = rows_sharding(mesh)
     sharded = jax.device_put(img, sharding)
-    out = jax.jit(fn, out_shardings=sharding)(sharded)
+    out = _process_spatial_fn(fn, sharding)(sharded)
     return out[:h] if pad else out
+
+
+@functools.lru_cache(maxsize=64)
+def _process_spatial_fn(fn: Callable, sharding):
+    """Cached jit wrapper per (fn, sharding) — a fresh jax.jit per call is
+    a jit cache MISS every call (the CLAUDE.md hard-won rule; ~3 s/frame
+    measured on this rig before _fused_chain_spatial_fn was cached)."""
+    return jax.jit(fn, out_shardings=sharding)
 
 
 def composite_spatial(layers, modes, opacities, mesh: Optional[Mesh] = None):

@@ -74,3 +74,101 @@ def test_traced_matches_interpreted(case):
     assert np.array_equal(traced, interpreted), (
         f"{case}: traced chain diverged from the host interpreter "
         f"(max delta {np.abs(traced.astype(int) - interpreted.astype(int)).max()})")
+
+
+def test_op_table_covered_by_arg_specs():
+    """Every parameterized op in _OP_TABLE has an arg-conversion spec that
+    mirrors the host API's validators (int-vs-float divergence guard)."""
+    specs = pipeline._build_arg_specs()
+    no_args = {"apply_invert", "apply_desaturate", "flip_horizontal",
+               "flip_vertical", "rotate_180"}
+    assert set(specs) == set(pipeline._OP_TABLE) - no_args
+
+
+def test_traced_arg_validation_matches_interpreter():
+    """apply_median(2.5) errors in the per-image path (_as_int); the traced
+    path must reject it identically, not truncate to 2 (r4 review)."""
+    from paintfe_tpu.scripting import ScriptError
+    from paintfe_tpu.scripting.interp import RhaiRuntimeError
+
+    img = np.asarray(fixtures.test_gradient(16, 16))
+    for src in ("apply_median(2.5);", "apply_pixelate(1.5);",
+                "apply_box_blur(2.5);", "apply_oil_painting(2.2);",
+                "apply_crystallize(3.5);"):
+        with pytest.raises(ScriptError):
+            execute_script_sync(src, img.copy(), 16, 16, None)
+        with pytest.raises(RhaiRuntimeError):
+            pipeline.trace_script(src)
+
+
+def test_dimension_derived_params_trace_per_bucket():
+    """width()/height() must not silently read the 1x1 trace dummy: the
+    dimension-blind trace bails, and a dims-aware trace records the REAL
+    derived parameter (r4 review)."""
+    src = "apply_pixelate(width() / 8);"
+    with pytest.raises(pipeline.NotVectorizable):
+        pipeline.trace_script(src)
+    ops = pipeline.trace_script(src, dims=(64, 48))
+    assert ops == [pipeline.PipelineOp("apply_pixelate", (8,))]
+
+    # and the per-bucket traced output equals the interpreter's
+    img = np.asarray(fixtures.test_gradient(64, 48))  # (w, h) -> [48, 64, 4]
+    interpreted, w, h, _c, _o = execute_script_sync(src, img.copy(), 64, 48, None)
+    traced = np.asarray(pipeline.compile_pipeline(ops)(img))
+    assert np.array_equal(traced, np.asarray(interpreted).reshape(h, w, 4))
+
+
+def test_sharded_batch_keeps_going_on_bucket_failure(tmp_path, monkeypatch):
+    """A failing bucket must fall back per-image instead of aborting the
+    whole batch (keep-going semantics; in multi-host mode an abort would
+    strand the peers in the exit-agreement collective)."""
+    import types
+
+    from PIL import Image
+
+    from paintfe_tpu.parallel import batch as batch_mod
+
+    for i in range(3):
+        a = np.full((8, 8, 4), 10 * (i + 1), np.uint8)
+        Image.fromarray(a, "RGBA").save(tmp_path / f"in{i}.png")
+    outdir = tmp_path / "out"
+    outdir.mkdir()
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic device failure")
+
+    monkeypatch.setattr(batch_mod, "run_batch", boom)
+    args = types.SimpleNamespace(
+        output=None, output_dir=str(outdir), quality=90, webp_lossy=False,
+        tiff_compression="none", flatten=False, verbose=False)
+    inputs = sorted(tmp_path.glob("in*.png"))
+    rc = batch_mod.run_sharded_batch(inputs, args, "png", "apply_invert();")
+    assert rc == 0  # per-image fallback succeeded for every file
+    for i in range(3):
+        out = np.asarray(Image.open(outdir / f"in{i}.png"))
+        assert (out[..., 0] == 255 - 10 * (i + 1)).all()
+
+
+def test_double_buffer_propagates_producer_errors():
+    from paintfe_tpu.parallel.prefetch import DoubleBuffer
+
+    def produce(i):
+        if i == 1:
+            raise RuntimeError("decode failed")
+        return i
+
+    items = []
+    with pytest.raises(RuntimeError, match="decode failed"):
+        for item in DoubleBuffer(produce, 3):
+            items.append(item)
+    assert items == [0]  # slot 0 delivered; slot 1's failure surfaced
+
+
+def test_partial_distributed_wiring_is_hard_error(monkeypatch):
+    from paintfe_tpu.parallel import distributed
+
+    monkeypatch.setenv("PAINTFE_COORDINATOR", "127.0.0.1:9999")
+    monkeypatch.delenv("PAINTFE_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("PAINTFE_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="partial multi-process wiring"):
+        distributed.maybe_initialize()
