@@ -53,32 +53,32 @@ def rgb_to_hsl(r, g, b, xp=jnp):
     return h, s, l
 
 
-def _hue_to_rgb(p, q, t):
-    t = jnp.where(t < 0.0, t + 1.0, t)
-    t = jnp.where(t > 1.0, t - 1.0, t)
-    return jnp.where(
+def _hue_to_rgb(p, q, t, xp=jnp):
+    t = xp.where(t < 0.0, t + 1.0, t)
+    t = xp.where(t > 1.0, t - 1.0, t)
+    return xp.where(
         t < 1.0 / 6.0,
         p + (q - p) * 6.0 * t,
-        jnp.where(
+        xp.where(
             t < 1.0 / 2.0,
             q,
-            jnp.where(t < 2.0 / 3.0, p + (q - p) * (2.0 / 3.0 - t) * 6.0, p),
+            xp.where(t < 2.0 / 3.0, p + (q - p) * (2.0 / 3.0 - t) * 6.0, p),
         ),
     )
 
 
-def hsl_to_rgb(h, s, l):
-    """HSL in [0,1] -> (r, g, b) in [0,1]."""
-    q = jnp.where(l < 0.5, l * (1.0 + s), l + s - l * s)
+def hsl_to_rgb(h, s, l, xp=jnp):
+    """HSL in [0,1] -> (r, g, b) in [0,1].  `xp` as in rgb_to_hsl."""
+    q = xp.where(l < 0.5, l * (1.0 + s), l + s - l * s)
     p = 2.0 * l - q
-    r = _hue_to_rgb(p, q, h + 1.0 / 3.0)
-    g = _hue_to_rgb(p, q, h)
-    b = _hue_to_rgb(p, q, h - 1.0 / 3.0)
-    gray = jnp.abs(s) < _EPS
+    r = _hue_to_rgb(p, q, h + 1.0 / 3.0, xp)
+    g = _hue_to_rgb(p, q, h, xp)
+    b = _hue_to_rgb(p, q, h - 1.0 / 3.0, xp)
+    gray = xp.abs(s) < _EPS
     return (
-        jnp.where(gray, l, r),
-        jnp.where(gray, l, g),
-        jnp.where(gray, l, b),
+        xp.where(gray, l, r),
+        xp.where(gray, l, g),
+        xp.where(gray, l, b),
     )
 
 

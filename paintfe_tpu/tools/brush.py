@@ -36,44 +36,18 @@ def _smoothstep01(t):
 
 
 def _rgb_to_hsl(r, g, b):
-    """f32 HSL matching adjustments.rs:944-988 (numpy, arrays or scalars)."""
-    mx = np.maximum(np.maximum(r, g), b)
-    mn = np.minimum(np.minimum(r, g), b)
-    l = (mx + mn) / f32(2.0)
-    d = mx - mn
-    gray = np.abs(d) < 1e-6
-    safe_d = np.where(gray, f32(1.0), d)
-    s = np.where(
-        gray, f32(0.0),
-        np.where(l > 0.5, d / np.where(gray, 1, f32(2.0) - mx - mn),
-                 d / np.where(gray, 1, mx + mn)),
-    )
-    hr_raw = (g - b) / safe_d
-    hr = np.where(hr_raw < 0.0, hr_raw + f32(6.0), hr_raw) / f32(6.0)
-    hg = ((b - r) / safe_d + f32(2.0)) / f32(6.0)
-    hb = ((r - g) / safe_d + f32(4.0)) / f32(6.0)
-    h = np.where(np.abs(mx - r) < 1e-6, hr, np.where(np.abs(mx - g) < 1e-6, hg, hb))
-    return np.where(gray, f32(0.0), h), s, l
+    """Shared host-numpy HSL (core/colorspace.py is the single
+    parity-critical implementation — its epsilon branches and R->G->B
+    tie-break order must not fork)."""
+    from paintfe_tpu.core.colorspace import rgb_to_hsl
 
-
-def _hue_to_rgb(p, q, t):
-    t = np.where(t < 0.0, t + f32(1.0), t)
-    t = np.where(t > 1.0, t - f32(1.0), t)
-    return np.where(
-        t < 1.0 / 6.0, p + (q - p) * f32(6.0) * t,
-        np.where(t < 0.5, q,
-                 np.where(t < 2.0 / 3.0, p + (q - p) * (f32(2.0) / f32(3.0) - t) * f32(6.0), p)),
-    )
+    return rgb_to_hsl(r, g, b, xp=np)
 
 
 def _hsl_to_rgb(h, s, l):
-    q = np.where(l < 0.5, l * (f32(1.0) + s), l + s - l * s)
-    p = f32(2.0) * l - q
-    gray = np.abs(s) < 1e-6
-    r = np.where(gray, l, _hue_to_rgb(p, q, h + f32(1.0) / f32(3.0)))
-    g = np.where(gray, l, _hue_to_rgb(p, q, h))
-    b = np.where(gray, l, _hue_to_rgb(p, q, h - f32(1.0) / f32(3.0)))
-    return r, g, b
+    from paintfe_tpu.core.colorspace import hsl_to_rgb
+
+    return hsl_to_rgb(h, s, l, xp=np)
 
 
 @dataclasses.dataclass
@@ -84,6 +58,8 @@ class BrushProperties:
     flow: float = 1.0
     spacing: float = 0.25
     scatter: float = 0.0
+    hue_jitter: float = 0.0
+    brightness_jitter: float = 0.0
     brush_mode: BrushMode = BrushMode.NORMAL
 
 
@@ -98,6 +74,7 @@ class Brush:
         )
         self._lut = np.zeros(256, np.uint8)
         self._lut_params = None
+        self.stamp_counter = 0  # u32, wraps; seeds scatter/jitter hashes
         self.rebuild_brush_lut()
 
     # -- LUT -------------------------------------------------------------
@@ -144,8 +121,22 @@ class Brush:
                     secondary=(1.0, 1.0, 1.0, 1.0), mask: Optional[np.ndarray] = None):
         """One stamp at `pos`, mutating `img` (u8 [H, W, 4]) in place."""
         self.rebuild_brush_lut()
+        # per-stamp counter increment (draw_circle_and_get_bounds :872)
+        self.stamp_counter = (self.stamp_counter + 1) & 0xFFFFFFFF
         h, w = img.shape[:2]
         cx, cy = f32(pos[0]), f32(pos[1])
+        if self.properties.scatter > 0.01:
+            # scatter each stamp by up to scatter*diameter, hash-seeded
+            # (brush_render.rs:179-193); all-f32 offset math
+            from paintfe_tpu.tools.brush_tips import hash_unit
+
+            diam = f32(self.properties.size)
+            sc = f32(self.properties.scatter)
+            h1 = hash_unit(float(cx), float(cy), self.stamp_counter)
+            h2 = hash_unit(float(cy), float(cx),
+                           (self.stamp_counter + 99991) & 0xFFFFFFFF)
+            cx = f32(cx + (h1 * f32(2.0) - f32(1.0)) * sc * diam)
+            cy = f32(cy + (h2 * f32(2.0) - f32(1.0)) * sc * diam)
         radius = f32(self.properties.size / 2.0)
         radius_sq = radius * radius
         if radius_sq < 0.001:
@@ -168,6 +159,17 @@ class Brush:
         src_r8 = np.uint8(src_r * 255.0)
         src_g8 = np.uint8(src_g * 255.0)
         src_b8 = np.uint8(src_b * 255.0)
+        if (self.properties.hue_jitter > 0.01
+                or self.properties.brightness_jitter > 0.01):
+            # per-stamp HSL color jitter (brush_render.rs:226-256); hashes
+            # use the NOMINAL position (not the scattered one) and the
+            # jitter starts from the f32 color, not the quantized u8
+            from paintfe_tpu.tools.brush_tips import jitter_color_unit
+
+            src_r8, src_g8, src_b8 = (np.uint8(v) for v in jitter_color_unit(
+                (src_r, src_g, src_b),
+                self.properties.hue_jitter, self.properties.brightness_jitter,
+                (float(pos[0]), float(pos[1])), self.stamp_counter))
         flow = f32(self.properties.flow)
 
         xs = np.arange(min_x, max_x + 1, dtype=f32) - cx

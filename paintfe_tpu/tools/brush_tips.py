@@ -45,6 +45,12 @@ class BrushTipLibrary:
         mask = np.zeros((canonical, canonical), np.uint8)
         mask[:gh, :gw] = gray  # top-left pad to square (brushes.rs:1346-1358)
         tip = BrushTipData(name, category, mask, canonical)
+        old = self.tips.get(name)
+        if old is not None and old.category != category:
+            # re-registering under a new category must not leave the name
+            # dangling in the old category's listing
+            if name in self.categories.get(old.category, []):
+                self.categories[old.category].remove(name)
         self.tips[name] = tip
         self.categories.setdefault(category, [])
         if name not in self.categories[category]:
@@ -127,17 +133,37 @@ def rebuild_tip_mask(tip: BrushTipData, size: float, hardness: float) -> np.ndar
     return mask
 
 
+def _sat_u32(v: float) -> int:
+    """Rust `f32 as u32` is a SATURATING cast: negatives clamp to 0,
+    overflow clamps to u32::MAX, NaN becomes 0 (off-canvas stamp centers
+    make negative coordinates reachable here)."""
+    f = float(np.trunc(np.float32(v)))
+    if f != f:  # NaN
+        return 0
+    return int(min(max(f, 0.0), 4294967295.0))
+
+
 def stamp_hash(x: float, y: float, counter: int) -> int:
     """brush_render.rs:846-856 — wrapping position hash for jitter/scatter."""
     with np.errstate(invalid="ignore", over="ignore"):  # wrapping on purpose
-        ix = U32(np.int64(np.trunc(np.float32(x) * np.float32(100.0))) & 0xFFFFFFFF)
-        iy = U32(np.int64(np.trunc(np.float32(y) * np.float32(100.0))) & 0xFFFFFFFF)
+        ix = U32(_sat_u32(np.float32(x) * np.float32(100.0)))
+        iy = U32(_sat_u32(np.float32(y) * np.float32(100.0)))
         h = (ix * U32(374761393) + iy * U32(668265263)
              + U32(counter & 0xFFFFFFFF) * U32(1013904223))
         h ^= h >> U32(13)
         h *= U32(1274126177)
         h ^= h >> U32(16)
     return int(h)
+
+
+# `h as f32 / (u32::MAX as f32)`: u32::MAX rounds UP to 4294967296.0 in
+# f32, and the hash itself rounds to f32 before the divide — both matter
+# for bit-stable parity of scatter offsets and jitter amounts.
+_U32_MAX_F32 = np.float32(4294967296.0)
+
+
+def hash_unit(x: float, y: float, counter: int) -> np.float32:
+    return np.float32(np.float32(stamp_hash(x, y, counter)) / _U32_MAX_F32)
 
 
 def draw_image_tip(target: np.ndarray, pos, mask: np.ndarray, color,
@@ -155,11 +181,12 @@ def draw_image_tip(target: np.ndarray, pos, mask: np.ndarray, color,
         return
     cx, cy = float(pos[0]), float(pos[1])
     if scatter > 0.01:
-        diam = float(brush_size if brush_size is not None else mask_size)
-        h1 = stamp_hash(cx, cy, stamp_counter) / 0xFFFFFFFF
-        h2 = stamp_hash(cy, cx, (stamp_counter + 99991) & 0xFFFFFFFF) / 0xFFFFFFFF
-        cx += (h1 * 2.0 - 1.0) * scatter * diam
-        cy += (h2 * 2.0 - 1.0) * scatter * diam
+        diam = f32(brush_size if brush_size is not None else mask_size)
+        h1 = hash_unit(cx, cy, stamp_counter)
+        h2 = hash_unit(cy, cx, (stamp_counter + 99991) & 0xFFFFFFFF)
+        # all-f32 offset math, like the reference (bit-stable parity)
+        cx = float(f32(cx) + (h1 * f32(2.0) - f32(1.0)) * f32(scatter) * diam)
+        cy = float(f32(cy) + (h2 * f32(2.0) - f32(1.0)) * f32(scatter) * diam)
     half = mask_size / 2.0
 
     rotated = abs(rotation_deg) > 0.01
@@ -242,24 +269,42 @@ def draw_image_tip(target: np.ndarray, pos, mask: np.ndarray, color,
 
 def jitter_color(color, hue_jitter: float, brightness_jitter: float,
                  pos, stamp_counter: int):
-    """Per-stamp HSL jitter (brush_render.rs:602-636).  color: u8 (r,g,b)."""
-    from paintfe_tpu.core.colorspace import rgb_to_hsl, hsl_to_rgb
-
+    """Per-stamp HSL jitter from a u8 (r, g, b) color; prefer
+    jitter_color_unit with the ORIGINAL f32 color when available (the
+    reference jitters src_r/g/b in 0..1, not the quantized u8)."""
     if hue_jitter <= 0.01 and brightness_jitter <= 0.01:
         return tuple(int(c) for c in color[:3])
-    r, g, b = (f32(c) / f32(255.0) for c in color[:3])
-    h, s, l = rgb_to_hsl(r, g, b)
-    h, s, l = float(h), float(s), float(l)
+    return jitter_color_unit(
+        tuple(f32(c) / f32(255.0) for c in color[:3]),
+        hue_jitter, brightness_jitter, pos, stamp_counter)
+
+
+def jitter_color_unit(rgb_unit, hue_jitter: float, brightness_jitter: float,
+                      pos, stamp_counter: int):
+    """Per-stamp HSL jitter (brush_render.rs:602-636).  rgb_unit: f32 in
+    [0, 1] (the brush color before u8 quantization, like the Rust).
+    Host-numpy colorspace (xp=np): the jnp path would pay an eager device
+    round trip per stamp, and all jitter math stays f32 like the Rust."""
+    from paintfe_tpu.core.colorspace import hsl_to_rgb, rgb_to_hsl
+
+    r, g, b = (f32(c) for c in rgb_unit[:3])
+    h, s, l = rgb_to_hsl(np.asarray(r), np.asarray(g), np.asarray(b), xp=np)
+    h, s, l = f32(h), f32(s), f32(l)
     if hue_jitter > 0.01:
-        hh = stamp_hash(pos[0] + 0.1, pos[1] + 0.2, (stamp_counter + 777) & 0xFFFFFFFF) / 0xFFFFFFFF
-        h = np.float32(h + (hh * 2.0 - 1.0) * hue_jitter * 0.5)
-        h = float(h - np.trunc(h))  # Rust fract()
+        hh = hash_unit(pos[0] + 0.1, pos[1] + 0.2,
+                       (stamp_counter + 777) & 0xFFFFFFFF)
+        h = f32(h + (hh * f32(2.0) - f32(1.0)) * f32(hue_jitter) * f32(0.5))
+        h = f32(h - np.trunc(h))  # Rust fract()
         if h < 0.0:
-            h += 1.0
+            h = f32(h + f32(1.0))
     if brightness_jitter > 0.01:
-        bh = stamp_hash(pos[0] + 0.3, pos[1] + 0.4, (stamp_counter + 555) & 0xFFFFFFFF) / 0xFFFFFFFF
-        l = float(np.clip(l + (bh * 2.0 - 1.0) * brightness_jitter * 0.5, 0.0, 1.0))
-    nr, ng, nb = hsl_to_rgb(np.float32(h), np.float32(s), np.float32(l))
+        bh = hash_unit(pos[0] + 0.3, pos[1] + 0.4,
+                       (stamp_counter + 555) & 0xFFFFFFFF)
+        l = f32(np.clip(
+            l + (bh * f32(2.0) - f32(1.0)) * f32(brightness_jitter) * f32(0.5),
+            0.0, 1.0))
+    nr, ng, nb = hsl_to_rgb(np.asarray(h), np.asarray(s), np.asarray(l),
+                            xp=np)
     return (int(f32(nr) * 255.0), int(f32(ng) * 255.0), int(f32(nb) * 255.0))
 
 
@@ -431,17 +476,30 @@ _STOCK_TIPS = {
 }
 
 
+def _title_case(s: str) -> str:
+    """build.rs title_case: split on '_'/'-', capitalize, join with space
+    ('dry_brush' -> 'Dry Brush')."""
+    return " ".join(w[:1].upper() + w[1:] for w in s.replace("-", "_").split("_") if w)
+
+
 def stock_library() -> BrushTipLibrary:
-    """The built-in tip registry: same names/categories as the reference's
-    embedded asset set (config/brushes.rs:1055-1066), procedural masks."""
+    """The built-in tip registry: the reference embeds
+    assets/brushes/<category>/<name>.png at build time with TITLE-CASED
+    display names and categories, both sorted (build.rs:74-115 — category
+    dirs sorted, files sorted within; 'dry_brush.png' registers as
+    'Dry Brush' in 'Artistic').  Masks are procedural originals; the
+    name/category/order contract is what presets and projects written by
+    the reference resolve against."""
     lib = BrushTipLibrary()
-    for category, tips in _STOCK_TIPS.items():
-        for name, gen in tips:
+    for category in sorted(_STOCK_TIPS):
+        for name, gen in sorted(_STOCK_TIPS[category]):
+            display = _title_case(name)
+            cat_display = _title_case(category)
             mask = np.clip(
                 _round_half_away(gen(_STOCK_SIZE) * 255.0), 0, 255
             ).astype(np.uint8)
-            tip = BrushTipData(name, category, mask, _STOCK_SIZE)
-            lib.tips[name] = tip
-            lib.categories.setdefault(category, [])
-            lib.categories[category].append(name)
+            tip = BrushTipData(display, cat_display, mask, _STOCK_SIZE)
+            lib.tips[display] = tip
+            lib.categories.setdefault(cat_display, [])
+            lib.categories[cat_display].append(display)
     return lib

@@ -22,6 +22,13 @@ f32 = np.float32
 TAU = f32(2.0 * np.pi)
 
 
+def _round_half_away(v) -> np.ndarray:
+    """Rust f32::round — half away from zero ((-0.5).round() == -1, where
+    floor(v + 0.5) would give 0)."""
+    return np.where(v >= 0.0, np.floor(v + f32(0.5)),
+                    np.ceil(v - f32(0.5))).astype(np.int64)
+
+
 def _bbox(cx, cy, radius, w, h):
     min_x = int(max(cx - radius, 0.0))
     max_x = min(int(cx + radius), w - 1)
@@ -50,9 +57,11 @@ def clone_stamp_circle(brush: Brush, preview: np.ndarray, source: np.ndarray,
     if selection is not None:
         ok &= selection[min_y:max_y + 1, min_x:max_x + 1] != 0
 
-    # source coords: round half away (Rust f32::round)
-    sx = np.floor(gx.astype(f32) + f32(offset[0]) + f32(0.5)).astype(np.int64)
-    sy = np.floor(gy.astype(f32) + f32(offset[1]) + f32(0.5)).astype(np.int64)
+    # source coords: round half AWAY from zero (Rust f32::round) — plain
+    # floor(x+0.5) rounds -0.5 to 0 where Rust gives -1, an off-by-one on
+    # negative source coordinates
+    sx = _round_half_away(gx.astype(f32) + f32(offset[0]))
+    sy = _round_half_away(gy.astype(f32) + f32(offset[1]))
     ok &= (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
     if not ok.any():
         return
@@ -111,8 +120,8 @@ def heal_circle(brush: Brush, preview: np.ndarray, source: np.ndarray, pos,
     for i in range(num_samples):
         angle = angle_off + f32(i / num_samples) * TAU
         for rr in (sample_radius * 0.75, sample_radius):
-            sx = np.floor(gx.astype(f32) + np.cos(angle) * f32(rr) + f32(0.5)).astype(np.int64)
-            sy = np.floor(gy.astype(f32) + np.sin(angle) * f32(rr) + f32(0.5)).astype(np.int64)
+            sx = _round_half_away(gx.astype(f32) + np.cos(angle) * f32(rr))
+            sy = _round_half_away(gy.astype(f32) + np.sin(angle) * f32(rr))
             valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
             sp = source[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1), 0:3].astype(f32)
             sum_rgb += np.where(valid[..., None], sp, 0.0)
@@ -143,10 +152,22 @@ def _dense_steps(start, end):
     ]
 
 
+def _line_points(start, end, w, h):
+    """The reference's stepping discipline (clone_heal.rs:101-132, 262-292):
+    a tap (< 0.1 px) stamps UNCONDITIONALLY (bbox clipping handles
+    off-canvas centers); line steps skip centers outside the canvas."""
+    pts = _dense_steps(start, end)
+    if len(pts) == 1:
+        return pts
+    return [p for p in pts
+            if 0.0 <= p[0] and int(p[0]) < w and 0.0 <= p[1] and int(p[1]) < h]
+
+
 def clone_stamp_line(brush: Brush, preview: np.ndarray, source: np.ndarray,
                      start, end, offset, selection=None):
     """Dense 1-px stepping along the stroke segment (clone_heal.rs:101-132)."""
-    for p in _dense_steps(start, end):
+    h, w = source.shape[:2]
+    for p in _line_points(start, end, w, h):
         clone_stamp_circle(brush, preview, source, p, offset, selection)
 
 
@@ -154,6 +175,5 @@ def heal_line(brush: Brush, preview: np.ndarray, source: np.ndarray,
               start, end, sample_radius: float, selection=None):
     """Dense stepping for the healing stroke (clone_heal.rs:262-292)."""
     h, w = source.shape[:2]
-    for p in _dense_steps(start, end):
-        if 0.0 <= p[0] and int(p[0]) < w and 0.0 <= p[1] and int(p[1]) < h:
-            heal_circle(brush, preview, source, p, sample_radius, selection)
+    for p in _line_points(start, end, w, h):
+        heal_circle(brush, preview, source, p, sample_radius, selection)

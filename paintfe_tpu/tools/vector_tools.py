@@ -175,12 +175,15 @@ def rasterize_bezier(preview, control_points, color, size, *,
         half_w = max(size * 1.5, 4.0)
         tip_adv = size + size / 2.0
 
-        def arrow(anchor, ctrl, forward):
+        def arrow(anchor, ctrl):
+            # Outward direction = AWAY from the curve's interior control
+            # point: d = -normalize(3*(ctrl - anchor)).  Matches both
+            # bezier_math.rs blocks — end: tip = P3 + t(1)*adv; start:
+            # tip = P0 - t(0)*adv (the apex trails BEHIND the endpoint,
+            # base toward the curve).
             tx, ty = 3.0 * (ctrl[0] - anchor[0]), 3.0 * (ctrl[1] - anchor[1])
             ln = max(np.hypot(tx, ty), 0.001)
-            dx, dy = tx / ln, ty / ln
-            if not forward:
-                dx, dy = -dx, -dy
+            dx, dy = -tx / ln, -ty / ln
             tip = (anchor[0] + dx * tip_adv, anchor[1] + dy * tip_adv)
             base = (tip[0] - dx * arrow_len, tip[1] - dy * arrow_len)
             pxn, pyn = -dy, dx
@@ -189,9 +192,9 @@ def rasterize_bezier(preview, control_points, color, size, *,
             draw_filled_triangle(preview, tip, w1, w2, color, selection)
 
         if arrow_side in ("end", "both"):
-            arrow(p3, p2, forward=False)  # tangent 3(P3-P2), tip past P3
+            arrow(p3, p2)  # tangent 3(P3-P2), apex past P3
         if arrow_side in ("start", "both"):
-            arrow(p0, p1, forward=True)   # tangent 3(P1-P0), tip behind P0
+            arrow(p0, p1)  # tangent 3(P1-P0), apex behind P0
 
 
 # ---------------------------------------------------------------------------

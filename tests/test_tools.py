@@ -291,13 +291,17 @@ def test_stock_tip_registry_matches_reference_inventory():
     from paintfe_tpu.tools.brush_tips import stock_library
 
     lib = stock_library()
+    # title-cased display names/categories, both sorted, exactly like
+    # build.rs registers the embedded PNGs ('dry_brush.png' -> 'Dry Brush')
     assert lib.categories == {
-        "basic": ["square", "diamond"],
-        "artistic": ["chalk", "charcoal", "dry_brush", "ink_splatter",
-                     "spray", "watercolor"],
-        "texture": ["blob", "hatching"],
-        "vegetation": ["fern", "grass", "maple"],
+        "Artistic": ["Chalk", "Charcoal", "Dry Brush", "Ink Splatter",
+                     "Spray", "Watercolor"],
+        "Basic": ["Diamond", "Square"],
+        "Texture": ["Blob", "Hatching"],
+        "Vegetation": ["Fern", "Grass", "Maple"],
     }
+    assert list(lib.categories) == ["Artistic", "Basic", "Texture",
+                                    "Vegetation"]
     # deterministic across constructions
     lib2 = stock_library()
     for name, tip in lib.tips.items():
@@ -317,3 +321,69 @@ def test_stock_tips_stamp():
         target = np.zeros((48, 48, 4), np.uint8)
         draw_image_tip(target, (24.0, 24.0), mask, (255, 0, 0, 255))
         assert (target[..., 3] > 0).any(), name
+
+
+def test_clone_line_skips_offcanvas_steps_but_taps_stamp():
+    """clone_stamp_line skips step centers outside the canvas; a tap
+    stamps unconditionally with bbox clipping (clone_heal.rs:101-132)."""
+    from paintfe_tpu.tools import clone_heal as ch
+    from paintfe_tpu.tools.brush import Brush
+
+    src = np.full((32, 32, 4), 200, np.uint8)
+    brush = Brush(size=10.0)
+    # line whose first steps are off-canvas: those stamps must be skipped
+    pv1 = np.zeros((32, 32, 4), np.uint8)
+    ch.clone_stamp_line(brush, pv1, src, (-6.0, 16.0), (-2.0, 16.0), (4.0, 0.0))
+    assert not (pv1[..., 3] > 0).any()
+    # a tap just off-canvas still stamps its in-canvas bbox
+    pv2 = np.zeros((32, 32, 4), np.uint8)
+    ch.heal_line(brush, pv2, src, (-0.5, 16.0), (-0.5, 16.0), 4.0)
+    assert (pv2[..., 3] > 0).any()
+
+
+def test_clone_source_rounds_half_away():
+    """Rust f32::round is half away from zero: a source coord of exactly
+    -0.5 rounds to -1 (out of bounds, skipped) — floor(x+0.5) would clone
+    from column 0."""
+    from paintfe_tpu.tools import clone_heal as ch
+    from paintfe_tpu.tools.brush import Brush
+
+    src = np.zeros((16, 16, 4), np.uint8)
+    src[:, 0] = [9, 9, 9, 255]  # column 0 is the telltale
+    brush = Brush(size=3.0, anti_aliased=False)
+    pv = np.zeros((16, 16, 4), np.uint8)
+    # dest x=8, offset -8.5 -> sx = round(-0.5) = -1: nothing cloned
+    ch.clone_stamp_circle(brush, pv, src, (8.0, 8.0), (-8.5, 0.0))
+    assert not (pv[..., 3] > 0).any()
+
+
+def test_brush_scatter_and_jitter_active():
+    """scatter/hue_jitter/brightness_jitter were silently dead on the
+    circle brush (r4 review): they must change the stroke, deterministically
+    via the stamp-counter hash."""
+    from paintfe_tpu.tools.brush import Brush
+
+    def stroke(**props):
+        b = Brush(size=8.0)
+        for k, v in props.items():
+            setattr(b.properties, k, v)
+        img = np.zeros((64, 64, 4), np.uint8)
+        b.draw_line(img, (10.0, 32.0), (54.0, 32.0),
+                    primary=(0.8, 0.3, 0.2, 1.0))
+        return img
+
+    base = stroke()
+    scattered = stroke(scatter=0.5)
+    assert (base != scattered).any(), "scatter is a dead property"
+    np.testing.assert_array_equal(scattered, stroke(scatter=0.5))  # seeded
+    jittered = stroke(hue_jitter=0.8)
+    assert (base != jittered).any(), "hue_jitter is a dead property"
+
+
+def test_stamp_hash_saturates_negative_coords():
+    """Rust `(x*100.0) as u32` saturates negatives to 0 — wrapping to
+    0xFFFFFF9C diverges every scatter offset for off-canvas stamps."""
+    from paintfe_tpu.tools.brush_tips import stamp_hash
+
+    assert stamp_hash(-1.0, 5.0, 3) == stamp_hash(-123.0, 5.0, 3) == \
+        stamp_hash(0.0, 5.0, 3)

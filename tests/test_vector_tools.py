@@ -129,3 +129,21 @@ def test_perspective_crop_skewed_quad():
     # degenerate quad is rejected
     c2 = Canvas.from_image(_src())
     assert not vt.apply_perspective_crop(c2, [(10, 10), (11, 10), (11, 11), (10, 11)])
+
+
+def test_bezier_start_arrowhead_points_backward():
+    """The start arrow's apex trails BEHIND P0 (bezier_math.rs:252-276:
+    tip = P0 - t(0)*tip_advance); it used to point forward into the curve."""
+    import paintfe_tpu.tools.vector_tools as vt
+
+    pts = ((20.0, 32.0), (30.0, 32.0), (40.0, 32.0), (50.0, 32.0))
+    plain = np.zeros((64, 64, 4), np.uint8)
+    vt.rasterize_bezier(plain, pts, (255, 0, 0, 255), 3.0, arrow_side="none")
+    start = np.zeros((64, 64, 4), np.uint8)
+    vt.rasterize_bezier(start, pts, (255, 0, 0, 255), 3.0, arrow_side="start")
+    # pixels appear BEFORE x=20 (behind the start point)...
+    assert (start[:, :19, 3] > 0).sum() > (plain[:, :19, 3] > 0).sum()
+    # ...apex at x = 20 - tip_adv = 15.5, base toward the curve at 24.5
+    assert (start[:, 14:17, 3] > 0).any()
+    # nothing extends further back than the apex
+    assert not (start[:, :14, 3] > 0).any()
