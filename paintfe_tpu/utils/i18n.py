@@ -45,7 +45,9 @@ def parse_translations(text: str) -> Dict[str, str]:
             continue
         if "=" in line:
             key, _, value = line.partition("=")
-            out[key.strip()] = value
+            # the reference trims BOTH sides (i18n.rs:250 val.trim()):
+            # 'menu.file = File' is the documented spaced form
+            out[key.strip()] = value.strip()
     return out
 
 

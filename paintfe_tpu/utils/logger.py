@@ -32,6 +32,12 @@ def init(path: Optional[pathlib.Path] = None):
     """Open (truncate) the session log."""
     global _file, _path
     with _lock:
+        if _file is not None:  # re-init must not leak the old handle
+            try:
+                _file.close()
+            except OSError:
+                pass
+            _file = None
         try:
             _path = pathlib.Path(path) if path else default_log_dir() / "paintfe.log"
             _path.parent.mkdir(parents=True, exist_ok=True)

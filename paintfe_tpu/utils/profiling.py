@@ -13,6 +13,15 @@ import time
 from typing import Dict, List, Optional, Tuple
 
 
+class _StageHandle:
+    """Set `.result` inside a stage block to have the timer block on it."""
+
+    __slots__ = ("result",)
+
+    def __init__(self):
+        self.result = None
+
+
 class StageTimer:
     """Accumulates named stage durations; blocks on device results so times
     reflect real device work, not async dispatch."""
@@ -22,14 +31,28 @@ class StageTimer:
 
     @contextlib.contextmanager
     def stage(self, name: str, block_on=None):
+        """Time one named stage.
+
+        To make jitted work count as device time (not async dispatch),
+        either pass `block_on` as a ZERO-ARG CALLABLE (evaluated at stage
+        exit, so it can reference values produced inside the block) or set
+        `handle.result` on the yielded handle:
+
+            with timer.stage("flatten") as h:
+                h.result = flatten(img)   # blocked on at stage exit
+        """
+        handle = _StageHandle()
         t0 = time.perf_counter()
         try:
-            yield
+            yield handle
         finally:
-            if block_on is not None:
+            target = handle.result
+            if target is None and block_on is not None:
+                target = block_on() if callable(block_on) else block_on
+            if target is not None:
                 import jax
 
-                jax.block_until_ready(block_on)
+                jax.block_until_ready(target)
             self.stages.append((name, time.perf_counter() - t0))
 
     def totals(self) -> Dict[str, float]:

@@ -34,21 +34,18 @@ import numpy as np
 def print_image(composite: np.ndarray, opener: Optional[Callable] = None) -> pathlib.Path:
     """Save the composite to a temp PNG and hand it to the OS default
     handler.  Returns the temp path; `opener` overrides the OS launcher
-    (tests pass a stub; headless boxes have no viewer)."""
-    from paintfe_tpu.io import codecs
+    (tests pass a stub; headless boxes have no viewer).
 
-    path = pathlib.Path(tempfile.gettempdir()) / "paintfe_print.png"
-    codecs.save_image(composite, path, "png")
+    Thin adapter over utils.printing.print_image — ONE implementation of
+    the print.rs contract (the old duplicate here diverged: no u8 cast, and
+    a bare 'start' argv that is a cmd.exe builtin, not an executable)."""
+    from paintfe_tpu.utils import printing
+
     if opener is not None:
+        path = printing.print_image(composite, open_viewer=False)
         opener(path)
-    else:  # pragma: no cover - environment-dependent
-        cmd = {"darwin": "open", "win32": "start"}.get(sys.platform, "xdg-open")
-        try:
-            subprocess.Popen([cmd, str(path)],
-                             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        except OSError as e:
-            raise RuntimeError(f"no OS opener available: {e}")
-    return path
+        return path
+    return printing.print_image(composite, open_viewer=True)
 
 
 # ---------------------------------------------------------------------------
@@ -70,20 +67,38 @@ class SingleInstance:
         self._stop = threading.Event()
 
     def try_acquire(self) -> bool:
-        """True if we became the primary instance."""
-        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        """True if we became the primary instance.
+
+        Claim order is BIND-first (atomic: two racing starters cannot both
+        win — the loser's bind raises EADDRINUSE); only after a bind
+        failure do we probe with connect to distinguish a live primary
+        from a stale socket file left by a crash."""
+        if self._bind():
+            return True
+        # bind failed: live primary, or a stale file from a crashed one?
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         try:
-            sock.connect(self.socket_path)
-            sock.close()
-            return False  # someone is already listening
+            probe.connect(self.socket_path)
+            probe.close()
+            return False  # someone is listening
         except (ConnectionRefusedError, FileNotFoundError):
             pass
-        try:
+        finally:
+            probe.close()
+        try:  # stale: remove and take one more atomic bind attempt
             os.unlink(self.socket_path)
         except FileNotFoundError:
             pass
-        self.server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        self.server.bind(self.socket_path)
+        return self._bind()
+
+    def _bind(self) -> bool:
+        server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            server.bind(self.socket_path)
+        except OSError:
+            server.close()
+            return False
+        self.server = server
         self.server.listen(4)
         self.server.settimeout(0.2)
         self._thread = threading.Thread(target=self._serve, daemon=True)
@@ -99,8 +114,18 @@ class SingleInstance:
             except OSError:
                 break
             with conn:
-                data = conn.recv(65536)
-                for line in data.decode(errors="replace").splitlines():
+                # drain the stream to EOF: one recv() truncates messages
+                # that arrive split or exceed the buffer
+                chunks = []
+                while True:
+                    try:
+                        data = conn.recv(65536)
+                    except OSError:
+                        break
+                    if not data:
+                        break
+                    chunks.append(data)
+                for line in b"".join(chunks).decode(errors="replace").splitlines():
                     if line.strip():
                         self.received.append(line.strip())
 

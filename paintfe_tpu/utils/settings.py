@@ -89,8 +89,21 @@ class AppSettings:
             return settings
         fields = {f.name: f for f in dataclasses.fields(cls)}
         for key, value in data.items():
-            if key in fields:
-                if key == "default_background" and isinstance(value, list):
-                    value = tuple(value)
+            if key not in fields:
+                continue
+            if key == "default_background" and isinstance(value, list):
+                value = tuple(value)
+            # type-validate against the default's type (the reference's
+            # serde load falls back to defaults for malformed fields; a
+            # hand-edited "5" string must not land in a numeric field and
+            # explode far from the load site)
+            default = getattr(settings, key)
+            if isinstance(default, bool):
+                ok = isinstance(value, bool)
+            elif isinstance(default, (int, float)):
+                ok = isinstance(value, (int, float)) and not isinstance(value, bool)
+            else:
+                ok = isinstance(value, type(default))
+            if ok:
                 setattr(settings, key, value)
         return settings

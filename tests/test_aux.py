@@ -70,12 +70,34 @@ def test_settings_load_missing_file(tmp_path):
 
 def test_autosave_roundtrip(tmp_path):
     c = Canvas.from_image(fixtures.test_gradient(32, 32))
-    saver = Autosaver(interval_minutes=0.0, directory=tmp_path)
-    path = saver.maybe_save(c, "proj")
+    saver = Autosaver(interval_minutes=5.0, directory=tmp_path)
+    path = saver.save_now(c, "proj")
     assert path is not None and path.exists()
     back = pfe.load_pfe(str(path))
     np.testing.assert_array_equal(back.layers[0].pixels, c.layers[0].pixels)
     assert saver.list_autosaves() == [path]
+
+
+def test_autosave_interval_semantics(tmp_path):
+    """interval 0 = DISABLED (lifecycle_async.rs interval_secs > 0 guard),
+    and the first maybe_save waits one full interval from construction."""
+    c = Canvas.from_image(fixtures.test_gradient(8, 8))
+    disabled = Autosaver(interval_minutes=0.0, directory=tmp_path)
+    assert disabled.maybe_save(c, "off") is None
+    fresh = Autosaver(interval_minutes=5.0, directory=tmp_path)
+    assert fresh.maybe_save(c, "fresh") is None  # not at t=0
+    fresh.last_save -= 301.0  # one interval elapsed
+    assert fresh.maybe_save(c, "fresh") is not None
+
+
+def test_autosave_sanitizes_project_name(tmp_path):
+    """Non-[alnum-_] chars map to '_' (lifecycle_async.rs:90-100):
+    'my/project' must not create or escape directories."""
+    c = Canvas.from_image(fixtures.test_gradient(8, 8))
+    saver = Autosaver(interval_minutes=5.0, directory=tmp_path)
+    path = saver.save_now(c, "my/evil..name!")
+    assert path.parent == tmp_path
+    assert path.name == "my_evil__name_.autosave.pfe"
 
 
 def test_stage_timer():
@@ -125,3 +147,49 @@ def test_i18n_all_locales_complete():
     i18n.set_language("fe")
     assert i18n.t("tool.magic_wand") == "The Enchanted Wand"
     i18n.set_language("en")
+
+
+def test_stage_timer_blocks_on_handle_result():
+    import jax.numpy as jnp
+
+    t = profiling.StageTimer()
+    with t.stage("compute") as h:
+        h.result = jnp.ones((8, 8)) * 2.0  # blocked on at stage exit
+    assert "compute" in t.totals()
+
+
+def test_settings_load_rejects_mistyped_fields(tmp_path):
+    """Hand-edited JSON with wrong types keeps the defaults (the reference's
+    serde load-with-defaults), instead of exploding far from the load site."""
+    import json as _json
+
+    from paintfe_tpu.utils.settings import AppSettings
+
+    p = tmp_path / "settings.json"
+    p.write_text(_json.dumps({
+        "autosave_interval_minutes": "5",     # string into numeric: rejected
+        "recent_files": "a.png",              # string into list: rejected
+        "theme": 3,                            # int into str: rejected
+    }))
+    s = AppSettings.load(p)
+    d = AppSettings()
+    assert s.autosave_interval_minutes == d.autosave_interval_minutes
+    assert s.recent_files == d.recent_files
+    assert s.theme == d.theme
+
+
+def test_i18n_value_trimmed():
+    from paintfe_tpu.utils.i18n import parse_translations
+
+    out = parse_translations("menu.file = File\nmenu.edit=Edit  \n")
+    assert out == {"menu.file": "File", "menu.edit": "Edit"}
+
+
+def test_logger_reinit_closes_previous(tmp_path):
+    from paintfe_tpu.utils import logger
+
+    logger.init(tmp_path / "a.log")
+    first = logger._file
+    logger.init(tmp_path / "b.log")
+    assert first.closed
+    logger.write_line("x")

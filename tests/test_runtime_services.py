@@ -104,3 +104,26 @@ def test_composite_device_matches_host():
     cache = DeviceLayerCache()
     dev = composite_device(c, cache)
     np.testing.assert_array_equal(np.asarray(dev), c.composite())
+
+
+def test_single_instance_large_forward(tmp_path):
+    """Forwarded path batches larger than one recv() buffer must arrive
+    complete (the server drains to EOF; one recv(65536) truncated them)."""
+    import time
+
+    from paintfe_tpu.utils.runtime_services import SingleInstance
+
+    sock = str(tmp_path / "one.sock")
+    primary = SingleInstance(sock)
+    assert primary.try_acquire()
+    try:
+        paths = [f"/very/long/path/number/{i:06d}.png" for i in range(3000)]
+        secondary = SingleInstance(sock)
+        assert not secondary.try_acquire()
+        assert secondary.forward_files(paths)
+        deadline = time.time() + 10
+        while len(primary.received) < len(paths) and time.time() < deadline:
+            time.sleep(0.05)
+        assert primary.received == paths
+    finally:
+        primary.release()
