@@ -26,7 +26,15 @@ import numpy as np
 
 from paintfe_tpu.core.canvas import Canvas, canonicalize_tiles
 from paintfe_tpu.io import codecs, deep_export, pfe
+from paintfe_tpu.io.pdn import PdnError
+from paintfe_tpu.io.raw import RawError
 from paintfe_tpu.scripting import ScriptError, apply_canvas_ops, execute_script_sync
+
+# per-file keep-going: every error class an input file can legitimately
+# produce (cli.rs:155-216 prints and continues; a class missing here
+# crashes the whole batch)
+_INPUT_ERRORS = (codecs.CodecError, pfe.PfeError, PdnError, RawError,
+                 ScriptError, OSError, ValueError)
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -134,6 +142,32 @@ def load_canvas(path: pathlib.Path) -> Canvas:
     return Canvas.from_image(img)
 
 
+def _commit_script_result(canvas, idx, result, new_w, new_h, canvas_ops):
+    """Commit a script's u8 result to the active layer: canonicalize
+    transparent tiles (the layer-commit invariant, canvas.py:43), replay
+    canvas-wide ops on the other layers, fix dims — and keep the deep
+    payload consistent: a changed u8 result (or new dims) rebuilds the
+    deep buffer from it, since the script semantics are u8 (a stale deep
+    buffer of the OLD element count crashed the 16-bit export path)."""
+    layer = canvas.layers[idx]
+    old_pixels = layer.pixels
+    new_pixels = canonicalize_tiles(
+        np.asarray(result, np.uint8).reshape(new_h, new_w, 4)
+    )
+    if layer.deep_pixels is not None and (
+            new_pixels.shape != old_pixels.shape
+            or not np.array_equal(new_pixels, old_pixels)):
+        from paintfe_tpu.core.deep import DeepRgbaBuffer, PixelFormat
+
+        fmt = (PixelFormat(layer.pixel_format) if layer.pixel_format
+               is not None else PixelFormat.RGBA_U8)
+        layer.deep_pixels = DeepRgbaBuffer.from_rgba8(new_pixels, fmt)
+    layer.pixels = new_pixels
+    if canvas_ops:
+        apply_canvas_ops(canvas, canvas_ops, skip_layer=idx)
+    canvas.width, canvas.height = new_w, new_h
+
+
 def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
             script_source: Optional[str], fmt: str, quality: int,
             webp_lossless: bool, tiff_compression: str, flatten: bool,
@@ -147,23 +181,16 @@ def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
 
     if script_source is not None:
         idx = canvas.active_layer_index
-        layer = canvas.layers[idx]
         mask = canvas.selection
         with timer.stage("script"):
             result, new_w, new_h, console, canvas_ops = execute_script_sync(
-                script_source, layer.pixels, canvas.width, canvas.height, mask
+                script_source, canvas.layers[idx].pixels,
+                canvas.width, canvas.height, mask
             )
         if verbose:
             for line in console:
                 print(f"  [script] {line}")
-        layer.pixels = canonicalize_tiles(
-            np.asarray(result, np.uint8).reshape(new_h, new_w, 4)
-        )
-        if canvas_ops:
-            apply_canvas_ops(canvas, canvas_ops, skip_layer=idx)
-            canvas.width, canvas.height = new_w, new_h
-        else:
-            canvas.width, canvas.height = new_w, new_h
+        _commit_script_result(canvas, idx, result, new_w, new_h, canvas_ops)
 
     if fmt == "pfe":
         pfe.save_pfe(canvas, str(output_path))
@@ -256,31 +283,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     total = len(inputs)
     multi = total > 1
     any_failure = False
-    trace_ctx = jax_trace(args.trace_dir)
-    trace_ctx.__enter__()
-    for i, input_path in enumerate(inputs):
-        if multi or args.verbose:
-            print(f"[{i + 1}/{total}] {input_path}")
-        t0 = time.time()
-        output_path = build_output_path(input_path, args.output, args.output_dir, fmt)
-        timer = StageTimer() if args.profile else None
-        try:
-            run_one(
-                input_path, output_path, script_source, fmt, args.quality,
-                not args.webp_lossy, args.tiff_compression, args.flatten,
-                args.verbose, timer=timer,
-            )
-            if args.verbose or multi:
-                print(f"  -> {output_path} ({(time.time() - t0) * 1000:.0f}ms)")
-            if timer is not None:
-                print(timer.report())
-        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError, ValueError) as e:
-            msg = e
-            if isinstance(e, ScriptError):
-                msg = f"script error: {e}"
-            print(f"  error: {msg}", file=sys.stderr)
-            any_failure = True
-    trace_ctx.__exit__(None, None, None)
+    # `with` (not manual __enter__/__exit__): an unexpected escape or
+    # KeyboardInterrupt must still finalize the --trace-dir profile
+    with jax_trace(args.trace_dir):
+        for i, input_path in enumerate(inputs):
+            if multi or args.verbose:
+                print(f"[{i + 1}/{total}] {input_path}")
+            t0 = time.time()
+            output_path = build_output_path(input_path, args.output,
+                                            args.output_dir, fmt)
+            timer = StageTimer() if args.profile else None
+            try:
+                run_one(
+                    input_path, output_path, script_source, fmt, args.quality,
+                    not args.webp_lossy, args.tiff_compression, args.flatten,
+                    args.verbose, timer=timer,
+                )
+                if args.verbose or multi:
+                    print(f"  -> {output_path} ({(time.time() - t0) * 1000:.0f}ms)")
+                if timer is not None:
+                    print(timer.report())
+            except _INPUT_ERRORS as e:
+                msg = e
+                if isinstance(e, ScriptError):
+                    msg = f"script error: {e}"
+                print(f"  error: {msg}", file=sys.stderr)
+                any_failure = True
     if args.profile:
         print(cache_report())
     return 1 if any_failure else 0
@@ -306,13 +334,12 @@ def _run_animate(inputs, args, script_source) -> int:
                     script_source, canvas.layers[idx].pixels,
                     canvas.width, canvas.height, canvas.selection,
                 )
-                canvas.layers[idx].pixels = np.asarray(result, np.uint8).reshape(new_h, new_w, 4)
-                if canvas_ops:
-                    apply_canvas_ops(canvas, canvas_ops, skip_layer=idx)
-                canvas.width, canvas.height = new_w, new_h
+                # same commit path as run_one (canonicalize + deep sync)
+                _commit_script_result(canvas, idx, result, new_w, new_h,
+                                      canvas_ops)
             frames.append(canvas.composite() if len(canvas.layers) > 1
                           else canvas.active_layer.pixels)
-        except (codecs.CodecError, pfe.PfeError, ScriptError, OSError, ValueError) as e:
+        except _INPUT_ERRORS as e:
             print(f"  error: {e}", file=sys.stderr)
             any_failure = True
     if not frames:

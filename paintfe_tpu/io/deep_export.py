@@ -71,6 +71,8 @@ def _layer_is_plain_base(layer) -> bool:
 
 
 def _deep_matches_preview(layer, w: int, h: int) -> bool:
+    if layer.deep_pixels.data.size != w * h * 4:
+        return False  # stale element count (canvas resized since sync)
     preview = layer.deep_pixels.to_rgba8(w, h)
     return bool(np.array_equal(preview, np.asarray(layer.pixels, np.uint8)))
 

@@ -25,11 +25,22 @@ _build_error = None
 
 
 def _build():
+    # compile to a per-process temp name, then os.replace (atomic on POSIX):
+    # concurrent processes rebuilding in place could dlopen a partially
+    # written .so — and the load failure would be cached for the process
+    import os as _os
+
+    tmp = _LIB_PATH.with_suffix(f".so.tmp{_os.getpid()}")
     cmd = [
         "g++", "-O2", "-shared", "-fPIC", "-ffp-contract=off", "-std=c++17",
-        "-o", str(_LIB_PATH),
+        "-o", str(tmp),
     ] + [str(s) for s in _SOURCES]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        _os.replace(tmp, _LIB_PATH)
+    finally:
+        if tmp.exists():
+            tmp.unlink()
 
 
 def load():

@@ -240,12 +240,17 @@ void inpaint_instant_brush(const uint8_t* src, const uint8_t* hole_mask,
     const int num_candidates = 32;
     const float sigma_color_sq = 50.0f * 50.0f;
 
+    if (w == 0 || h == 0) return;  // `> w - 1` on unsigned 0 would wrap
     float fx0 = cx - r; if (fx0 < 0.0f) fx0 = 0.0f;
     uint32_t min_x = (uint32_t)fx0;
-    uint32_t max_x = (uint32_t)std::ceil(cx + r); if (max_x > w - 1) max_x = w - 1;
+    // saturate the float->u32 casts like Rust `as u32` (a negative
+    // cx + r is UB under a plain C cast)
+    float fx1 = std::ceil(cx + r); if (fx1 < 0.0f) fx1 = 0.0f;
+    uint32_t max_x = (uint32_t)fx1; if (max_x > w - 1) max_x = w - 1;
     float fy0 = cy - r; if (fy0 < 0.0f) fy0 = 0.0f;
     uint32_t min_y = (uint32_t)fy0;
-    uint32_t max_y = (uint32_t)std::ceil(cy + r); if (max_y > h - 1) max_y = h - 1;
+    float fy1 = std::ceil(cy + r); if (fy1 < 0.0f) fy1 = 0.0f;
+    uint32_t max_y = (uint32_t)fy1; if (max_y > h - 1) max_y = h - 1;
 
     for (uint32_t y = min_y; y <= max_y; ++y) {
         for (uint32_t x = min_x; x <= max_x; ++x) {

@@ -266,6 +266,9 @@ int ljpeg_decode(const uint8_t* data, uint32_t len, uint16_t* out, uint64_t cap)
     if (cap < total) return -4;
     for (int c = 0; c < NC; c++)
         if (!tables[fr.comp_table[c]].present) return -1;
+    // T.81 requires Pt < P; a malformed stream with Pt >= P would make the
+    // default-predictor shift below negative (undefined behavior)
+    if (fr.pt < 0 || fr.pt >= fr.precision) return -1;
 
     BitReader br(fr.entropy, data + len);
     const int defval = 1 << (fr.precision - fr.pt - 1);

@@ -4,15 +4,15 @@ The reference is a desktop app; its CLI pays full startup per invocation
 (cli.rs:12-13 is explicitly single-shot).  For production batch serving on
 TPU the expensive parts — backend init, jit compilation, traced script
 chains — must be paid once and reused, so this daemon accepts newline-
-delimited JSON jobs over a TCP socket (or stdin) and processes them with
-persistent compile caches:
+delimited JSON jobs over a TCP socket and processes them with persistent
+compile caches:
 
     {"input": "a.png", "output": "out/a.png", "script": "fx.rhai",
      "format": "png", "quality": 90}
     -> {"ok": true, "output": "out/a.png", "elapsed_ms": 12}
 
 A `{"cmd": "shutdown"}` job stops the server; `{"cmd": "ping"}` reports
-warm-cache statistics.  Jobs are independent (keep-going semantics like
+jobs_done and uptime.  Jobs are independent (keep-going semantics like
 the CLI): a failed job reports {"ok": false, "error": ...} and the server
 keeps serving.  Script files are cached by (path, mtime); traced op-chain
 pipelines reuse paintfe_tpu.parallel.pipeline's compiled-chain cache.
@@ -32,16 +32,32 @@ import numpy as np
 
 
 class _ScriptCache:
-    def __init__(self):
+    """Script sources keyed by (path, mtime): stale entries for a PATH are
+    evicted when its file changes; other paths keep their entries (two
+    alternating scripts must both stay warm).  Locked — the TCP server
+    handles jobs on concurrent threads, and an unlocked clear() between
+    another thread's insert and read raised KeyError on valid jobs."""
+
+    def __init__(self, max_entries: int = 64):
         self._cache = {}
+        self._max = max_entries
+        self._lock = threading.Lock()
 
     def get(self, path: str) -> str:
         p = pathlib.Path(path)
         key = (str(p), p.stat().st_mtime_ns)
-        if key not in self._cache:
-            self._cache.clear()  # one active script per path is typical
-            self._cache[key] = p.read_text()
-        return self._cache[key]
+        with self._lock:
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit
+        text = p.read_text()
+        with self._lock:
+            for k in [k for k in self._cache if k[0] == key[0]]:
+                del self._cache[k]  # stale mtimes of the same path
+            while len(self._cache) >= self._max:
+                del self._cache[next(iter(self._cache))]
+            self._cache[key] = text
+            return text
 
 
 class PaintServer:

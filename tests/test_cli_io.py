@@ -268,3 +268,70 @@ def test_project_open_routes_pdn(tmp_path):
     proj = Project.open(PDN_FIXTURE)
     assert (proj.canvas.width, proj.canvas.height) == (800, 600)
     assert len(proj.canvas.layers) == 2
+
+
+def test_cli_corrupt_pdn_keeps_going(tmp_path):
+    """A corrupt .pdn in the batch reports an error and the remaining
+    inputs still process (cli.rs:155-216 keep-going; PdnError used to
+    escape the per-file handler and crash the batch)."""
+    from PIL import Image
+
+    from paintfe_tpu.cli import main
+
+    good = tmp_path / "good.png"
+    Image.fromarray(np.full((8, 8, 4), 50, np.uint8), "RGBA").save(good)
+    bad = tmp_path / "bad.pdn"
+    bad.write_bytes(b"PDN3" + b"\x00" * 64)
+    outdir = tmp_path / "out"
+    rc = main(["-i", str(bad), str(good), "--output-dir", str(outdir),
+               "-f", "png"])
+    assert rc == 1                       # failure reported...
+    assert (outdir / "good.png").exists()  # ...but the batch kept going
+
+
+def test_cli_script_resize_with_deep_input(tmp_path):
+    """A 16-bit input plus a canvas-resizing script must export cleanly:
+    the stale deep buffer (old element count) used to crash the deep
+    export path's reshape."""
+    from paintfe_tpu.cli import main
+    from paintfe_tpu.io import deep_export as de
+
+    u16 = np.random.default_rng(12).integers(0, 65536, (16, 16, 4), np.uint16)
+    src = tmp_path / "deep.png"
+    de.write_png16(src, 16, 16, u16)
+    fx = tmp_path / "fx.rhai"
+    fx.write_text("resize_canvas(24, 24);")
+    outdir = tmp_path / "out"
+    rc = main(["-i", str(src), "-s", str(fx), "--output-dir", str(outdir),
+               "-f", "png"])
+    assert rc == 0
+    out = codecs.load_image(outdir / "deep.png")
+    assert out.shape == (24, 24, 4)
+
+
+def test_cli_animate_canonicalizes_like_single(tmp_path):
+    """--animate commits script results through the same path as run_one
+    (canonicalize_tiles included) so frames match single-image output."""
+    from PIL import Image
+
+    from paintfe_tpu.cli import main
+    from paintfe_tpu.io import codecs as co
+
+    # fully-transparent image whose RGB is nonzero: the layer-commit
+    # invariant zeroes RGB of transparent 64px tiles
+    img = np.zeros((64, 64, 4), np.uint8)
+    img[..., 0] = 77  # alpha stays 0
+    src = tmp_path / "t.png"
+    Image.fromarray(img, "RGBA").save(src)
+    fx = tmp_path / "fx.rhai"
+    fx.write_text("apply_brightness_contrast(1.0, 0.0);")
+
+    single_out = tmp_path / "single.png"
+    assert main(["-i", str(src), "-s", str(fx), "-o", str(single_out),
+                 "-f", "png"]) == 0
+    anim_out = tmp_path / "anim.png"
+    assert main(["-i", str(src), "-s", str(fx), "--animate", str(anim_out),
+                 "--fps", "5"]) == 0
+    frames, _delays = co.load_frames(anim_out)
+    single = co.load_image(single_out)
+    np.testing.assert_array_equal(frames[0][..., 3], single[..., 3])
