@@ -27,11 +27,8 @@ def _f32(x):
     return jnp.asarray(x, jnp.float32)
 
 
-def _masked(img, out, mask):
-    """Selection semantics: mask==0 pixels copy through (adjustments.rs:84-90)."""
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+# Selection semantics: mask==0 pixels copy through (adjustments.rs:84-90)
+from paintfe_tpu.ops.common import masked as _masked  # shared (one def)
 
 
 def _pointwise(img, mask, fn):

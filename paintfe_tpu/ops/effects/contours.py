@@ -17,10 +17,7 @@ from paintfe_tpu.utils.quant import exact_div, round_u8
 f32 = np.float32
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import coord_grids, masked as _masked  # shared
 
 
 @functools.lru_cache(maxsize=16)
@@ -36,8 +33,7 @@ def _contours_fn(scale, frequency, line_width, line_color, seed, octaves, blend,
 
     @jax.jit
     def run(img):
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+        xs, ys = coord_grids(h, w)
         noise = turbulence_2d(xs * inv_scale, ys * inv_scale, seed, oct_n, 0.5)
         level = noise * freq
         # Rust f32::round is half-away-from-zero.

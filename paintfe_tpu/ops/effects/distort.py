@@ -17,15 +17,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from paintfe_tpu.utils.hashing import hash_f32, turbulence_2d
-from paintfe_tpu.utils.quant import exact_div, round_u8
+from paintfe_tpu.utils.quant import exact_div, exact_div_hw, round_u8
 
 f32 = np.float32
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import masked as _masked  # shared (one def)
 
 
 def sample_bilinear(img_u8, fx, fy):
@@ -53,10 +50,7 @@ def sample_bilinear(img_u8, fx, fy):
     )
 
 
-def _coord_grids(h, w):
-    xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
-    ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
-    return xs, ys
+from paintfe_tpu.ops.common import coord_grids as _coord_grids  # shared
 
 
 # ---------------------------------------------------------------------------
@@ -130,8 +124,18 @@ def _crystallize_fn(cs: float, seed: int, h: int, w: int):
                 best_dist = jnp.where(take, d, best_dist)
                 best_idx = jnp.where(take, idx, best_idx)
 
-        # Per-cell integer sums -> exact round-half-away average:
-        # round(s/c) == (2s + c) // (2c) for non-negative integers.
+        # Per-cell integer sums -> round-half-up average via the exact
+        # integer identity round(s/c) == (2s + c) // (2c).  KNOWN corner
+        # divergence from the reference (accepted, documented): the Rust
+        # computes (sum * (1.0/count)).round() in f64, and the reciprocal's
+        # rounding error can push an EXACT half (s/c == k + 0.5, e.g.
+        # s=147, c=98) one ulp below the half so it rounds DOWN where this
+        # integer formula rounds up.  Reproducing that bit pattern needs
+        # f64 (unavailable without jax_enable_x64) or a host round trip in
+        # the hot path; all 147 goldens pass with the integer formula.
+        # Second corner: u32 sums overflow for a single cell holding
+        # > ~16.8M pixels (255*n > 2^32) — cell_size >= ~4100 on a >=17Mpix
+        # canvas; the reference's f64 sums stay exact there.
         flat_idx = best_idx.reshape(-1)
         counts = jnp.zeros(n_cells, jnp.uint32).at[flat_idx].add(1)
         sums = jnp.zeros((n_cells, 4), jnp.uint32).at[flat_idx].add(
@@ -343,7 +347,7 @@ def _bulge_coords_fn(amount: float, ox: float, oy: float, h: int, w: int):
                                      strength, h, w))
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=2)  # ~192MB/entry at 4K: bound HBM pinning
 def _bulge_field(amount: float, ox: float, oy: float, h: int, w: int):
     """Device-resident (src_x, src_y, norm) for a bulge parameter set —
     computed once; repeat calls (interactive slider jiggling back, batch
@@ -407,7 +411,7 @@ def _twist_coords_fn(angle_deg: float, ox: float, oy: float, h: int, w: int):
                                      twist_amount, h, w))
 
 
-@functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=2)  # ~128MB/entry at 4K: bound HBM pinning
 def _twist_field(angle_deg: float, ox: float, oy: float, h: int, w: int):
     """Device-resident (src_x, src_y) for a twist parameter set."""
     return _twist_coords_fn(angle_deg, ox, oy, h, w)()
@@ -443,8 +447,10 @@ def _dents_coords(scale, amount, seed, oct_n, roughness, pinch, wrap,
         dy = ys - cy
         dist = jnp.maximum(jnp.sqrt(dx * dx + dy * dy), 1.0)
         factor = (1.0 - exact_div(dist, f32(max(cx, cy)))) * 0.5
-        nx = nx_raw + dx / dist * factor
-        ny = ny_raw + dy / dist * factor
+        # runtime-tensor divides need the TPU Newton step (the VPU divide
+        # is ~1 ulp off; CPU is already correctly rounded)
+        nx = nx_raw + exact_div_hw(dx, dist) * factor
+        ny = ny_raw + exact_div_hw(dy, dist) * factor
     else:
         nx, ny = nx_raw, ny_raw
     src_x = xs + nx * f32(amount) * f32(scale)

@@ -17,10 +17,7 @@ from paintfe_tpu.utils.hashing import hash_f32
 f32 = np.float32
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import masked as _masked  # shared (one def)
 
 
 @functools.lru_cache(maxsize=32)

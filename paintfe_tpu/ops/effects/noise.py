@@ -26,10 +26,7 @@ class NoiseType(enum.IntEnum):
     PERLIN = 2
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import coord_grids, masked as _masked  # shared
 
 
 @functools.lru_cache(maxsize=32)
@@ -40,8 +37,7 @@ def _noise_fn(amount, noise_type, monochrome, seed, scale, octaves, h, w):
 
     @jax.jit
     def run(img):
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+        xs, ys = coord_grids(h, w)
         sx = xs * inv_scale
         sy = ys * inv_scale
         qx = jnp.floor(xs * inv_scale).astype(jnp.int32)

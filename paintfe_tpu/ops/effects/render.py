@@ -21,10 +21,7 @@ from paintfe_tpu.utils.quant import exact_div, round_u8
 f32 = np.float32
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import masked as _masked  # shared (one def)
 
 
 class GridStyle(enum.IntEnum):
@@ -100,7 +97,9 @@ def _shadow_fn(offset_x, offset_y, blur_radius, widen, color, opacity, h, w):
 
         # 2. Optional spread: separable max-dilate by round(max(blur,1)).
         if widen:
-            r = int(round(max(blur_radius, 1.0)))
+            # Rust f32::round (half away from zero): Python's banker's
+            # round() widened 2.5 -> 2 where the reference dilates by 3
+            r = int(np.floor(max(blur_radius, 1.0) + 0.5))
             sa = shadow_a
             acc = sa
             for d in range(1, r + 1):

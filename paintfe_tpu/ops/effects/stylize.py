@@ -20,10 +20,7 @@ from paintfe_tpu.utils.quant import exact_div, round_u8
 f32 = np.float32
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import coord_grids, masked as _masked  # shared
 
 
 class HalftoneShape(enum.IntEnum):
@@ -74,8 +71,7 @@ def _halftone_fn(dot_size: float, angle_deg: float, shape, h: int, w: int):
     def run(img):
         src = img.astype(jnp.float32)
         lum = exact_div(luma_bt709(src[..., 0], src[..., 1], src[..., 2]), 255.0)
-        xs = jnp.arange(w, dtype=jnp.float32)[None, :] * jnp.ones((h, 1), jnp.float32)
-        ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
+        xs, ys = coord_grids(h, w)
         fx = xs * cos_a + ys * sin_a
         fy = -xs * sin_a + ys * cos_a
         rx = exact_div(fx, ds)

@@ -26,10 +26,7 @@ from paintfe_tpu.utils.quant import exact_div, round_u8
 f32 = np.float32
 
 
-def _masked(img, out, mask):
-    if mask is None:
-        return out
-    return jnp.where((mask > 0)[..., None], out, img)
+from paintfe_tpu.ops.common import masked as _masked  # shared (one def)
 
 
 def _round_half_away(x):

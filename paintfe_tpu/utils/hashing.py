@@ -60,15 +60,27 @@ def perlin_noise_2d(x, y, seed):
 
 def turbulence_2d(x, y, seed, octaves: int, roughness: float):
     """Octave sum of value noise; amplitude *= roughness, frequency *= 2."""
+    import numpy as np
+
     octaves = max(int(octaves), 1)
     total = jnp.zeros_like(jnp.asarray(x, jnp.float32))
     amplitude = jnp.float32(1.0)
     frequency = jnp.float32(1.0)
-    max_amplitude = jnp.float32(0.0)
+    # the amplitude sum is a host-computable f32 constant (same op order)
+    max_amplitude = np.float32(0.0)
+    amp_host = np.float32(1.0)
     for i in range(octaves):
         s = (_u32(seed) + _U(i * 1000)).astype(_U)
         total = total + perlin_noise_2d(x * frequency, y * frequency, s) * amplitude
-        max_amplitude = max_amplitude + amplitude
+        max_amplitude = np.float32(max_amplitude + amp_host)
+        amp_host = np.float32(amp_host * np.float32(roughness))
         amplitude = amplitude * jnp.float32(roughness)
         frequency = frequency * jnp.float32(2.0)
-    return total / max_amplitude
+    # TRUE division like the reference (a bare `/` by this compile-time
+    # constant gets rewritten by XLA into multiply-by-reciprocal — 1 ulp
+    # off for non-power-of-two sums, e.g. octaves=2 -> 1.5; measured
+    # 1297/4096 sample points off); exact_div barriers the divisor and
+    # Newton-refines on TPU
+    from paintfe_tpu.utils.quant import exact_div
+
+    return exact_div(total, float(max_amplitude))
