@@ -168,13 +168,30 @@ class NrbfReader:
     def _read_value(self):
         """Read a referenceable record used in a member/array slot.
         Returns (value, extra_null_count)."""
-        rec = self._u8()
+        while True:
+            rec = self._u8()
+            if rec == 12:
+                # MS-NRBF memberReference = BinaryLibrary? + value: the
+                # formatter emits a library record before the first class
+                # of each new assembly, which can land mid-member; consume
+                # it and read the FOLLOWING record as the slot's value
+                # (treating the library itself as the value desynced the
+                # stream for multi-assembly graphs).
+                self._read_record(rec)
+                continue
+            break
         if rec == 10:  # ObjectNull
             return None, 0
         if rec == 13:  # ObjectNullMultiple256
-            return None, self._u8() - 1
+            n = self._u8()
+            if n <= 0:  # 0 would leave pending=-1 (truthy) and desync
+                raise NrbfError("ObjectNullMultiple256 with count <= 0")
+            return None, n - 1
         if rec == 14:  # ObjectNullMultiple
-            return None, self._i32() - 1
+            n = self._i32()
+            if n <= 0:
+                raise NrbfError("ObjectNullMultiple with count <= 0")
+            return None, n - 1
         if rec == 9:   # MemberReference
             return _Ref(self._i32()), 0
         if rec == 8:   # MemberPrimitiveTyped

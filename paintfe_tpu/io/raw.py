@@ -91,6 +91,8 @@ def _read_values(blob: bytes, end: str, typ: int, count: int,
     else:
         (off,) = struct.unpack(end + "I", value_field)
         data = blob[off:off + total]
+    if typ == 2:  # ASCII: NUL-terminated string (Make/Model and friends)
+        return [data.split(b"\0", 1)[0].decode("ascii", errors="replace")]
     if typ in (1, 6, 7):
         return list(data)
     if typ == 3:
@@ -726,6 +728,7 @@ def _decode_cr2(blob: bytes) -> np.ndarray:
     mn = _canon_makernote(blob, end, ifds)
     data = dec.astype(np.float32)
     black = 0.0
+    black_measured = False
     sensor = mn.get(0x00E0) if mn else None
     if sensor and len(sensor) >= 9:
         left, top = int(sensor[5]), int(sensor[6])
@@ -733,7 +736,20 @@ def _decode_cr2(blob: bytes) -> np.ndarray:
         if 0 <= top < bottom < h and 0 <= left < right < w:
             if left >= 4:  # masked border = optically black reference
                 black = float(np.mean(data[top:bottom + 1, :left - 2]))
+                black_measured = True
             data = data[top:bottom + 1, left:right + 1]
+    if not black_measured:
+        # Canon sensors carry a large un-subtracted black offset that is
+        # normally measured from the masked border; without SensorInfo we
+        # cannot measure it, and per-camera defaults are exactly the
+        # unverifiable constants the RAW scope rule forbids.  Decode
+        # proceeds with black=0 but WARNS (the old silent fallback
+        # produced washed-out grays with no indication why).
+        import sys
+
+        print("warning: CR2 SensorInfo (MakerNote 0x00e0) missing; black "
+              "level unknown, decoding with black=0 (image may look "
+              "washed out)", file=sys.stderr)
 
     white = float((1 << prec) - 1)  # authoritative SOF3 precision
     norm = np.clip((data - f32(black)) / max(white - black, 1.0), 0.0, 1.0)
@@ -943,7 +959,23 @@ def _unpack_bits_msb(payload: bytes, bits: int, count: int) -> np.ndarray:
         out[0::2] = s0
         out[1::2] = s1
         return out[:count]
-    # generic path (14-bit): bit matrix multiply
+    if bits == 14:
+        # 4 samples per 7 bytes, MSB-first — same vectorized byte-slicing
+        # shifts as the 12-bit path (the old unpackbits + u32 bit-matrix
+        # multiply materialized ~2.5 GB of transients for a 45 MP sensor)
+        n_quads = (count + 3) // 4
+        need = n_quads * 7
+        if len(payload) < need:
+            payload = payload + b"\0" * (need - len(payload))
+        buf = np.frombuffer(payload, np.uint8, count=need)
+        b = [buf[i::7].astype(np.uint16) for i in range(7)]
+        out = np.empty(n_quads * 4, np.uint16)
+        out[0::4] = (b[0] << 6) | (b[1] >> 2)
+        out[1::4] = ((b[1] & 0x03) << 12) | (b[2] << 4) | (b[3] >> 4)
+        out[2::4] = ((b[3] & 0x0F) << 10) | (b[4] << 2) | (b[5] >> 6)
+        out[3::4] = ((b[5] & 0x3F) << 8) | b[6]
+        return out[:count]
+    # generic path (odd widths): bit matrix multiply
     nbytes = (count * bits + 7) // 8
     bits_arr = np.unpackbits(np.frombuffer(payload, np.uint8, count=nbytes))
     bits_arr = bits_arr[:count * bits].reshape(count, bits)

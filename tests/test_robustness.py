@@ -114,3 +114,66 @@ def test_blend_u8_property_alpha_zero_and_opaque_normal():
     opaque[..., 3] = 255
     out = np.asarray(jax.jit(lambda b, t: blend_u8(b, t, 0, 1.0))(base, opaque))
     np.testing.assert_array_equal(out, opaque)
+
+
+def _nrbf_prim_string(object_id: int, s: str) -> bytes:
+    import struct as _st
+
+    b = s.encode()
+    assert len(b) < 128
+    return b"\x06" + _st.pack("<i", object_id) + bytes([len(b)]) + b
+
+
+def test_nrbf_binarylibrary_in_member_slot():
+    """MS-NRBF: memberReference = BinaryLibrary? + value — the formatter
+    emits a library record before the first class of each NEW assembly,
+    which can land mid-member.  Treating the library as the value desynced
+    the stream (r4 review, repro-confirmed)."""
+    import struct as _st
+
+    from paintfe_tpu.io.nrbf import NrbfReader
+
+    def lp(s):
+        b = s.encode()
+        return bytes([len(b)]) + b
+
+    stream = (
+        b"\x00" + _st.pack("<iiii", 1, -1, 1, 0)          # header, root=1
+        + b"\x0c" + _st.pack("<i", 1) + lp("Lib1")        # library id 1
+        # ClassWithMembersAndTypes id=1, 1 member 'a', bin type Object(2)
+        + b"\x05" + _st.pack("<i", 1) + lp("C") + _st.pack("<i", 1)
+        + lp("a") + b"\x02" + _st.pack("<i", 1)            # library id 1
+        # member slot: BinaryLibrary(id=2) THEN the actual value (a string)
+        + b"\x0c" + _st.pack("<i", 2) + lp("Lib2")
+        + _nrbf_prim_string(7, "hello")
+        + b"\x0b"                                          # MessageEnd
+    )
+    reader = NrbfReader(stream, 0).parse()
+    objs = reader.find_instances("C")
+    assert objs and objs[0].get("a") == "hello"
+
+
+def test_nrbf_null_multiple_zero_rejected():
+    """ObjectNullMultiple with count 0 left pending=-1 (truthy) and nulled
+    every remaining slot instead of erroring (r4 review)."""
+    import struct as _st
+
+    from paintfe_tpu.io.nrbf import NrbfError, NrbfReader
+
+    def lp(s):
+        b = s.encode()
+        return bytes([len(b)]) + b
+
+    stream = (
+        b"\x00" + _st.pack("<iiii", 1, -1, 1, 0)
+        + b"\x0c" + _st.pack("<i", 1) + lp("L")
+        + b"\x05" + _st.pack("<i", 1) + lp("C") + _st.pack("<i", 2)
+        + lp("a") + lp("b") + b"\x02\x02" + _st.pack("<i", 1)
+        + b"\x0d\x00"                                      # NullMultiple256, 0
+        + _nrbf_prim_string(7, "x")
+        + b"\x0b"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(NrbfError, match="count <= 0"):
+        NrbfReader(stream, 0).parse()
