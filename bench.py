@@ -144,6 +144,10 @@ def table():
 
     @functools.partial(jax.jit, static_argnums=(1, 2))
     def wand_device(img, y, x):
+        # inlined magic_wand_mask pipeline (the public fn does a host
+        # img[y, x] fetch; the bench needs one sync-free device program).
+        # `thr + 1` is the anti-aliased passability fringe — keep in
+        # lockstep with fill.py's magic_wand_mask (fill.py:163).
         dist = fill.perceptual_distance_map(img, img[y, x])
         alpha = fill.threshold_alpha(dist, thr, True)
         passable = dist <= min(thr + 1, 255)
@@ -181,8 +185,6 @@ def table():
 
     # Warp family (liquify/mesh-warp field): the Pallas sweep-gather kernel
     # vs the XLA gather formulation.
-    import time as _time
-
     from paintfe_tpu.ops import transform as tfm
     from paintfe_tpu.ops.warp_kernel import gather_bilinear_u8
 
@@ -194,23 +196,12 @@ def table():
     # plan syncs two scalars), so the in-program k-loop cannot apply;
     # instead rotate through pre-uploaded DISTINCT field variants (sub-ulp
     # jitter keeps the buckets identical) so no layer can elide repeats,
-    # and consume a scalar from each result.
-    variants = [
-        (jax.device_put(sx_np + np.float32(1e-4) * i),
-         jax.device_put(sy_np - np.float32(1e-4) * i))
-        for i in range(5)
-    ]
-    jax.block_until_ready(variants)
-    int(jnp.asarray(gather_bilinear_u8(img_d, *variants[0], interpret=False))
-        .astype(jnp.uint32).sum())
-    ts = []
-    for sxv, syv in variants[1:]:
-        t0 = _time.perf_counter()
-        out = gather_bilinear_u8(img_d, sxv, syv, interpret=False)
-        int(jnp.asarray(out).astype(jnp.uint32).sum())
-        ts.append(_time.perf_counter() - t0)
-    ts.sort()
-    row("warp pallas sweep-gather", ts[len(ts) // 2])
+    # and consume a scalar from each result (_rotate_measure).
+    row("warp pallas sweep-gather",
+        _rotate_measure(
+            lambda v: gather_bilinear_u8(img_d, *v, interpret=False),
+            lambda i: (jax.device_put(sx_np + np.float32(1e-4) * i),
+                       jax.device_put(sy_np - np.float32(1e-4) * i))))
 
     # Warp END-TO-END: the public warp_displacement entry from a host-side
     # displacement field (what a Liquify commit pays), incl. field
@@ -231,32 +222,42 @@ def table():
     # source + fields device-resident (a live Liquify keeps them there) —
     # every frame after the first takes the plan-free cached path, so the
     # amortized per-frame cost should approach the kernel row above.
-    frames = [
-        (jax.device_put(sx_np + np.float32(2e-4) * i),
-         jax.device_put(sy_np - np.float32(2e-4) * i))
-        for i in range(20)
-    ]
-    jax.block_until_ready(frames)
-    int(jnp.asarray(gather_bilinear_u8(img_d, *frames[0], interpret=False))
+    def warp_frames(base_off, stride):
+        fr = [
+            (jax.device_put(sx_np + np.float32(base_off + stride * i)),
+             jax.device_put(sy_np - np.float32(base_off + stride * i)))
+            for i in range(20)
+        ]
+        jax.block_until_ready(fr)
+        return fr
+
+    frames = warp_frames(0.0, 2e-4)
+    # warm with an input DISTINCT from every timed frame (frames[0] in the
+    # warmup AND the loop would be a repeated identical call)
+    warm = warp_frames(7e-3, 0.0)[:1]
+    int(jnp.asarray(gather_bilinear_u8(img_d, *warm[0], interpret=False))
         .astype(jnp.uint32).sum())  # warm plan + both compiled programs
-    t0 = _time.perf_counter()
+    t0 = time.perf_counter()
     for sxv, syv in frames:
         int(jnp.asarray(gather_bilinear_u8(img_d, sxv, syv, interpret=False))
             .astype(jnp.uint32).sum())
-    row("warp interactive (20 fr)", (_time.perf_counter() - t0) / len(frames))
+    row("warp interactive (20 fr)", (time.perf_counter() - t0) / len(frames))
 
     # Deferred-check variant: the ok flag is fetched TOGETHER with the
     # frame's display consume (one tunnel round trip per frame instead of
     # two); a False ok (rare bucket outgrow) would mean redoing that
-    # frame.  This is the steady-state interactive cost model.
-    t0 = _time.perf_counter()
-    for sxv, syv in frames:
+    # frame.  This is the steady-state interactive cost model.  Fresh
+    # DISTINCT fields — re-running the non-deferred loop's exact inputs
+    # would violate the no-repeated-identical-calls rule.
+    frames2 = warp_frames(3e-3, 2e-4)
+    t0 = time.perf_counter()
+    for sxv, syv in frames2:
         out, ok = gather_bilinear_u8(img_d, sxv, syv, interpret=False,
                                      defer_check=True)
         s = out.astype(jnp.uint32).sum()
         _sv, okv = jax.device_get((s, ok))
         assert bool(okv)
-    row("warp interactive deferred", (_time.perf_counter() - t0) / len(frames))
+    row("warp interactive deferred", (time.perf_counter() - t0) / len(frames2))
 
     # XLA gather row: standard salted in-program k-chain (output feeds the
     # next frame's input; constant displacement field).
@@ -269,18 +270,7 @@ def table():
         out = jax.lax.fori_loop(0, k, lambda i, x: xla_warp(x, disp), img)
         return out.astype(jnp.uint32).sum()
 
-    def _wmed(k, reps=3):
-        int(run_warp_k(img_d, disp_d, jnp.uint8(next(salt)), k))
-        ws = []
-        for _ in range(reps):
-            sv = jnp.uint8(next(salt))
-            t0 = _time.perf_counter()
-            int(run_warp_k(img_d, disp_d, sv, k))
-            ws.append(_time.perf_counter() - t0)
-        ws.sort()
-        return ws[len(ws) // 2]
-
-    row("warp xla gather", (_wmed(4) - _wmed(1)) / 3)
+    row("warp xla gather", _measure(run_warp_k, img_d, disp_d, salt, 1, 4))
 
     # Batch pipeline: the traced 4-op script chain vmapped over 64 512x512
     # images (README's batch number).  Salted in-program k-loop over the
@@ -308,9 +298,9 @@ def table():
         bs = []
         for _ in range(reps):
             sv = jnp.uint8(next(salt))
-            t0 = _time.perf_counter()
+            t0 = time.perf_counter()
             int(run_batch_k(batch_d, sv, k))
-            bs.append(_time.perf_counter() - t0)
+            bs.append(time.perf_counter() - t0)
         bs.sort()
         return bs[len(bs) // 2]
 
@@ -417,34 +407,22 @@ def main():
     # retires; fetching the value is the only true synchronization.
     k_lo, k_hi = 5, 65
     salt = iter(range(1000))
-    int(run_k(img_d, ov_d, jnp.uint8(next(salt)), k_lo))
+    int(run_k(img_d, ov_d, jnp.uint8(next(salt)), k_lo))  # compile both k's
     int(run_k(img_d, ov_d, jnp.uint8(next(salt)), k_hi))
 
-    def median_of(k, reps=3):
-        # discard one call (post-compile/idle stragglers), then median
-        int(run_k(img_d, ov_d, jnp.uint8(next(salt)), k))
-        ts = []
-        for _ in range(reps):
-            sv = jnp.uint8(next(salt))
-            t0 = time.perf_counter()
-            int(run_k(img_d, ov_d, sv, k))
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        return ts[len(ts) // 2]
-
-    per_frame = (median_of(k_hi) - median_of(k_lo)) / (k_hi - k_lo)
+    per_frame = _measure(run_k, img_d, ov_d, salt, k_lo, k_hi)
     gpix_s = h * w / per_frame / 1e9
-    # BASELINE.json's >10 GPix/s target is for a v5e-8 slice; this bench runs
-    # on however many local devices exist (one chip under the driver), and
-    # the workload shards linearly per image, so compare against the
-    # per-chip share of the target.
-    n_dev = len(jax.local_devices())
-    target = 10.0 * min(n_dev, 8) / 8.0
+    # BASELINE.json's >10 GPix/s target is for a v5e-8 slice.  run_k is a
+    # SINGLE-DEVICE program (no sharding annotations), so the honest
+    # comparison is always the per-chip share of the target — scaling the
+    # target by local device count would understate vs_baseline on
+    # multi-chip hosts while still measuring one chip.
+    target = 10.0 / 8.0
     print(json.dumps({
         "metric": (
             "fused 4K blur+adjust+flatten chain throughput "
-            f"({n_dev} chip(s); baseline 10 GPix/s is v5e-8, "
-            f"pro-rated target {target:.2f})"
+            "(single chip; baseline 10 GPix/s is v5e-8, "
+            f"per-chip target {target:.2f})"
         ),
         "value": round(gpix_s, 3),
         "unit": "GPix/s",
@@ -468,13 +446,17 @@ def scripts_bench():
                 "print_line(`${acc}`);")
 
     def run_once(src, mode, image=img, w=8, h=8):
+        prior = os.environ.get("PAINTFE_SCRIPT_COMPILE")
         os.environ["PAINTFE_SCRIPT_COMPILE"] = mode
         try:
             t0 = time.perf_counter()
             out = execute_script_sync(src, image, w, h, None)
             return time.perf_counter() - t0, out[3]
         finally:
-            os.environ.pop("PAINTFE_SCRIPT_COMPILE", None)
+            if prior is None:  # restore, don't clobber a user's setting
+                os.environ.pop("PAINTFE_SCRIPT_COMPILE", None)
+            else:
+                os.environ["PAINTFE_SCRIPT_COMPILE"] = prior
 
     tw, ca = run_once(loop_src, "0")
     tc, cb = run_once(loop_src, "1")
@@ -486,7 +468,9 @@ def scripts_bench():
     big = np.zeros((1024, 1024, 4), np.uint8)
     big[..., 0] = 128
     big[..., 3] = 255
-    branchy = ("for_each_pixel(|r, g, b, a, x, y| "
+    # engine arg order is (x, y, r, g, b, a): with r=128 everywhere the
+    # branch is data-dependent on the red channel as labeled
+    branchy = ("for_each_pixel(|x, y, r, g, b, a| "
                "{ if r > 100 { [255 - r, g, b, a] } else { [r, g, b, a] } });")
     tv, _ = run_once(branchy, "auto", big, 1024, 1024)
     px = 1024 * 1024
