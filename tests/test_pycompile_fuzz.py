@@ -42,12 +42,17 @@ class Gen:
         if d > 2 or r < 0.3:
             return self.pick([self.int_lit, self.float_lit,
                               lambda: self.pick(NAMES)])()
-        if r < 0.75:
+        if r < 0.72:
             op = self.pick(["+", "-", "*", "/", "%", "==", "!=", "<", ">",
                             "<=", ">="])
             l = self.scalar_expr(d + 1)
             rr = self.scalar_expr(d + 1)
             return f"({l} {op} {rr})"
+        if r < 0.75:
+            # pow: small literal exponent (negative int exponents error in
+            # both engines; float corners go IEEE inf/NaN)
+            return (f"({self.scalar_expr(d + 1)} ** "
+                    f"{self.pick(['2', '3', '0', '-1', '0.5', '2.0'])})")
         if r < 0.85 and self.fns:
             fn = self.pick(self.fns)
             return f"{fn}({self.scalar_expr(d + 1)})"
@@ -101,11 +106,25 @@ class Gen:
             n = self.r.randint(1, 2)
             body = " ".join(self.stmt(d + 1) for _ in range(n))
             return f"{{ let {self.pick(NAMES)} = {self.int_lit()}; {body} }}"
-        if r < 0.86:
+        if r < 0.83:
             arr = ", ".join(self.scalar_expr(2) for _ in range(2))
             v = self.pick(NAMES)
             return (f"let {v} = [{arr}]; {v}.push({self.scalar_expr(2)}); "
                     f'print_line(`n=${{{v}.len}} s=${{{v}[0]}}`);')
+        if r < 0.845:
+            # clone-on-value at method args: mutating the pushed variable
+            # afterwards must NOT alias into the container
+            v = self.pick(NAMES)
+            return (f"let z_{v} = [{self.int_lit()}]; let c_{v} = []; "
+                    f"c_{v}.push(z_{v}); z_{v}.push({self.int_lit()}); "
+                    f'print_line(`a=${{c_{v}[0].len}} b=${{z_{v}.len}}`);')
+        if r < 0.86:
+            # for-in binds cloned values over a snapshot: inner mutations
+            # must not write through to the array
+            v = self.pick(NAMES)
+            return (f"let w_{v} = [[{self.int_lit()}], [{self.int_lit()}]]; "
+                    f"for it in w_{v} {{ it.push({self.int_lit()}); }} "
+                    f'print_line(`k=${{w_{v}[0].len}}`);')
         if r < 0.91 and d < 2:
             # bounded while with a guaranteed-progress counter
             v = self.pick(["wi", "wj"])
@@ -161,7 +180,7 @@ def run_mode(src, mode, monkeypatch):
         return ("raw", type(e).__name__, str(e))
 
 
-@pytest.mark.parametrize("seed", range(250))
+@pytest.mark.parametrize("seed", range(320))
 def test_fuzz_engines_agree(seed, monkeypatch):
     src = Gen(seed).program()
     a = run_mode(src, "0", monkeypatch)
