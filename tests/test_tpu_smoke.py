@@ -126,3 +126,17 @@ def test_mosaic_chain_kernel_respecialized():
     got = np.asarray(fused_chain_kernel(img, ov, interpret=False, **kw))
     want = np.asarray(fused_chain(img, ov, interpret=False, **kw))
     assert np.array_equal(got, want)
+
+
+def test_mosaic_conv_pass_blur_nonpow2_width():
+    """w=320 (+2r) used to build a 384-lane tile — one of the widths where
+    Mosaic's dynamic lane roll is measurably WRONG on v5e; the pass now
+    pads to the next power of two.  Bit-checked vs the XLA program."""
+    from paintfe_tpu.ops.filters import _gaussian_fn
+    from paintfe_tpu.ops.pallas_kernels import gaussian_blur_pallas
+
+    for w in (320, 520):  # pre-fix wp = 384 / 640, both measured-corrupt
+        img = _img(h=64, w=w, seed=3)
+        got = np.asarray(gaussian_blur_pallas(img, 2.5, interpret=False))
+        want = np.asarray(_gaussian_fn(2.5, 64, w)(img))
+        assert np.array_equal(got, want), f"w={w} corrupt"
