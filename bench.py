@@ -146,13 +146,18 @@ def table():
     def wand_device(img, y, x):
         # inlined magic_wand_mask pipeline (the public fn does a host
         # img[y, x] fetch; the bench needs one sync-free device program).
-        # `thr + 1` is the anti-aliased passability fringe — keep in
-        # lockstep with fill.py's magic_wand_mask (fill.py:163).
+        # Bottleneck semantics: core flood (<= thr) then an AA fringe
+        # flood seeded from the core — keep in lockstep with fill.py's
+        # magic_wand_mask.
         dist = fill.perceptual_distance_map(img, img[y, x])
-        alpha = fill.threshold_alpha(dist, thr, True)
-        passable = dist <= min(thr + 1, 255)
-        reach = fill._reachability(passable, y, x)
-        return jnp.where(reach, alpha, 0).astype(jnp.uint32).sum()
+        reach_core = fill._reach_loop(
+            dist <= thr,
+            jnp.zeros(dist.shape, bool).at[y, x].set(True), False)[0]
+        fringe = dist <= min(thr + 1, 255)
+        reach_fringe = fill._reach_loop(
+            fringe, reach_core.at[y, x].set(True) & fringe, False)[0]
+        mask = jnp.where(reach_core, 255, jnp.where(reach_fringe, 128, 0))
+        return mask.astype(jnp.uint32).sum()
 
     blob = np.zeros((h, w, 4), np.uint8)
     blob[...] = [30, 30, 30, 255]

@@ -249,8 +249,17 @@ def align_layer_to_anchor(canvas, layer_idx: int, anchor,
     tw = tx1 - tx0 + 1
     th = ty1 - ty0 + 1
     ax, ay = anchor
-    target_min_x = tx0 if ax == 0 else (tx0 + (tw - bw) // 2 if ax == 1 else tx1 + 1 - bw)
-    target_min_y = ty0 if ay == 0 else (ty0 + (th - bh) // 2 if ay == 1 else ty1 + 1 - bh)
+
+    def _div2_trunc(v: int) -> int:
+        # Rust i32 division truncates toward zero (transform.rs:677-687);
+        # Python // floors, off by one when the content exceeds the target
+        # bounds by an odd amount (v negative)
+        return -((-v) // 2) if v < 0 else v // 2
+
+    target_min_x = tx0 if ax == 0 else (
+        tx0 + _div2_trunc(tw - bw) if ax == 1 else tx1 + 1 - bw)
+    target_min_y = ty0 if ay == 0 else (
+        ty0 + _div2_trunc(th - bh) if ay == 1 else ty1 + 1 - bh)
     canvas.layers[layer_idx].pixels = translate_image_clipped(
         flat, target_min_x - min_x, target_min_y - min_y
     )

@@ -106,7 +106,9 @@ class Clipboard:
             return
         sel = canvas.selection > 0
         if not sel.any():
-            self.image = None
+            # reference copy_selection returns false and leaves the
+            # clipboard INTACT (clipboard.rs:660-662) — an empty selection
+            # must not clobber previously copied content
             return
         ys, xs = np.nonzero(sel)
         y0, y1 = int(ys.min()), int(ys.max()) + 1

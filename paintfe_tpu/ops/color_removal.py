@@ -10,7 +10,6 @@ compute/apply color removal two-phase flow (:161+).
 from __future__ import annotations
 
 import dataclasses
-from collections import deque
 from typing import Optional
 
 import numpy as np
@@ -101,45 +100,105 @@ def color_to_alpha(img: np.ndarray, settings: Optional[ColorToAlphaSettings] = N
 
 
 def flood_select(pixels: np.ndarray, start_x: int, start_y: int,
-                 tolerance: float, connectivity8: bool = False) -> np.ndarray:
-    """BFS flood fill from a seed using max-channel distance <= tolerance;
-    returns a binary u8 mask (the smart-eraser / magic-wand primitive)."""
+                 tolerance: float, selection: Optional[np.ndarray] = None,
+                 contiguous: bool = True) -> np.ndarray:
+    """The smart-eraser core mask (color_removal.rs:185-256): squared
+    Euclidean RGB distance <= (tolerance*2.55)^2 (UI 0-100 -> 0-255 scale),
+    4-connected flood, fully-transparent pixels auto-included and
+    traversable, transparent seed -> empty, selection-mask zeros block."""
     h, w = pixels.shape[:2]
     mask = np.zeros((h, w), np.uint8)
     if not (0 <= start_x < w and 0 <= start_y < h):
         return mask
-    seed = pixels[start_y, start_x, :3].astype(np.int16)
-    tol = int(tolerance)
-    visited = np.zeros((h, w), bool)
-    q = deque([(start_x, start_y)])
-    visited[start_y, start_x] = True
-    nbs = [(-1, 0), (1, 0), (0, -1), (0, 1)]
-    if connectivity8:
-        nbs += [(-1, -1), (1, -1), (-1, 1), (1, 1)]
-    while q:
-        x, y = q.popleft()
-        d = np.abs(pixels[y, x, :3].astype(np.int16) - seed).max()
-        if d > tol:
-            continue
-        mask[y, x] = 255
-        for dx, dy in nbs:
-            nx, ny = x + dx, y + dy
-            if 0 <= nx < w and 0 <= ny < h and not visited[ny, nx]:
-                visited[ny, nx] = True
-                q.append((nx, ny))
+    if selection is not None and selection[start_y, start_x] == 0:
+        return mask
+    if pixels[start_y, start_x, 3] == 0:
+        return mask  # clicked a fully transparent pixel: no-op
+    seed = pixels[start_y, start_x, :3].astype(f32)
+    tol_sq = f32(float(tolerance) * 2.55) * f32(float(tolerance) * 2.55)
+    d = pixels[..., :3].astype(f32) - seed[None, None, :]
+    dist_sq = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
+    member = (pixels[..., 3] == 0) | (dist_sq <= tol_sq)
+    if selection is not None:
+        member &= selection > 0
+    if not contiguous:
+        member &= pixels[..., 3] > 0  # global match skips transparent
+        mask[member] = 255
+        mask[start_y, start_x] = 255
+        return mask
+    from paintfe_tpu.ops.fill import _reachability
+
+    reach = np.asarray(_reachability(member, start_y, start_x))
+    mask[reach] = 255
+    mask[start_y, start_x] = 255  # seed included unconditionally
     return mask
 
 
-def smart_contiguous_erase(pixels: np.ndarray, start_x: int, start_y: int,
-                           tolerance: float, smoothness: int = 2) -> np.ndarray:
-    """Flood fill -> dilate by `smoothness` -> color-to-alpha against the
-    seed color within the dilated region (color_removal.rs:161+)."""
-    from paintfe_tpu.core.selection import expand
+def _ring_distance(core: np.ndarray, smoothness: int,
+                   selection: Optional[np.ndarray]) -> np.ndarray:
+    """BFS ring distance from the core edge (color_removal.rs:260-333):
+    0 = core, 1..smoothness = dilated fringe, -1 = outside."""
+    h, w = core.shape
+    dist = np.where(core, 0, -1).astype(np.int32)
+    frontier = core
+    ok = np.ones((h, w), bool) if selection is None else (selection > 0)
+    for ring in range(1, int(smoothness) + 1):
+        grown = np.zeros((h, w), bool)
+        grown[1:, :] |= frontier[:-1, :]
+        grown[:-1, :] |= frontier[1:, :]
+        grown[:, 1:] |= frontier[:, :-1]
+        grown[:, :-1] |= frontier[:, 1:]
+        new = grown & (dist == -1) & ok
+        if not new.any():
+            break
+        dist[new] = ring
+        frontier = new
+    return dist
 
-    region = flood_select(pixels, start_x, start_y, tolerance)
+
+def smart_contiguous_erase(pixels: np.ndarray, start_x: int, start_y: int,
+                           tolerance: float, smoothness: int = 2,
+                           selection: Optional[np.ndarray] = None,
+                           contiguous: bool = True) -> np.ndarray:
+    """The smart eraser (color_removal.rs:161-418): flood-select the core,
+    dilate by `smoothness` 4-connected rings, then per pixel remove
+    removal = (1 - max-channel distance to the seed) faded linearly by
+    ring distance (1 - dist/(smoothness+1)); alpha = round(a*(1-removal)),
+    RGB recovered by inverting the seed premultiplication."""
+    out = pixels.copy()
+    region = flood_select(pixels, start_x, start_y, tolerance,
+                          selection=selection, contiguous=contiguous)
+    if not region.any():
+        return out
+    dist = _ring_distance(region > 0, smoothness, selection)
+    in_mask = dist >= 0
+    seed = pixels[start_y, start_x, :3].astype(f32)
+
+    a = pixels[..., 3]
+    active = in_mask & (a > 0)
+    rgb = pixels[..., :3].astype(f32)
+    dd = np.abs(rgb - seed[None, None, :]) / f32(255.0)
+    max_d = dd.max(axis=-1)
+    removal = f32(1.0) - max_d
     if smoothness > 0:
-        region = expand(region, smoothness)
-    seed = tuple(int(c) for c in pixels[start_y, start_x, :3])
-    settings = ColorToAlphaSettings(target=seed, tolerance=tolerance,
-                                    softness=max(tolerance, 1.0))
-    return color_to_alpha(pixels, settings, mask=region)
+        fade = f32(1.0) - dist.astype(f32) / f32(float(smoothness) + 1.0)
+        removal = np.where(dist > 0, removal * fade, removal)
+    removal = np.clip(removal, 0.0, 1.0)
+    active &= removal >= 0.004  # negligible change skipped (< 1/255)
+
+    new_a_f = (a.astype(f32) / f32(255.0)) * (f32(1.0) - removal)
+    new_a = np.clip(np.floor(new_a_f * f32(255.0) + f32(0.5)), 0, 255
+                    ).astype(np.uint8)
+    kept = f32(1.0) - removal
+    safe_kept = np.where(kept < 0.001, f32(1.0), kept)
+    rec = (rgb - seed[None, None, :] * removal[..., None]) / safe_kept[..., None]
+    rec = np.clip(np.floor(rec + f32(0.5)), 0, 255).astype(np.uint8)
+    # kept < 0.001 keeps the original channel (truncating `orig as u8`)
+    rec = np.where((kept < 0.001)[..., None], pixels[..., :3], rec)
+
+    zeroed = new_a == 0  # fully removed -> (0,0,0,0)
+    for c in range(3):
+        out[..., c] = np.where(
+            active, np.where(zeroed, 0, rec[..., c]), out[..., c])
+    out[..., 3] = np.where(active, new_a, out[..., 3])
+    return out

@@ -57,6 +57,19 @@ def perceptual_distance_map(img, target):
     return jnp.where(both_clear, 0, jnp.clip(dist, 0, 255)).astype(jnp.uint8)
 
 
+@jax.jit
+def legacy_distance_map(img, target):
+    """u8 max-component |Δ| over RGBA (fill_magic.rs pixel_color_distance,
+    LegacyRgba): the FILL tool pins this metric because the perceptual one
+    can leave 1-px gaps at fill boundaries (fill_magic.rs:1267-1273).
+    Both-transparent pixels are distance 0."""
+    c = img.astype(jnp.int16)
+    t = jnp.asarray(target, jnp.int16)
+    d = jnp.abs(c - t[None, None, :]).max(axis=-1)
+    both_clear = (t[3] == 0) & (img[..., 3] == 0)
+    return jnp.where(both_clear, 0, d).astype(jnp.uint8)
+
+
 def tolerance_threshold_u8(tolerance: float) -> int:
     n = min(max(tolerance / 100.0, 0.0), 1.0)
     return int(min(max(np.floor(n * 255.0 + 0.5), 0.0), 255.0))
@@ -75,8 +88,7 @@ def threshold_alpha(distance, threshold: int, anti_aliased: bool):
 _NEG_BIG = -(1 << 30)  # plain int: no device array materialized at import
 
 
-@functools.partial(jax.jit, static_argnames=("connectivity8",))
-def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
+def _reach_loop(passable, reach0, connectivity8):
     """Reachable set + iteration count (scanline relaxation).
 
     The reference GPU fill relaxes one pixel per pass (FLOOD_STEP,
@@ -94,7 +106,6 @@ def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
     direction).  The wall cummaxes are loop-invariant, so each iteration
     costs just one reach-cummax per direction."""
     h, w = passable.shape
-    reach0 = jnp.zeros((h, w), bool).at[seed_y, seed_x].set(True)
     wall = ~passable
 
     col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
@@ -145,30 +156,67 @@ def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
     return reach, iters
 
 
+@functools.partial(jax.jit, static_argnames=("connectivity8",))
+def _reachability_iters(passable, seed_y, seed_x, connectivity8=False):
+    h, w = passable.shape
+    reach0 = jnp.zeros((h, w), bool).at[seed_y, seed_x].set(True)
+    return _reach_loop(passable, reach0, connectivity8)
+
+
+@functools.partial(jax.jit, static_argnames=("connectivity8",))
+def _reachability_seeded(passable, seeds, connectivity8=False):
+    """Flood from an arbitrary seed MASK (the fringe pass of the bottleneck
+    wand starts from the already-flooded core)."""
+    return _reach_loop(passable, seeds & passable, connectivity8)[0]
+
+
 def _reachability(passable, seed_y, seed_x, connectivity8=False):
     return _reachability_iters(passable, seed_y, seed_x,
                                connectivity8=connectivity8)[0]
 
 
 def magic_wand_mask(img, x: int, y: int, tolerance: float, contiguous: bool = True,
-                    anti_aliased: bool = True, connectivity8: bool = False):
-    """Selection mask u8 [H, W] for the magic wand / fill tool."""
+                    anti_aliased: bool = True, connectivity8: bool = False,
+                    metric: str = "perceptual"):
+    """Selection mask u8 [H, W] for the magic wand (and, with
+    metric="legacy", the fill tool).
+
+    Contiguous selections follow the reference's Dijkstra MINIMAX
+    (bottleneck) semantics (fill_magic.rs:942-1019): a pixel's alpha comes
+    from the minimax per-step distance along the best path from the seed,
+    not its own distance.  In the thresholded domain that is two-level:
+    pixels reachable through the core (every step <= thr) are 255; pixels
+    reachable only by crossing the AA fringe (a step == thr+1) are 128 —
+    including in-tolerance pockets enclosed by a fringe ring."""
     img = jnp.asarray(img, jnp.uint8)
     target = np.asarray(img[y, x])
-    dist = perceptual_distance_map(img, target)
+    dmap = (perceptual_distance_map if metric == "perceptual"
+            else legacy_distance_map)
+    dist = dmap(img, target)
     thr = tolerance_threshold_u8(tolerance)
-    alpha = threshold_alpha(dist, thr, anti_aliased)
     if not contiguous:
-        return np.asarray(alpha)
-    passable = dist <= min(thr + (1 if anti_aliased else 0), 255)
-    reach = _reachability(passable, y, x, connectivity8=connectivity8)
-    return np.asarray(jnp.where(reach, alpha, 0).astype(jnp.uint8))
+        return np.asarray(threshold_alpha(dist, thr, anti_aliased))
+    reach_core = _reachability(dist <= thr, y, x, connectivity8=connectivity8)
+    if not anti_aliased:
+        return np.asarray(jnp.where(reach_core, 255, 0).astype(jnp.uint8))
+    fringe_pass = dist <= min(thr + 1, 255)
+    seeds = reach_core.at[y, x].set(True)
+    reach_fringe = _reachability_seeded(fringe_pass, seeds,
+                                        connectivity8=connectivity8)
+    mask = jnp.where(reach_core, 255, jnp.where(reach_fringe, 128, 0))
+    return np.asarray(mask.astype(jnp.uint8))
 
 
 def bucket_fill(img, x: int, y: int, color, tolerance: float = 25.0,
-                contiguous: bool = True, anti_aliased: bool = True):
-    """Fill with `color` where the wand mask covers; AA fringe alpha-blends."""
-    mask = magic_wand_mask(img, x, y, tolerance, contiguous, anti_aliased)
+                contiguous: bool = True, anti_aliased: bool = False):
+    """Fill with `color` where the fill mask covers; AA fringe alpha-blends.
+
+    The FILL tool pins the LegacyRgba max-component metric with 4-connected
+    flood (fill_magic.rs:1267-1273 — perceptual distance can leave 1-px
+    gaps at fill boundaries) and defaults anti_aliased off
+    (FillToolState::default, state.rs:871-877)."""
+    mask = magic_wand_mask(img, x, y, tolerance, contiguous, anti_aliased,
+                           metric="legacy")
     img_np = np.asarray(img, np.uint8)
     cov = mask.astype(f32)[..., None] / f32(255.0)
     color_v = np.asarray(color, f32)

@@ -162,6 +162,8 @@ def gradient_map_lut(stops) -> np.ndarray:
     """
     stops = sorted(stops, key=lambda s: s[0])
     lut = np.zeros((256, 4), np.uint8)
+    if not stops:
+        return lut  # reference rebuild_lut fills zeros (state.rs:1066-1070)
     ts = np.array([s[0] for s in stops], f32)
     cols = np.array([s[1] for s in stops], f32)
     for i in range(256):
@@ -171,7 +173,12 @@ def gradient_map_lut(stops) -> np.ndarray:
         elif t >= ts[-1]:
             c = cols[-1]
         else:
-            j = int(np.searchsorted(ts, t, side="right")) - 1
+            # FIRST matching segment like the reference's linear scan
+            # (searchsorted side='right' picked the last coincident stop
+            # at duplicated positions)
+            j = int(np.searchsorted(ts, t, side="left"))
+            if ts[j] > t:
+                j -= 1
             span = ts[j + 1] - ts[j]
             frac = f32(0.0) if span <= 0 else (t - ts[j]) / span
             c = cols[j] * (f32(1.0) - frac) + cols[j + 1] * frac

@@ -500,3 +500,28 @@ def test_os_clipboard_bridge_unavailable(tmp_path, monkeypatch):
     clip = Clipboard()
     clip.image = np.zeros((4, 4, 4), np.uint8)
     assert not clip.copy_to_os()
+
+
+def test_clipboard_empty_selection_keeps_content():
+    """copy with an all-zero selection returns without clobbering the
+    clipboard (clipboard.rs:660-662)."""
+    c = canvas64()
+    cb = Clipboard()
+    cb.copy(c)
+    assert cb.image is not None
+    c.selection = np.zeros((64, 64), np.uint8)  # nothing selected
+    cb.copy(c)
+    assert cb.image is not None  # previous content intact
+
+
+def test_align_center_truncates_like_rust():
+    """Centering content LARGER than the target bounds by an odd amount:
+    Rust i32 (-3)/2 = -1 (trunc) vs Python (-3)//2 = -2 (floor)."""
+    c = Canvas.new(10, 10)
+    c.layers = [Layer.new("L", 10, 10)]
+    c.layers[0].pixels[2:5, 0:10] = [9, 9, 9, 255]  # content bbox 10 wide
+    co.align_layer_to_anchor(c, 0, anchor=(1, 1), target_bounds=(2, 2, 8, 8))
+    # tw=7, bw=10 -> offset trunc((7-10)/2) = -1: content min lands at x=1
+    out = c.layers[0].pixels
+    cols = np.where((out[..., 3] > 0).any(axis=0))[0]
+    assert cols.min() == 1, cols

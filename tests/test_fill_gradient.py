@@ -76,11 +76,15 @@ def test_gradient_radial_symmetric():
 
 
 def test_gradient_reflected_and_repeat():
+    # triangle wave (state.rs:1192-1201): color_a at BOTH endpoints,
+    # color_b peak at the midpoint
     g = gradient.render_gradient(
         64, 1, (32, 0), (48, 0), (0, 0, 0, 255), (255, 255, 255, 255),
         gradient.GradientShape.LINEAR_REFLECTED,
     )
-    assert g[0, 16, 0] == g[0, 47, 0]  # reflection symmetry (pixel centers)
+    assert g[0, 32, 0] < 20 and g[0, 47, 0] < 20   # endpoints ~ color_a
+    assert g[0, 40, 0] > 235                        # midpoint ~ color_b
+    assert g[0, 16, 0] == 0                         # clamped before start
     rep = gradient.render_gradient(
         64, 1, (0, 0), (16, 0), (0, 0, 0, 255), (255, 255, 255, 255),
         gradient.GradientShape.LINEAR, repeat=True,
@@ -89,13 +93,35 @@ def test_gradient_reflected_and_repeat():
 
 
 def test_gradient_eraser():
+    # the eraser mask is LUMINANCE of the gradient color (shaders.rs
+    # is_eraser): black start -> mask 0 (alpha kept), white end -> mask 1
+    # (fully erased) — the commit multiplies alpha by (1 - mask)
     base = fixtures.solid(16, 16, (100, 100, 100, 255))
     g = gradient.render_gradient(
         16, 16, (0, 0), (16, 0), (0, 0, 0, 255), (255, 255, 255, 255),
         gradient.GradientShape.LINEAR, base=base, eraser=True,
     )
-    assert g[8, 0, 3] < 20 and g[8, 15, 3] > 235
+    assert g[8, 0, 3] > 235 and g[8, 15, 3] < 20
     np.testing.assert_array_equal(g[..., 0], base[..., 0])
+    # swapping the ramp colors inverts the erase direction
+    g2 = gradient.render_gradient(
+        16, 16, (0, 0), (16, 0), (255, 255, 255, 255), (0, 0, 0, 255),
+        gradient.GradientShape.LINEAR, base=base, eraser=True,
+    )
+    assert g2[8, 0, 3] < 20 and g2[8, 15, 3] > 235
+
+
+def test_gradient_multi_stop_and_degenerate():
+    # 3-stop LUT sampling (rebuild_lut parity) + degenerate start==end -> t=0
+    stops = [(0.0, (255, 0, 0, 255)), (0.5, (0, 255, 0, 255)),
+             (1.0, (0, 0, 255, 255))]
+    g = gradient.render_gradient(64, 1, (0, 0), (64, 0), stops=stops)
+    assert g[0, 0, 0] > 240 and g[0, 32, 1] > 240 and g[0, 63, 2] > 240
+    d = gradient.render_gradient(
+        8, 8, (4, 4), (4, 4), (255, 0, 0, 255), (0, 0, 255, 255),
+        gradient.GradientShape.RADIAL,
+    )
+    assert (d[..., 0] == 255).all()  # start color everywhere (t = 0)
 
 
 def _bfs_reach(passable: np.ndarray, sy: int, sx: int, conn8=False) -> np.ndarray:
@@ -165,3 +191,36 @@ def test_reachability_blocked_seed():
     passable = np.zeros((16, 16), bool)
     reach, _ = fill._reachability_iters(np.asarray(passable), 3, 3)
     assert not np.asarray(reach).any()
+
+
+def test_wand_bottleneck_pocket_gets_fringe_alpha():
+    """Minimax semantics (fill_magic.rs:942-1019): an in-tolerance pocket
+    enclosed by an exactly-fringe ring is reachable only by crossing a
+    thr+1 step, so its alpha is 128 (the bottleneck), not 255."""
+    img = np.zeros((9, 9, 4), np.uint8)
+    img[...] = [10, 10, 10, 255]
+    # build with the LEGACY metric for exact distance control
+    img[2:7, 2:7] = [60, 10, 10, 255]   # ring band: far from seed
+    img[4, 4] = [10, 10, 10, 255]       # pocket: identical to seed
+    # tolerance such that thr = 49: ring dist 50 == thr+1 (fringe)
+    tol = 49 / 255 * 100
+    from paintfe_tpu.ops.fill import magic_wand_mask, tolerance_threshold_u8
+    assert tolerance_threshold_u8(tol) == 49
+    mask = magic_wand_mask(img, 0, 0, tol, contiguous=True,
+                           anti_aliased=True, metric="legacy")
+    assert mask[0, 0] == 255          # seed core
+    assert mask[2, 2] == 128          # fringe ring
+    assert mask[4, 4] == 128          # pocket: bottleneck thr+1, NOT 255
+    # without AA the fringe is impassable: pocket unreachable
+    mask2 = magic_wand_mask(img, 0, 0, tol, contiguous=True,
+                            anti_aliased=False, metric="legacy")
+    assert mask2[4, 4] == 0 and mask2[2, 2] == 0 and mask2[0, 0] == 255
+
+
+def test_bucket_fill_uses_legacy_metric():
+    """The fill tool pins max-component distance (fill_magic.rs:1267-1273):
+    byte-identical flat regions always fill completely at tolerance 0."""
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[...] = [123, 47, 201, 255]
+    out = fill.bucket_fill(img, 2, 2, (0, 255, 0, 255), tolerance=0.0)
+    assert (out[..., 1] == 255).all() and (out[..., 0] == 0).all()
