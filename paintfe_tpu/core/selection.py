@@ -133,13 +133,15 @@ def expand(mask: np.ndarray, radius: int) -> np.ndarray:
 
 
 def contract(mask: np.ndarray, radius: int) -> np.ndarray:
-    """Disc erode: selected pixels with an unselected pixel within `radius`
-    become 0."""
+    """Disc erode (adjustments.rs:1546-1586): any NONZERO pixel with a
+    fully-ZERO pixel within `radius` becomes 0.  Note the asymmetry with
+    expand (which thresholds at >127): contract erodes feathered 1-127
+    values too, and a partial value never counts as 'unselected'."""
     r = max(int(radius), 0)
-    sel = mask > 127
-    near_unsel = _disc_hits(~sel, r)
+    nonzero = mask != 0
+    near_zero = _disc_hits(mask == 0, r)
     out = mask.copy()
-    out[sel & near_unsel] = 0
+    out[nonzero & near_zero] = 0
     return out
 
 
@@ -174,14 +176,44 @@ def select_color_range(pixels: np.ndarray, hue_center_deg: float,
 
 
 def fill_selected(pixels: np.ndarray, mask: Optional[np.ndarray], color) -> np.ndarray:
+    """Fill with proportional blending on partial mask values
+    (canvas_state_impl.rs:1544-1578): sel==255 replaces outright, 1-254
+    blends old*(1-t) + new*t per channel (t = sel/255, round-half-away) —
+    feathered selections get soft-edged fills."""
     out = pixels.copy()
     color = np.asarray(color, np.uint8)
     if mask is None:
         out[...] = color
-    else:
-        out[mask > 0] = color
+        return out
+    sel = np.asarray(mask)
+    full = sel == 255
+    out[full] = color
+    partial = (sel > 0) & ~full
+    if partial.any():
+        t = sel.astype(f32)[..., None] / f32(255.0)
+        blended = np.floor(pixels.astype(f32) * (f32(1.0) - t)
+                           + color.astype(f32)[None, None, :] * t
+                           + f32(0.5)).astype(np.uint8)
+        out = np.where(partial[..., None], blended, out)
     return out
 
 
 def delete_selected(pixels: np.ndarray, mask: Optional[np.ndarray]) -> np.ndarray:
-    return fill_selected(pixels, mask, (0, 0, 0, 0))
+    """Delete keeps RGB and scales only ALPHA on partial mask values
+    (canvas_state_impl.rs:1515-1540): sel==255 clears to (0,0,0,0), 1-254
+    multiplies alpha by (1 - sel/255) — a feathered cut leaves a soft
+    edge, not a hard hole."""
+    out = pixels.copy()
+    if mask is None:
+        out[...] = 0
+        return out
+    sel = np.asarray(mask)
+    full = sel == 255
+    out[full] = 0
+    partial = (sel > 0) & ~full
+    if partial.any():
+        factor = f32(1.0) - sel.astype(f32) / f32(255.0)
+        new_a = np.floor(pixels[..., 3].astype(f32) * factor
+                         + f32(0.5)).astype(np.uint8)
+        out[..., 3] = np.where(partial, new_a, out[..., 3])
+    return out

@@ -166,6 +166,13 @@ def rotate_canvas_arbitrary(canvas: Canvas, degrees: float,
         layer.pixels = np.asarray(
             tfm.rotate_arbitrary(layer.pixels, degrees, interpolation)
         )
+        if layer.mask is not None:
+            # the reference rotates layer masks with the same transform
+            # (transform.rs rotate_canvas_arbitrary) — a stale-orientation
+            # mask would reveal/hide the wrong regions afterwards
+            m4 = np.repeat(layer.mask[..., None], 4, -1)
+            layer.mask = np.asarray(
+                tfm.rotate_arbitrary(m4, degrees, interpolation))[..., 0]
 
 
 def resize_image(canvas: Canvas, new_w: int, new_h: int,

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from paintfe_tpu.utils.quant import exact_div, round_u8
+from paintfe_tpu.utils.quant import exact_div, exact_div_hw, round_u8
 
 f32 = np.float32
 
@@ -147,13 +147,11 @@ def resize_canvas(img, new_w: int, new_h: int, anchor=(0, 0), fill=(0, 0, 0, 0))
     img = np.asarray(img)
     old_h, old_w = img.shape[:2]
     ax, ay = anchor
-    offset_x = 0 if ax == 0 else ((new_w - old_w) // 2 if ax == 1 else new_w - old_w)
-    offset_y = 0 if ay == 0 else ((new_h - old_h) // 2 if ay == 1 else new_h - old_h)
     # Rust i32 division truncates toward zero; Python // floors — match Rust.
-    if ax == 1:
-        offset_x = int((new_w - old_w) / 2)
-    if ay == 1:
-        offset_y = int((new_h - old_h) / 2)
+    offset_x = (0 if ax == 0
+                else int((new_w - old_w) / 2) if ax == 1 else new_w - old_w)
+    offset_y = (0 if ay == 0
+                else int((new_h - old_h) / 2) if ay == 1 else new_h - old_h)
     out = np.empty((new_h, new_w, 4), np.uint8)
     out[...] = np.asarray(fill, np.uint8)
     sx0 = max(-offset_x, 0)
@@ -190,11 +188,40 @@ def _invert_3x3(m):
     )
 
 
-@functools.lru_cache(maxsize=64)
-def _affine_fn(rotation_z, rotation_x, rotation_y, scale, offset_x, offset_y,
-               canvas_w, canvas_h, src_h, src_w, nearest):
-    cx = f32(canvas_w) * f32(0.5)
-    cy = f32(canvas_h) * f32(0.5)
+def _bilinear_gather_zero(src, sx, sy, src_h, src_w):
+    """Zero-padded bilinear sample + round-half-away u8 (the shared gather
+    of the affine and displacement warps; out-of-source pixels transparent).
+    ONE definition: warp_kernel.py's mode="zero" documents these exact
+    semantics as its contract."""
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    oob = (x0 < -1) | (y0 < -1) | (x0 >= src_w) | (y0 >= src_h)
+    fx = (sx - x0.astype(jnp.float32))[..., None]
+    fy = (sy - y0.astype(jnp.float32))[..., None]
+
+    def sample(xi, yi):
+        inb = (xi >= 0) & (yi >= 0) & (xi < src_w) & (yi < src_h)
+        p = src[jnp.clip(yi, 0, src_h - 1), jnp.clip(xi, 0, src_w - 1)]
+        return jnp.where(inb[..., None], p.astype(jnp.float32), 0.0)
+
+    tl = sample(x0, y0)
+    tr = sample(x0 + 1, y0)
+    bl = sample(x0, y0 + 1)
+    br = sample(x0 + 1, y0 + 1)
+    top = tl + (tr - tl) * fx
+    bot = bl + (br - bl) * fx
+    out = round_u8(top + (bot - top) * fy)
+    return jnp.where(oob[..., None], jnp.zeros_like(out), out), oob
+
+
+def _affine_params(rotation_z, rotation_x, rotation_y, scale, offset_x,
+                   offset_y, canvas_w, canvas_h) -> np.ndarray:
+    """Host-side f32 homography coefficients -> f32[12] parameter vector
+    [h00..h22, offset_x, offset_y, inv_scale].  Host math keeps the exact
+    Rust f32 sequencing; the coefficients ride into the jitted program as
+    a TRACED operand so one compiled program serves every parameter set
+    (baking them as closure constants re-compiled per angle — 2-110 s per
+    value on this rig's remote compile service)."""
     inv_scale = f32(1.0) / f32(scale) if abs(scale) > 1e-6 else f32(1.0)
     focal = f32(max(canvas_w, canvas_h)) * f32(1.5)
 
@@ -217,17 +244,31 @@ def _affine_fn(rotation_z, rotation_x, rotation_y, scale, offset_x, offset_y,
         f32,
     )
     hi = _invert_3x3(hmat)
-    (h00, h01, h02), (h10, h11, h12), (h20, h21, h22) = hi
+    return np.array([hi[0][0], hi[0][1], hi[0][2],
+                     hi[1][0], hi[1][1], hi[1][2],
+                     hi[2][0], hi[2][1], hi[2][2],
+                     offset_x, offset_y, inv_scale], f32)
+
+
+@functools.lru_cache(maxsize=16)
+def _affine_fn(canvas_w, canvas_h, src_h, src_w, nearest):
+    cx = f32(canvas_w) * f32(0.5)
+    cy = f32(canvas_h) * f32(0.5)
 
     @jax.jit
-    def run(src):
+    def run(src, params):
+        (h00, h01, h02, h10, h11, h12, h20, h21, h22,
+         offset_x, offset_y, inv_scale) = (params[i] for i in range(12))
         xs = jnp.arange(canvas_w, dtype=jnp.float32)[None, :]
         ys = jnp.arange(canvas_h, dtype=jnp.float32)[:, None]
-        u = (xs - cx - f32(offset_x)) * inv_scale
-        v = (ys - cy - f32(offset_y)) * inv_scale
+        u = (xs - cx - offset_x) * inv_scale
+        v = (ys - cy - offset_y) * inv_scale
         wq = h20 * u + (h21 * v + h22)
         degenerate = jnp.abs(wq) < 1e-8
-        inv_w = 1.0 / jnp.where(degenerate, 1.0, wq)
+        # reciprocal-then-multiply like the reference (transform.rs:893);
+        # exact_div_hw Newton-refines the TPU VPU's 1-ulp-off divide while
+        # staying plain IEEE 1.0/wq on CPU
+        inv_w = exact_div_hw(jnp.float32(1.0), jnp.where(degenerate, 1.0, wq))
         src_x = (h00 * u + (h01 * v + h02)) * inv_w + cx
         src_y = (h10 * u + (h11 * v + h12)) * inv_w + cy
 
@@ -238,25 +279,8 @@ def _affine_fn(rotation_z, rotation_x, rotation_y, scale, offset_x, offset_y,
             out = src[jnp.clip(ny, 0, src_h - 1), jnp.clip(nx, 0, src_w - 1)]
             return jnp.where(inb[..., None], out, 0)
 
-        x0 = jnp.floor(src_x).astype(jnp.int32)
-        y0 = jnp.floor(src_y).astype(jnp.int32)
-        oob = (x0 < -1) | (y0 < -1) | (x0 >= src_w) | (y0 >= src_h) | degenerate
-        fx = (src_x - x0.astype(jnp.float32))[..., None]
-        fy = (src_y - y0.astype(jnp.float32))[..., None]
-
-        def sample(xi, yi):
-            inb = (xi >= 0) & (yi >= 0) & (xi < src_w) & (yi < src_h)
-            p = src[jnp.clip(yi, 0, src_h - 1), jnp.clip(xi, 0, src_w - 1)]
-            return jnp.where(inb[..., None], p.astype(jnp.float32), 0.0)
-
-        tl = sample(x0, y0)
-        tr = sample(x0 + 1, y0)
-        bl = sample(x0, y0 + 1)
-        br = sample(x0 + 1, y0 + 1)
-        top = tl + (tr - tl) * fx
-        bot = bl + (br - bl) * fx
-        out = round_u8(top + (bot - top) * fy)
-        return jnp.where(oob[..., None], jnp.zeros_like(out), out)
+        out, _oob = _bilinear_gather_zero(src, src_x, src_y, src_h, src_w)
+        return jnp.where(degenerate[..., None], jnp.zeros_like(out), out)
 
     return run
 
@@ -269,12 +293,12 @@ def apply_affine(img, rotation_z=0.0, rotation_x=0.0, rotation_y=0.0, scale=1.0,
     img = np.asarray(img)
     src_h, src_w = img.shape[:2]
     ch, cw = (src_h, src_w) if canvas_size is None else (canvas_size[1], canvas_size[0])
-    fn = _affine_fn(
+    params = _affine_params(
         float(rotation_z), float(rotation_x), float(rotation_y), float(scale),
-        float(offset[0]), float(offset[1]), cw, ch, src_h, src_w,
-        interpolation == "nearest",
+        float(offset[0]), float(offset[1]), cw, ch,
     )
-    return fn(img)
+    fn = _affine_fn(cw, ch, src_h, src_w, interpolation == "nearest")
+    return fn(img, params)
 
 
 def rotate_arbitrary(img, degrees: float, interpolation: str = "bilinear"):
@@ -304,8 +328,11 @@ class DisplacementField:
         r = f32(max(radius, 1.0))
         x0 = max(int(np.floor(f32(center_x) - r)), 0)
         y0 = max(int(np.floor(f32(center_y) - r)), 0)
-        x1 = min(int(np.ceil(f32(center_x) + r)), self.width)
-        y1 = min(int(np.ceil(f32(center_y) + r)), self.height)
+        # clamp the ends at the starts too: a fully off-canvas brush center
+        # gave a negative slice end that wrapped (the reference's
+        # `for px in x0..x1` loop is simply empty, transform.rs:1063-1081)
+        x1 = min(max(int(np.ceil(f32(center_x) + r)), x0), self.width)
+        y1 = min(max(int(np.ceil(f32(center_y) + r)), y0), self.height)
         xs = np.arange(x0, x1, dtype=f32) - f32(center_x)
         ys = np.arange(y0, y1, dtype=f32) - f32(center_y)
         dx = xs[None, :] * np.ones((len(ys), 1), f32)
@@ -365,25 +392,8 @@ def _warp_fn(h, w, src_h, src_w):
         ys = jnp.arange(h, dtype=jnp.float32)[:, None] * jnp.ones((1, w), jnp.float32)
         sx = xs - disp[..., 0]
         sy = ys - disp[..., 1]
-        x0 = jnp.floor(sx).astype(jnp.int32)
-        y0 = jnp.floor(sy).astype(jnp.int32)
-        oob = (x0 < -1) | (y0 < -1) | (x0 >= src_w) | (y0 >= src_h)
-        fx = (sx - x0.astype(jnp.float32))[..., None]
-        fy = (sy - y0.astype(jnp.float32))[..., None]
-
-        def sample(xi, yi):
-            inb = (xi >= 0) & (yi >= 0) & (xi < src_w) & (yi < src_h)
-            p = src[jnp.clip(yi, 0, src_h - 1), jnp.clip(xi, 0, src_w - 1)]
-            return jnp.where(inb[..., None], p.astype(jnp.float32), 0.0)
-
-        tl = sample(x0, y0)
-        tr = sample(x0 + 1, y0)
-        bl = sample(x0, y0 + 1)
-        br = sample(x0 + 1, y0 + 1)
-        top = tl + (tr - tl) * fx
-        bot = bl + (br - bl) * fx
-        out = round_u8(top + (bot - top) * fy)
-        return jnp.where(oob[..., None], jnp.zeros_like(out), out)
+        out, _oob = _bilinear_gather_zero(src, sx, sy, src_h, src_w)
+        return out
 
     return run
 

@@ -525,3 +525,65 @@ def test_align_center_truncates_like_rust():
     out = c.layers[0].pixels
     cols = np.where((out[..., 3] > 0).any(axis=0))[0]
     assert cols.min() == 1, cols
+
+
+def test_contract_erodes_nonzero_with_zero_neighbor():
+    """contract (adjustments.rs:1546-1586): any NONZERO pixel with a ==0
+    pixel in its disc erodes; partial values never count as unselected."""
+    m = np.full((9, 9), 255, np.uint8)
+    m[4, 4] = 100  # partial, NOT zero: must not erode neighbors
+    out = sel.contract(m, 1)
+    np.testing.assert_array_equal(out, m)  # no zeros anywhere -> unchanged
+    m2 = np.full((9, 9), 255, np.uint8)
+    m2[4, 4] = 0
+    m2[2, 2] = 80  # feathered pixel adjacent to nothing zero
+    out2 = sel.contract(m2, 1)
+    assert out2[4, 3] == 0 and out2[3, 4] == 0  # neighbors of the hole erode
+    assert out2[2, 2] == 80                     # feathered value survives
+    m3 = np.zeros((9, 9), np.uint8)
+    m3[4, 4] = 60
+    m3[4, 5] = 0
+    assert sel.contract(m3, 1)[4, 4] == 0       # feathered + zero neighbor
+
+
+def test_fill_delete_blend_on_partial_selection():
+    """Feathered selections blend (canvas_state_impl.rs:1515-1578):
+    fill lerps old->color by sel/255; delete keeps RGB, scales alpha."""
+    px = np.full((4, 4, 4), 200, np.uint8)
+    mask = np.zeros((4, 4), np.uint8)
+    mask[0, 0] = 255
+    mask[1, 1] = 128
+    filled = sel.fill_selected(px, mask, (0, 0, 0, 255))
+    np.testing.assert_array_equal(filled[0, 0], [0, 0, 0, 255])
+    # 200*(1-128/255) + 0*t = 99.6 -> 100; alpha 200*(127/255)+255*t -> 228
+    np.testing.assert_array_equal(filled[1, 1, :3], [100, 100, 100])
+    assert filled[1, 1, 3] == 228
+    np.testing.assert_array_equal(filled[2, 2], px[2, 2])
+    deleted = sel.delete_selected(px, mask)
+    np.testing.assert_array_equal(deleted[0, 0], [0, 0, 0, 0])
+    np.testing.assert_array_equal(deleted[1, 1, :3], [200, 200, 200])  # RGB kept
+    assert deleted[1, 1, 3] == 100  # round(200 * 127/255)
+
+
+def test_liquify_brush_offcanvas_is_noop():
+    """A liquify drag leaving the canvas must be an empty window, not a
+    wrapped negative slice crash (transform.rs:1063-1081 loops are empty)."""
+    from paintfe_tpu.ops.transform import DisplacementField
+
+    fld = DisplacementField(100, 100)
+    fld.apply_push(-50.0, 50.0, 1.0, 0.0, 10.0, 1.0)  # used to raise
+    fld.apply_twirl(50.0, -50.0, 10.0, 1.0)
+    assert (fld.data == 0).all()
+
+
+def test_rotate_arbitrary_rotates_masks_too():
+    from paintfe_tpu.ops import canvas_transform as ct
+
+    c = Canvas.new(32, 32, background=(50, 50, 50, 255))
+    c.layers[0].mask = np.zeros((32, 32), np.uint8)
+    c.layers[0].mask[:, :16] = 255  # conceal left half
+    ct.rotate_canvas_arbitrary(c, 90.0)
+    m = c.layers[0].mask
+    # after ~90° the concealed half is horizontal, not vertical
+    assert (m[:14, 8:24] > 200).mean() > 0.9 or (m[18:, 8:24] > 200).mean() > 0.9
+    assert abs(float((m > 127).mean()) - 0.5) < 0.1
