@@ -361,15 +361,20 @@ def gather_bilinear_u8_planned(src, sx, sy, plan_key, mode: str = "zero",
         interpret = jax.default_backend() != "tpu"
     src_h, src_w = src.shape[0], src.shape[1]
     h, w = sx.shape[0], sx.shape[1]
-    key = (plan_key, h, w, src_h, src_w, mode, interpret)
+    # plan() depends only on the field and shapes — mode/interpret in the
+    # key would duplicate entries for identical plans
+    key = (plan_key, h, w, src_h, src_w)
     planned = _PLAN_CACHE.get(key)
     if planned is None:
         planned = plan(jnp.asarray(sx, jnp.float32),
                        jnp.asarray(sy, jnp.float32), src_h, src_w)
         if planned is None:
             planned = _INFEASIBLE
-        if len(_PLAN_CACHE) >= _BUCKET_CACHE_MAX:
-            _PLAN_CACHE.clear()
+        while len(_PLAN_CACHE) >= _BUCKET_CACHE_MAX:
+            # evict the OLDEST entry (insertion order): an interactive
+            # slider generating one-shot keys must not flush every other
+            # live effect's hot plan with a wholesale clear()
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[key] = planned
     if planned is _INFEASIBLE:
         return None

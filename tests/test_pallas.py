@@ -112,10 +112,10 @@ def test_pick_tiles_exact_divisors():
     from paintfe_tpu.ops.fused_chain import (_pick_tiles, fused_chain,
                                              fused_chain_kernel)
 
-    assert _pick_tiles(2160, 3840) == (240, 768)   # 4K: both exact
-    th, tw = _pick_tiles(2161, 3841)               # primes: fallback
+    assert _pick_tiles(2160, 3840, 6) == (240, 768)   # 4K: both exact
+    th, tw = _pick_tiles(2161, 3841, 6)            # primes: fallback
     assert (th, tw) == (128, 512)
-    th, tw = _pick_tiles(1080, 1920)
+    th, tw = _pick_tiles(1080, 1920, 6)
     assert 1080 % th == 0 and 1920 % tw == 0
 
     import jax

@@ -140,3 +140,35 @@ def test_mosaic_conv_pass_blur_nonpow2_width():
         got = np.asarray(gaussian_blur_pallas(img, 2.5, interpret=False))
         want = np.asarray(_gaussian_fn(2.5, 64, w)(img))
         assert np.array_equal(got, want), f"w={w} corrupt"
+
+
+def test_mosaic_chain_kernel_auto_tile_geometries():
+    """Exercise the exact-divisor auto-picked tile shapes (th=240/216,
+    tw=768/640/384 with their big static-roll halos) on real Mosaic —
+    interpret-mode tests can't catch a width-dependent miscompile in this
+    measured-bug class.  Bit-checked vs the planar two-kernel oracle."""
+    from paintfe_tpu.ops.fused_chain import (_pick_tiles, fused_chain,
+                                             fused_chain_kernel)
+
+    for h, w in ((240, 768), (216, 640), (240, 384)):
+        th, tw = _pick_tiles(h, w, r=6)
+        assert (th, tw) == (h, w), f"auto-pick drifted for {h}x{w}"
+        rng = np.random.default_rng(h + w)
+        img = np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+        ov = np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
+        got = np.asarray(fused_chain_kernel(img, ov, interpret=False))
+        want = np.asarray(fused_chain(img, ov, interpret=False))
+        assert np.array_equal(got, want), f"{h}x{w} tile geometry corrupt"
+
+
+def test_mosaic_chain_kernel_large_sigma_fits_vmem():
+    """Radius-aware tile pick: sigma=25 (r=75) must step down from the big
+    exact-divisor tiles and still compile + match the oracle on chip."""
+    from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
+
+    rng = np.random.default_rng(9)
+    img = np.asarray(rng.integers(0, 256, (480, 1536, 4), np.uint8))
+    ov = np.asarray(rng.integers(0, 256, (480, 1536, 4), np.uint8))
+    got = np.asarray(fused_chain_kernel(img, ov, sigma=25.0, interpret=False))
+    want = np.asarray(fused_chain(img, ov, sigma=25.0, interpret=False))
+    assert np.array_equal(got, want)
