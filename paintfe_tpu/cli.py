@@ -346,7 +346,8 @@ def _run_animate(inputs, args, script_source) -> int:
         return 1
     try:
         codecs.save_animation(frames, args.animate, anim_fmt, fps=args.fps,
-                              quality=args.quality)
+                              quality=args.quality,
+                              webp_lossless=not args.webp_lossy)
         if args.verbose:
             print(f"  -> {args.animate} ({len(frames)} frames @ {args.fps} fps)")
     except codecs.CodecError as e:

@@ -16,10 +16,6 @@ from typing import List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
-RASTER_EXTS = {
-    "png", "jpg", "jpeg", "webp", "bmp", "tga", "tif", "tiff", "gif", "ico",
-    "apng",
-}
 # the reference's full recognized-RAW list (io.rs RAW_EXTENSIONS)
 RAW_EXTS = {
     "cr2", "cr3", "nef", "nrw", "arw", "srf", "sr2", "dng", "orf", "rw2",
@@ -27,15 +23,12 @@ RAW_EXTS = {
     "mef", "mos", "kdc", "dcr", "erf",
 }
 
-SAVE_FORMATS = ("png", "jpeg", "webp", "bmp", "tga", "ico", "tiff", "gif", "pfe")
-
-
 class CodecError(Exception):
     pass
 
 
 def format_extension(fmt: str) -> str:
-    return {"jpeg": "jpg", "tiff": "tiff"}.get(fmt, fmt)
+    return {"jpeg": "jpg"}.get(fmt, fmt)
 
 
 def load_image(path) -> np.ndarray:
@@ -65,18 +58,27 @@ def load_image(path) -> np.ndarray:
 
 
 def load_frames(path) -> Tuple[List[np.ndarray], List[int]]:
-    """Decode an animated GIF/APNG/WebP into (frames, per-frame ms delays)."""
-    img = Image.open(path)
-    frames = []
-    delays = []
+    """Decode an animated GIF/APNG/WebP into (frames, per-frame ms delays).
+
+    Delays clamp below at 10 ms like the reference's MIN_FRAME_DELAY_MS
+    (io.rs:2293, :2380 — zero/missing GCE delays are extremely common in
+    real GIFs); decode failures surface as CodecError like load_image."""
     try:
-        n = getattr(img, "n_frames", 1)
-    except Exception:
-        n = 1
-    for i in range(n):
-        img.seek(i)
-        frames.append(np.asarray(img.convert("RGBA"), np.uint8))
-        delays.append(int(img.info.get("duration", 100)))
+        img = Image.open(path)
+        frames = []
+        delays = []
+        try:
+            n = getattr(img, "n_frames", 1)
+        except Exception:
+            n = 1
+        for i in range(n):
+            img.seek(i)
+            frames.append(np.asarray(img.convert("RGBA"), np.uint8))
+            delays.append(max(int(img.info.get("duration", 0)), 10))
+    except CodecError:
+        raise
+    except Exception as e:
+        raise CodecError(f"failed to decode animation '{path}': {e}")
     return frames, delays
 
 
@@ -108,11 +110,17 @@ def save_image(img: np.ndarray, path, fmt: Optional[str] = None, quality: int = 
             else:
                 pil.save(path, format="WEBP", quality=int(quality))
         elif fmt == "bmp":
-            pil.convert("RGB").save(path, format="BMP")
+            # the reference encodes Rgba8 BMPs (alpha preserved); PIL's
+            # writer drops alpha, so write the 32bpp V4 header ourselves
+            _write_bmp_rgba(img, path)
         elif fmt == "tga":
             pil.save(path, format="TGA")
         elif fmt == "ico":
-            pil.save(path, format="ICO")
+            # exact-size entry like the reference (Lanczos-capped only at
+            # 256); PIL defaults would downscale to its sizes list
+            h_, w_ = img.shape[:2]
+            pil.save(path, format="ICO",
+                     sizes=[(min(w_, 256), min(h_, 256))])
         elif fmt == "tiff":
             comp = {"none": None, "lzw": "tiff_lzw", "deflate": "tiff_deflate"}.get(
                 tiff_compression.lower()
@@ -136,8 +144,10 @@ def save_image(img: np.ndarray, path, fmt: Optional[str] = None, quality: int = 
 
 
 def gif_delay_cs(fps: float) -> int:
-    """fps -> GIF centisecond delay: max(round(100/fps), 1) (io.rs:2786)."""
-    return max(int(round(100.0 / max(fps, 0.001))), 1)
+    """fps -> GIF centisecond delay: max(round(100/fps), 1), saturated to
+    u16 like the reference's `as u16` cast (io.rs:2786-2789); PIL's writer
+    rejects >65535."""
+    return min(max(int(round(100.0 / max(fps, 0.001))), 1), 65535)
 
 
 def apng_delay_ms(fps: float) -> int:
@@ -154,7 +164,7 @@ def webp_delay_ms(fps: float) -> int:
 
 def save_animation(frames: List[np.ndarray], path, fmt: str = "gif",
                    fps: float = 10.0, quality: int = 90,
-                   max_colors: int = 256):
+                   max_colors: int = 256, webp_lossless: bool = True):
     """Encode frames as animated GIF / APNG / WebP ("each visible layer = one
     frame", io.rs:2774-2940).  GIF: infinite repeat, per-frame adaptive
     palettes of `max_colors` clamped to 2..256 (io.rs:2794); all frames must
@@ -167,28 +177,70 @@ def save_animation(frames: List[np.ndarray], path, fmt: str = "gif",
         raise CodecError("all animation frames must have the same dimensions")
     pils = [Image.fromarray(fr, "RGBA") for fr in frames]
     path = str(path)
-    if fmt == "gif":
-        if w > 65535 or h > 65535:
-            raise CodecError("image dimensions exceed GIF maximum (65535x65535)")
-        delay_ms = gif_delay_cs(fps) * 10
-        colors = int(np.clip(max_colors, 2, 256))
-        base = [p.convert("P", palette=Image.ADAPTIVE, colors=colors)
-                for p in pils]
-        base[0].save(
-            path, format="GIF", save_all=True, append_images=base[1:],
-            duration=delay_ms, loop=0, disposal=2,
-        )
-    elif fmt in ("apng", "png"):
-        delay_ms = apng_delay_ms(fps)
-        pils[0].save(
-            path, format="PNG", save_all=True, append_images=pils[1:],
-            duration=delay_ms, loop=0, default_image=False,
-        )
-    elif fmt == "webp":
-        delay_ms = webp_delay_ms(fps)
-        pils[0].save(
-            path, format="WEBP", save_all=True, append_images=pils[1:],
-            duration=delay_ms, loop=0, quality=int(quality),
-        )
-    else:
-        raise CodecError(f"unsupported animation format '{fmt}'")
+    try:
+        if fmt == "gif":
+            if w > 65535 or h > 65535:
+                raise CodecError(
+                    "image dimensions exceed GIF maximum (65535x65535)")
+            # PIL takes the duration in ms but bounds it at u16 (65535 ms
+            # ~ 6553 cs) — clamp so very low fps encodes instead of
+            # crashing; gif_delay_cs itself saturates at the SPEC's
+            # 65535 cs for non-PIL consumers
+            delay_ms = min(gif_delay_cs(fps) * 10, 65535)
+            colors = int(np.clip(max_colors, 2, 256))
+            base = [p.convert("P", palette=Image.ADAPTIVE, colors=colors)
+                    for p in pils]
+            base[0].save(
+                path, format="GIF", save_all=True, append_images=base[1:],
+                duration=delay_ms, loop=0, disposal=2,
+            )
+        elif fmt in ("apng", "png"):
+            delay_ms = apng_delay_ms(fps)
+            pils[0].save(
+                path, format="PNG", save_all=True, append_images=pils[1:],
+                duration=delay_ms, loop=0, default_image=False,
+            )
+        elif fmt == "webp":
+            delay_ms = webp_delay_ms(fps)
+            if webp_lossless:
+                # the reference's animated WebP defaults every frame to
+                # LOSSLESS (encode_animated_webp frame_modes unwrap_or
+                # Lossless) — quality-90 VP8 silently degraded pixels
+                pils[0].save(
+                    path, format="WEBP", save_all=True,
+                    append_images=pils[1:], duration=delay_ms, loop=0,
+                    lossless=True,
+                )
+            else:
+                pils[0].save(
+                    path, format="WEBP", save_all=True,
+                    append_images=pils[1:], duration=delay_ms, loop=0,
+                    quality=int(quality),
+                )
+        else:
+            raise CodecError(f"unsupported animation format '{fmt}'")
+    except CodecError:
+        raise
+    except Exception as e:
+        # PIL/OS errors must surface as CodecError: the CLI's keep-going
+        # handler catches only the module's documented error type
+        raise CodecError(f"failed to encode animation '{path}': {e}")
+
+
+def _write_bmp_rgba(img: np.ndarray, path: str):
+    """32bpp BITMAPV4 BMP with alpha masks (the reference's BmpEncoder
+    writes Rgba8; PIL's own BMP writer drops alpha)."""
+    import struct
+
+    h, w = img.shape[:2]
+    rows = img[::-1][..., [2, 1, 0, 3]].tobytes()  # bottom-up BGRA
+    dib = struct.pack("<IiiHHIIiiII", 108, w, h, 1, 32, 3, len(rows),
+                      2835, 2835, 0, 0)
+    dib += struct.pack("<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF,
+                       0xFF000000)
+    dib += struct.pack("<I", 0x73524742)  # LCS 'sRGB'
+    dib += b"\x00" * 36 + struct.pack("<III", 0, 0, 0)
+    off = 14 + 108
+    header = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+    with open(path, "wb") as fh:
+        fh.write(header + dib + rows)

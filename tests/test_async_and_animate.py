@@ -254,3 +254,84 @@ def test_load_frames_matches_saved_animation(tmp_path):
     assert len(decoded) == 3
     assert all(d == 100 for d in delays)
     assert all(fr.shape == frames[0].shape for fr in decoded)
+
+
+def test_save_animation_errors_are_codec_errors(tmp_path):
+    """PIL/OS failures surface as CodecError (the CLI's keep-going handler
+    catches only the documented type); tiny fps saturates at the u16 GIF
+    delay instead of a struct.error."""
+    import numpy as np
+    import pytest
+
+    from paintfe_tpu.io import codecs
+
+    frames = [np.zeros((8, 8, 4), np.uint8)] * 2
+    with pytest.raises(codecs.CodecError):
+        codecs.save_animation(frames, tmp_path / "nodir" / "x.gif", "gif")
+    assert codecs.gif_delay_cs(0.001) == 65535  # saturates, encodes fine
+    codecs.save_animation(frames, tmp_path / "slow.gif", "gif", fps=0.001)
+
+
+def test_animated_webp_lossless_roundtrip(tmp_path):
+    """The reference's animated WebP defaults to LOSSLESS per frame —
+    pixels must round-trip exactly (quality-90 VP8 degraded them)."""
+    import numpy as np
+
+    from paintfe_tpu.io import codecs
+
+    rng = np.random.default_rng(3)
+    frames = [np.asarray(rng.integers(0, 256, (16, 16, 4), np.uint8))
+              for _ in range(3)]
+    p = tmp_path / "a.webp"
+    codecs.save_animation(frames, p, "webp", fps=10.0)
+    back, delays = codecs.load_frames(p)
+    assert len(back) == 3
+    for a, b in zip(frames, back):
+        # libwebp lossless may rewrite RGB under alpha==0 (exact=0, same
+        # as the reference's encoder); visible content must be exact
+        vis = a[..., 3] > 0
+        np.testing.assert_array_equal(a[vis], b[vis])
+        np.testing.assert_array_equal(a[..., 3], b[..., 3])
+
+
+def test_bmp_preserves_alpha(tmp_path):
+    import numpy as np
+
+    from paintfe_tpu.io import codecs
+
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[...] = [200, 10, 10, 128]
+    p = tmp_path / "a.bmp"
+    codecs.save_image(img, p, "bmp")
+    back = codecs.load_image(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_gif_zero_delay_clamps_to_10ms(tmp_path):
+    """MIN_FRAME_DELAY_MS=10 (io.rs:2293): zero-GCE GIFs must not reload
+    as 0/100ms delays."""
+    import numpy as np
+    from PIL import Image
+
+    from paintfe_tpu.io import codecs
+
+    frames = [Image.fromarray(np.full((4, 4, 4), 60 * i, np.uint8), "RGBA")
+              .convert("P") for i in range(1, 3)]
+    p = tmp_path / "z.gif"
+    frames[0].save(p, format="GIF", save_all=True, append_images=frames[1:],
+                   duration=0, loop=0)
+    _fr, delays = codecs.load_frames(p)
+    assert all(d == 10 for d in delays)
+
+
+def test_ico_keeps_exact_size(tmp_path):
+    import numpy as np
+
+    from paintfe_tpu.io import codecs
+
+    img = np.zeros((100, 100, 4), np.uint8)
+    img[..., 3] = 255
+    p = tmp_path / "a.ico"
+    codecs.save_image(img, p, "ico")
+    back = codecs.load_image(p)
+    assert back.shape == (100, 100, 4)  # no silent downscale to 64x64
