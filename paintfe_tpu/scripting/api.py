@@ -175,6 +175,12 @@ def closure_is_pure(cb: Closure, user_fns=frozenset()) -> bool:
             if e[3] is not None and e[2] in user_fns:
                 ok = False  # fn-call syntax sugar may hit a script fn
                 return
+            if e[3] is not None and e[2] in ("call", "curry"):
+                # .call()/.curry() on a captured FnPtr/Closure can execute
+                # arbitrary (impure) code — the vectorizer would run it
+                # ONCE on whole arrays instead of once per pixel
+                ok = False
+                return
             if e[3] is not None and e[2] in _MUTATING_METHODS and _base_var(e[1]) not in loc:
                 ok = False
                 return
@@ -282,6 +288,15 @@ def _as_int(v, what="argument"):
     return int(v)
 
 
+def _channel_or_old(v, old):
+    """Rhai Dynamic::as_int().unwrap_or(old) (scripting.rs:466-471): only
+    INT channel results commit (clamped 0..255); floats — even integral
+    ones — bools, and anything else keep the old channel value."""
+    if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
+        return max(0, min(255, int(v)))
+    return old
+
+
 def _as_float(v):
     if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool):
         return float(v)
@@ -311,6 +326,11 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
     @register("is_selected")
     def is_selected(x, y):
         if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+            for v in (x, y):
+                if isinstance(v, np.ndarray) and v.dtype.kind not in "iu":
+                    # the scalar oracle rejects non-integer coordinates;
+                    # bail so the loop raises the exact error
+                    raise RhaiRuntimeError("argument must be an integer")
             inb = (x >= 0) & (y >= 0) & (x < ctx.width) & (y < ctx.height)
             if ctx.mask is None:
                 return inb
@@ -361,7 +381,7 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
 
     # -- bulk iteration -------------------------------------------------------
 
-    def _bulk_apply(cb, xs, ys, region=None):
+    def _bulk_apply(cb, xs, region=None):
         """Vectorized fast path: run the closure once on index/channel arrays.
 
         Attempted ONLY when a purity scan of the closure AST proves the
@@ -371,7 +391,16 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
         pixel exactly like the reference (scripting.rs:437-557,1217-1256).
         For a pure closure the try/except fallback is harmless: a failed
         vectorized attempt (e.g. array truthiness in data-dependent `if`)
-        cannot have leaked any observable effect."""
+        cannot have leaked any observable effect.
+
+        SNAPSHOT semantics (scripting.rs:446-495): the reference clones the
+        pixels, loops over the CLONE, and writes back only on success —
+        get_pixel during the loop reads the ORIGINAL image, set_pixel
+        writes during the loop are clobbered by the final writeback (but
+        persist when the loop errors, since the writeback is skipped), and
+        a mid-loop throw commits NOTHING to the canvas.  Channel values
+        follow Dynamic::as_int().unwrap_or(old): only INTs commit (clamped
+        0..255); floats/bools/anything else silently keep the old value."""
         y0, y1, x0, x1 = region if region else (0, ctx.height, 0, ctx.width)
         if closure_is_pure(cb, frozenset(interp_ref["interp"].user_fns)):
             px = ctx.pixels[y0:y1, x0:x1].astype(np.int64)
@@ -391,16 +420,12 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
                     chans = []
                     for c in res[:4]:
                         arr = np.broadcast_to(np.asarray(c), px.shape[:2])
-                        if arr.dtype.kind in "fb":
-                            # the scalar oracle's _as_int accepts only
-                            # integral floats and rejects bools — bail so
-                            # the loop raises the exact per-pixel error
-                            # instead of silently truncating/casting
-                            if arr.dtype.kind == "b":
-                                raise TypeError("bool channel result")
-                            if (not np.isfinite(arr).all()
-                                    or (arr != np.floor(arr)).any()):
-                                raise TypeError("non-integral channel result")
+                        if arr.dtype.kind not in "iu":
+                            # per pixel the scalar loop KEEPS the old value
+                            # for non-int results, but a merged array dtype
+                            # cannot distinguish int-branch pixels from
+                            # float-branch ones — bail to the exact loop
+                            raise TypeError("non-int channel result")
                         chans.append(np.clip(arr, 0, 255))
                     out = np.stack(chans, axis=-1).astype(np.uint8)
                     ctx.pixels[y0:y1, x0:x1] = out
@@ -408,6 +433,7 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
                 return
             except Exception:
                 pass  # fall through to scalar loop
+        work = ctx.pixels.copy()  # the reference's whole-buffer clone
         if closure_avoids_pixel_state(cb,
                                       frozenset(interp_ref["interp"].user_fns)):
             # the body provably never reads/writes ctx.pixels, so the
@@ -418,44 +444,41 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
             # in order)
             from paintfe_tpu.scripting.pycompile import get_closure_region_fn
 
-            rows = ctx.pixels[y0:y1, x0:x1].tolist()
-            try:
-                region_fn = get_closure_region_fn(cb, interp_ref["interp"],
-                                                  xs)
-                if region_fn is not None:
-                    # compiled region runner: the per-pixel loop itself
-                    # lives in generated code (one direct call per pixel)
-                    region_fn(interp_ref["interp"], rows, x0, y0)
-                else:
-                    for yi, row in enumerate(rows):
-                        y = y0 + yi
-                        for xi, p in enumerate(row):
-                            args = ([x0 + xi, y] if xs else []) + p
-                            res = call_closure(cb, args)
-                            if isinstance(res, list) and len(res) >= 4:
-                                row[xi] = [max(0, min(255, _as_int(v)))
-                                           for v in res[:4]]
-            finally:
-                # a mid-loop throw/budget abort must leave the pixels
-                # processed so far written, exactly like the live
-                # per-pixel loop (rows are updated in place per pixel)
-                ctx.pixels[y0:y1, x0:x1] = np.asarray(rows, np.uint8)
+            rows = work[y0:y1, x0:x1].tolist()
+            region_fn = get_closure_region_fn(cb, interp_ref["interp"], xs)
+            if region_fn is not None:
+                # compiled region runner: the per-pixel loop itself
+                # lives in generated code (one direct call per pixel)
+                region_fn(interp_ref["interp"], rows, x0, y0)
+            else:
+                for yi, row in enumerate(rows):
+                    y = y0 + yi
+                    for xi, p in enumerate(row):
+                        args = ([x0 + xi, y] if xs else []) + p
+                        res = call_closure(cb, args)
+                        if isinstance(res, list) and len(res) >= 4:
+                            row[xi] = [_channel_or_old(v, o)
+                                       for v, o in zip(res[:4], p)]
+            # success-only writeback: a throw above skips it entirely
+            work[y0:y1, x0:x1] = np.asarray(rows, np.uint8)
+            ctx.pixels = work
             return
         for y in range(y0, y1):
             for x in range(x0, x1):
-                p = ctx.pixels[y, x]
-                args = ([x, y] if xs else []) + [int(p[0]), int(p[1]), int(p[2]), int(p[3])]
+                p = work[y, x]
+                old = [int(p[0]), int(p[1]), int(p[2]), int(p[3])]
+                args = ([x, y] if xs else []) + old
                 res = call_closure(cb, args)
                 if isinstance(res, list) and len(res) >= 4:
-                    ctx.pixels[y, x] = [
-                        max(0, min(255, _as_int(v))) for v in res[:4]
-                    ]
+                    work[y, x] = [_channel_or_old(v, o)
+                                  for v, o in zip(res[:4], old)]
+        ctx.pixels = work  # success-only writeback
 
     @register("for_each_pixel")
     def for_each_pixel(cb):
         if not isinstance(cb, Closure):
             raise RhaiRuntimeError("for_each_pixel expects a closure")
-        _bulk_apply(cb, xs=True, ys=True)
+        _bulk_apply(cb, xs=True)
         return UNIT
 
     @register("for_region")
@@ -463,20 +486,23 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
         if not isinstance(cb, Closure):
             raise RhaiRuntimeError("for_region expects a closure")
         x, y, w, h = _as_int(x), _as_int(y), _as_int(w), _as_int(h)
+        # the reference computes the end as ((rx+rw) as u32).min(w): a
+        # NEGATIVE sum wraps to a huge u32 and clamps to the full extent
+        # (scripting.rs:513-516) — bug-for-bug parity
         x0 = max(x, 0)
         y0 = max(y, 0)
-        x1 = min(x + w, ctx.width)
-        y1 = min(y + h, ctx.height)
+        x1 = min((x + w) & 0xFFFFFFFF, ctx.width)
+        y1 = min((y + h) & 0xFFFFFFFF, ctx.height)
         if x1 <= x0 or y1 <= y0:
             return UNIT
-        _bulk_apply(cb, xs=True, ys=True, region=(y0, y1, x0, x1))
+        _bulk_apply(cb, xs=True, region=(y0, y1, x0, x1))
         return UNIT
 
     @register("map_channels")
     def map_channels(cb):
         if not isinstance(cb, Closure):
             raise RhaiRuntimeError("map_channels expects a closure")
-        _bulk_apply(cb, xs=False, ys=False)
+        _bulk_apply(cb, xs=False)
         return UNIT
 
     # -- effect API (mask-aware, via ops modules) -----------------------------
@@ -792,19 +818,73 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
     register("distance")(
         lambda x1, y1, x2, y2: math.sqrt((x2 - x1) ** 2 + (y2 - y1) ** 2)
     )
+    def _fmin(a, b):
+        # Rust f64::min/max return the NON-NaN operand (Python's min/max
+        # propagate NaN when it is the first argument)
+        a, b = _as_float(a), _as_float(b)
+        if a != a:
+            return b
+        if b != b:
+            return a
+        return min(a, b)
+
+    def _fmax(a, b):
+        a, b = _as_float(a), _as_float(b)
+        if a != a:
+            return b
+        if b != b:
+            return a
+        return max(a, b)
+
+    def _generic_min(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            return _fmin(a, b)
+        return min(a, b)
+
+    def _generic_max(a, b):
+        if isinstance(a, float) or isinstance(b, float):
+            return _fmax(a, b)
+        return max(a, b)
+
     register("abs")(lambda x: abs(x))
-    register("min")(lambda a, b: min(a, b))
-    register("max")(lambda a, b: max(a, b))
+    register("min")(_generic_min)
+    register("max")(_generic_max)
     register("abs_i")(lambda x: abs(_as_int(x)))
     register("min_i")(lambda a, b: min(_as_int(a), _as_int(b)))
     register("max_i")(lambda a, b: max(_as_int(a), _as_int(b)))
-    register("min_f")(lambda a, b: min(_as_float(a), _as_float(b)))
-    register("max_f")(lambda a, b: max(_as_float(a), _as_float(b)))
+    register("min_f")(_fmin)
+    register("max_f")(_fmax)
     register("floor")(lambda x: float(math.floor(_as_float(x))))
     register("ceil")(lambda x: float(math.ceil(_as_float(x))))
-    register("round")(lambda x: float(math.floor(x + 0.5)) if x >= 0 else float(math.ceil(x - 0.5)))
-    register("sqrt")(lambda x: math.sqrt(_as_float(x)))
-    register("pow")(lambda x, y: float(_as_float(x) ** _as_float(y)))
+
+    @register("round")
+    def _round(x):
+        # f64::round (half away from zero); validates the arg like every
+        # other float fn, and IEEE specials pass through.  Computed via the
+        # EXACT fraction (x - floor(x) is exact in f64), not floor(x+0.5),
+        # whose addition can round up across the boundary at
+        # x = 0.5 - 2^-54.
+        x = _as_float(x)
+        if x != x or math.isinf(x):
+            return x
+        f = float(math.floor(abs(x)))
+        r = f + 1.0 if abs(x) - f >= 0.5 else f
+        return r if x >= 0 else -r
+
+    @register("sqrt")
+    def _sqrt(x):
+        # f64::sqrt: negative -> NaN (math.sqrt raises an uncatchable
+        # ValueError)
+        x = _as_float(x)
+        return math.sqrt(x) if x >= 0.0 or x != x else float("nan")
+
+    @register("pow")
+    def _pow(x, y):
+        # f64::powf is full IEEE: (-2.0)**0.5 = NaN (Python makes it
+        # complex), 0.0**-1.0 = inf (Python raises ZeroDivisionError)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(np.power(np.float64(_as_float(x)),
+                                  np.float64(_as_float(y))))
     register("sin")(lambda x: math.sin(_as_float(x)))
     register("cos")(lambda x: math.cos(_as_float(x)))
     register("tan")(lambda x: math.tan(_as_float(x)))

@@ -219,6 +219,36 @@ def _check_vector_shift(r):
         raise _PredicationUnsupported()
 
 
+_I64_SAFE = float(2 ** 62)
+
+
+def _check_vector_overflow(op, l, r):
+    """Vectorized i64 + - * ** wrap two's-complement (numpy int64) where the
+    scalar tree-walker's Python ints don't; when any element's magnitude can
+    approach i64 range, bail to the exact scalar loop.  The float64
+    approximation is conservative (threshold 2^62, true wrap at 2^63):
+    a false positive only costs vectorization, never correctness."""
+    if not (_int_like(l) and _int_like(r)):
+        return
+    with np.errstate(over="ignore", invalid="ignore"):
+        la = np.asarray(l, np.float64)
+        ra = np.asarray(r, np.float64)
+        if op == "+":
+            approx = la + ra
+        elif op == "-":
+            approx = la - ra
+        elif op == "*":
+            approx = la * ra
+        else:  # **
+            # numpy also REJECTS negative integer exponents (ValueError)
+            # where the scalar path raises a script error — fall back
+            if (np.asarray(r) < 0).any():
+                raise _PredicationUnsupported()
+            approx = np.power(la, ra)
+    if not (np.abs(approx) < _I64_SAFE).all():
+        raise _PredicationUnsupported()
+
+
 def _merge_predicated(cond, t, f):
     """np.where-merge of the two branch outcomes of an if-converted
     conditional under a per-pixel bool-array condition."""
@@ -659,8 +689,12 @@ class Interpreter:
         if op == "+":
             if isinstance(l, str) or isinstance(r, str):
                 return to_display(l) + to_display(r) if not (isinstance(l, str) and isinstance(r, str)) else l + r
+            if is_arr:
+                _check_vector_overflow(op, l, r)
             return l + r
         if op == "-":
+            if is_arr:
+                _check_vector_overflow(op, l, r)
             return l - r
         if op == "*":
             if not is_arr and (isinstance(l, (list, dict, str))
@@ -669,6 +703,8 @@ class Interpreter:
                 # sequence repetition would also alias elements (a
                 # clone-on-let escape hatch)
                 raise RhaiRuntimeError("'*' needs two numbers")
+            if is_arr:
+                _check_vector_overflow(op, l, r)
             return l * r
         if op == "/":
             if both_int:
@@ -704,6 +740,7 @@ class Interpreter:
                 return float(np.fmod(l, r))  # x % 0.0 = NaN (Rust f64 %)
         if op == "**":
             if is_arr:
+                _check_vector_overflow(op, l, r)
                 return l**r
             if both_int:
                 if r < 0:
@@ -886,9 +923,18 @@ class Interpreter:
             if name == "ceil":
                 return math.ceil(obj)
             if name == "round":
-                return float(math.floor(obj + 0.5)) if obj >= 0 else float(math.ceil(obj - 0.5))
+                # f64::round, half away from zero — via the EXACT fraction
+                # (x - floor(x) is exact in f64); floor(x+0.5) rounds up
+                # across the boundary at x = 0.5 - 2^-54
+                x = float(obj)
+                if x != x or math.isinf(x):
+                    return x
+                f = float(math.floor(abs(x)))
+                r = f + 1.0 if abs(x) - f >= 0.5 else f
+                return r if x >= 0 else -r
             if name == "sqrt":
-                return math.sqrt(obj)
+                # f64::sqrt: negative -> NaN, never a host ValueError
+                return math.sqrt(obj) if obj >= 0 else float("nan")
             if name == "to_int":
                 return int(obj)
             if name == "to_float":

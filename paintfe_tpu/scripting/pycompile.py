@@ -1116,8 +1116,8 @@ def _compile_closure_region(closure, with_xy: bool) -> object:
     else:
         c.emit("        _res = _px(_p[0], _p[1], _p[2], _p[3])")
     c.emit("        if type(_res) is list and len(_res) >= 4:")
-    c.emit("            _row[_xi] = [_c8(_res[0]), _c8(_res[1]), "
-           "_c8(_res[2]), _c8(_res[3])]")
+    c.emit("            _row[_xi] = [_c8(_res[0], _p[0]), _c8(_res[1], _p[1]), "
+           "_c8(_res[2], _p[2]), _c8(_res[3], _p[3])]")
     src = "def _rl(_ip, _CH, _rows, _x0, _y0):\n" + "\n".join(c.lines)
     return compile(src, "<rhai-closure-region>", "exec")
 
@@ -1145,18 +1145,15 @@ def get_closure_region_fn(closure, interp, with_xy: bool):
 
     import numpy as _np
 
-    def _c8(v):
-        # exactly api._as_int + the 0..255 clamp of the scalar loop
+    def _c8(v, old):
+        # Rhai as_int().unwrap_or(old): only INTs commit (clamped); floats
+        # (even integral), bools, anything else keep the old channel value
         if type(v) is int:  # bool has type bool, falls through
-            vi = v
-        elif isinstance(v, bool) or not isinstance(v, (int, _np.integer)):
-            if isinstance(v, float) and v == int(v):
-                vi = int(v)
-            else:
-                raise I.RhaiRuntimeError("argument must be an integer")
-        else:
+            return 0 if v < 0 else (255 if v > 255 else v)
+        if isinstance(v, _np.integer) and not isinstance(v, bool):
             vi = int(v)
-        return 0 if vi < 0 else (255 if vi > 255 else vi)
+            return 0 if vi < 0 else (255 if vi > 255 else vi)
+        return old
 
     env["_c8"] = _c8
     exec(code, env)

@@ -316,10 +316,10 @@ def test_user_fns_compiled_in_treewalk_context(src, monkeypatch):
     assert a == b, f"engines diverge on:\n{src}\ninterp={a}\ncompiled={b}"
 
 
-def test_midloop_throw_keeps_partial_writes(monkeypatch):
-    """A throw inside a per-pixel closure must leave already-processed
-    pixels written (the live loop writes per pixel; the batched paths
-    must match via their finally-storeback)."""
+def test_midloop_throw_commits_nothing(monkeypatch):
+    """The reference loops over a CLONE of the pixels and writes it back
+    only on success (scripting.rs:446-495): a throw mid-loop leaves the
+    image exactly as it was — no partial rows — in every engine tier."""
     src = ('try { for_each_pixel(|x, y, r, g, b, a| '
            '{ if y == 2 { throw "stop"; } [9, 9, 9, 255] }); } '
            'catch (e) { print_line(e); }')
@@ -331,5 +331,4 @@ def test_midloop_throw_keeps_partial_writes(monkeypatch):
     b = execute_script_sync(src, img.copy(), 4, 4, None)
     assert a[3] == b[3] == ["stop"]
     assert np.array_equal(a[0], b[0])
-    assert (np.asarray(a[0])[:2, :, 0] == 9).all()   # rows 0-1 processed
-    assert (np.asarray(a[0])[2:, :, 0] == 0).all()   # rows 2+ untouched
+    assert np.array_equal(np.asarray(a[0]), img)     # snapshot: untouched

@@ -942,23 +942,42 @@ def test_vectorized_shift_in_range_still_vectorizes():
     )
 
 
-def test_vectorized_float_channel_falls_back_to_scalar_error():
-    # the scalar oracle's _as_int rejects non-integral channel values; the
-    # vectorized pass must bail (and error identically), not truncate
-    msg = _err_both_ways(
+def test_float_channel_keeps_old_value():
+    # Rhai commits channels via as_int().unwrap_or(old) (scripting.rs:466-
+    # 471): a FLOAT result is NOT an INT, so the channel silently keeps its
+    # previous value — no truncation, no error
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[..., 0] = 77
+    img[..., 3] = 255
+    out, _, _, _, _ = execute_script_sync(
+        "for_each_pixel(|x, y, r, g, b, a| { [r + 0.5, 9, b, a] });",
+        img.copy(), 4, 4)
+    out = np.asarray(out)
+    assert (out[..., 0] == 77).all()   # float result -> old kept
+    assert (out[..., 1] == 9).all()    # int result committed
+    _run_both_ways(
         "for_each_pixel(|x, y, r, g, b, a| { [r + 0.5, g, b, a] });")
-    assert "integer" in msg
 
 
-def test_vectorized_bool_channel_falls_back_to_scalar_error():
-    msg = _err_both_ways(
+def test_bool_channel_keeps_old_value():
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[..., 0] = 50
+    img[..., 3] = 255
+    out, _, _, _, _ = execute_script_sync(
+        "for_each_pixel(|x, y, r, g, b, a| { [r > 10, g, b, a] });",
+        img.copy(), 4, 4)
+    assert (np.asarray(out)[..., 0] == 50).all()
+    _run_both_ways(
         "for_each_pixel(|x, y, r, g, b, a| { [r > 10, g, b, a] });")
-    assert "integer" in msg
 
 
-def test_vectorized_integral_float_channels_match():
-    # integral floats ARE accepted by _as_int (10.0 -> 10): the vectorized
-    # pass must produce the same pixels as the scalar loop
+def test_integral_float_channels_also_keep_old():
+    # even INTEGRAL floats are not INTs to as_int(): 10.0 keeps old too
+    img = np.full((4, 4, 4), 33, np.uint8)
+    out, _, _, _, _ = execute_script_sync(
+        "for_each_pixel(|x, y, r, g, b, a| { [(r / 2) * 2.0, g, b, a] });",
+        img.copy(), 4, 4)
+    assert (np.asarray(out)[..., 0] == 33).all()
     _run_both_ways(
         "for_each_pixel(|x, y, r, g, b, a| { [(r / 2) * 2.0, g, b, a] });")
 
@@ -1014,3 +1033,114 @@ def test_canvas_op_replay_keeps_selection_on_flips():
     c.selection = np.zeros((8, 16), np.uint8)
     apply_canvas_ops(c, [CanvasOpRequest(kind="rot90cw")], skip_layer=0)
     assert c.selection is None
+
+
+# -- snapshot bulk-loop semantics (scripting.rs:446-495) ------------------------
+
+
+def test_get_pixel_inside_loop_reads_original():
+    """The loop runs over a CLONE; get_pixel reads the engine's (original)
+    pixels, so a sweep that copies the left neighbour sees PRE-loop values
+    everywhere, not the freshly written ones."""
+    img = np.zeros((1, 4, 4), np.uint8)
+    img[0, :, 0] = [10, 20, 30, 40]
+    img[0, :, 3] = 255
+    out, _, _, _, _ = execute_script_sync(
+        "for_each_pixel(|x, y, r, g, b, a| {"
+        " if x == 0 { [200, g, b, a] } else { [get_r(x - 1, y), g, b, a] }"
+        "});", img, 4, 1)
+    # live-loop semantics would propagate 200 rightward; snapshot keeps
+    # each pixel's ORIGINAL left neighbour
+    np.testing.assert_array_equal(np.asarray(out)[0, :, 0], [200, 10, 20, 30])
+
+
+def test_set_pixel_inside_loop_clobbered_on_success():
+    img = np.zeros((2, 2, 4), np.uint8)
+    img[..., 3] = 255
+    out, _, _, _, _ = execute_script_sync(
+        "for_each_pixel(|x, y, r, g, b, a| {"
+        " set_pixel(0, 0, 111, 111, 111, 255); [r, 7, b, a] });",
+        img, 2, 2)
+    out = np.asarray(out)
+    # the final clone writeback replaces the whole buffer: the set_pixel
+    # side write is gone, the closure's returned channels win
+    assert out[0, 0, 0] == 0 and (out[..., 1] == 7).all()
+
+
+def test_set_pixel_inside_loop_persists_on_error():
+    img = np.zeros((2, 2, 4), np.uint8)
+    img[..., 3] = 255
+    out, _, _, _, _ = execute_script_sync(
+        "try { for_each_pixel(|x, y, r, g, b, a| {"
+        " set_pixel(0, 0, 111, 0, 0, 255);"
+        " if x == 1 { throw \"x\"; } [9, 9, 9, 255] }); } catch (e) {}",
+        img, 2, 2)
+    out = np.asarray(out)
+    # writeback skipped -> the [9,9,9] results are discarded but the
+    # direct set_pixel write to the live buffer stays
+    assert out[0, 0, 0] == 111
+    assert not (out[..., 1] == 9).any()
+
+
+def test_for_region_negative_sum_wraps_to_full_extent():
+    # (rx + rw) as u32: -3 wraps to ~4e9 and clamps to the canvas edge
+    img = np.zeros((4, 4, 4), np.uint8)
+    out, _, _, _, _ = execute_script_sync(
+        "for_region(2, 0, -5, 4, |x, y, r, g, b, a| { [255, g, b, a] });",
+        img, 4, 4)
+    out = np.asarray(out)
+    assert (out[:, 2:, 0] == 255).all()   # x0=max(2,0) .. wrapped end=width
+    assert (out[:, :2, 0] == 0).all()
+
+
+def test_purity_scan_rejects_fnptr_call_and_curry():
+    """.call() on a captured closure can execute impure code the static
+    scan cannot see through: if the vectorizer wrongly ran the body once
+    on whole arrays, f's captured-state push would fire ONCE (or with
+    array args) instead of once per pixel."""
+    img = np.zeros((4, 4, 4), np.uint8)
+    _, _, _, console, _ = execute_script_sync(
+        "let log = [];"
+        "let f = |v| { log.push(v); v + 1 };"
+        "for_each_pixel(|x, y, r, g, b, a| { [f.call(r), g, b, a] });"
+        "print_line(`${log.len()}`);", img, 4, 4)
+    assert console == ["16"]
+
+
+def test_vectorized_i64_overflow_falls_back_to_bigints():
+    # (r - 128) * 2^57 wraps in numpy int64 but not in the scalar loop's
+    # Python ints; the guard must route to the scalar path so both
+    # configurations agree (and match Rhai's unchecked i64? No — the
+    # adjudicated oracle is the scalar loop)
+    _run_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| {"
+        " let big = (r - 128) * 144115188075855872;"
+        " let v = if big > 0 { 255 } else { 0 };"
+        " [v, g, b, a] });", size=16)
+    _run_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| {"
+        " let big = (r + 1) ** 9;"
+        " [if big > 4000000000000000000 { 255 } else { r }, g, b, a] });",
+        size=16)
+
+
+def test_math_fn_ieee_corners():
+    _, console = run_script(
+        """
+        print_line(`${sqrt(-1.0)}`);
+        print_line(`${pow(-2.0, 0.5)}`);
+        print_line(`${pow(0.0, -1.0)}`);
+        print_line(`${round(0.49999999999999994)}`);
+        print_line(`${round(-0.5)}`);
+        print_line(`${(0.49999999999999994).round()}`);
+        print_line(`${(-1.5).round()}`);
+        print_line(`${(-1.0).sqrt()}`);
+        print_line(`${min(1.0, 0.0/0.0)}`);
+        print_line(`${max(0.0/0.0, 2.0)}`);
+        """
+    )
+    # f64 semantics: sqrt(neg)=NaN, powf is full IEEE, round is half away
+    # from zero via the exact fraction (floor(x+0.5) would print 1.0 for
+    # the 0.5-2^-54 corner), min/max return the non-NaN operand
+    assert console == ["NaN", "NaN", "inf", "0.0", "-1.0", "0.0", "-2.0",
+                       "NaN", "1.0", "2.0"]
