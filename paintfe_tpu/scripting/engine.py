@@ -46,15 +46,20 @@ class ScriptError(Exception):
         else:
             parts.append("Script error:")
         if "function not found" in low:
-            name = raw.split(":", 1)[1].split("(")[0].strip() if ":" in raw else ""
-            parts.append(f"  Could not find function: {name or raw}")
-            if name and (len(name) <= 3 or name.islower() or "_" in name):
+            # reference keeps the full "name (argtypes)" desc, trimming a
+            # trailing " (line N, ..." location only (scripting.rs:115-135)
+            fn_part = raw.split(":", 1)[1] if ":" in raw else ""
+            desc = fn_part.split(" (line ")[0].strip()
+            parts.append(f"  Could not find function: {desc or raw}")
+            name = desc.split("(")[0].strip()
+            if name and (len(name) <= 3
+                         or all(c.islower() or c == "_" for c in name)):
                 parts += [
                     "",
                     "  Tip: If this is a closure stored in a variable, use .call() syntax:",
                     f"    let {name} = |x| {{ x * 2 }};",
-                    f"    {name}.call(42);   // correct",
-                    f"    {name}(42);        // won't work",
+                    f"    {name}.call(42);   // ✓ correct",
+                    f"    {name}(42);        // ✗ won't work",
                 ]
         elif "variable" in low and "not found" in low:
             name = raw.split("'")[1] if "'" in raw else ""

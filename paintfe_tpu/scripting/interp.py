@@ -109,7 +109,10 @@ def to_display(v) -> str:
     if isinstance(v, list):
         return "[" + ", ".join(_debug_display(x) for x in v) + "]"
     if isinstance(v, dict):
-        return "#{" + ", ".join(f'"{k}": {_debug_display(x)}' for k, x in v.items()) + "}"
+        # Rhai's Map is a BTreeMap: iteration (and therefore display) is
+        # key-sorted, regardless of insertion order
+        return "#{" + ", ".join(
+            f'"{k}": {_debug_display(v[k])}' for k in sorted(v)) + "}"
     if isinstance(v, FnPtr):
         return f"Fn({v.name})"
     return str(v)
@@ -167,6 +170,59 @@ def _type_of(v) -> str:
     if isinstance(v, RhaiRange):
         return "range"
     return type(v).__name__
+
+
+def _cmp_class(v):
+    """Type class for Rhai comparison dispatch: values of different
+    classes are never `==` (and `!=` is always true), and an ordered
+    comparison between them is a function-not-found error.  INT and
+    FLOAT share the numeric class (Rhai registers the mixed builtins);
+    bool is NOT numeric — `true == 1` is false in Rhai."""
+    if isinstance(v, (bool, np.bool_)):
+        return "bool"
+    if isinstance(v, (int, float, np.integer, np.floating)):
+        return "num"
+    if isinstance(v, np.ndarray):
+        return "bool" if v.dtype.kind == "b" else "num"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, list):
+        return "list"
+    if isinstance(v, dict):
+        return "map"
+    if v is UNIT or v is None:
+        return "unit"
+    return _type_of(v)
+
+
+def _rhai_eq(l, r):
+    """Rhai `==`: unlike classes are never equal; arrays/maps compare
+    element-wise under the same rule (so [true] != [1]).  May return an
+    ndarray in vectorized closure contexts."""
+    cl = _cmp_class(l)
+    if cl != _cmp_class(r):
+        return False
+    if cl == "list":
+        if len(l) != len(r):
+            return False
+        for a, b in zip(l, r):
+            e = _rhai_eq(a, b)
+            if isinstance(e, np.ndarray):
+                raise _PredicationUnsupported()
+            if not e:
+                return False
+        return True
+    if cl == "map":
+        if l.keys() != r.keys():
+            return False
+        for k in l:
+            e = _rhai_eq(l[k], r[k])
+            if isinstance(e, np.ndarray):
+                raise _PredicationUnsupported()
+            if not e:
+                return False
+        return True
+    return l == r
 
 
 def _closure_fast(closure, interp):
@@ -267,6 +323,15 @@ def _merge_predicated(cond, t, f):
         if (not isinstance(t, np.ndarray) and not isinstance(f, np.ndarray)
                 and type(t) is type(f) and t == f):
             return t
+        tb = isinstance(t, (bool, np.bool_)) or (
+            isinstance(t, np.ndarray) and t.dtype.kind == "b")
+        fb = isinstance(f, (bool, np.bool_)) or (
+            isinstance(f, np.ndarray) and f.dtype.kind == "b")
+        if tb != fb:
+            # np.where(cond, bool, int) promotes the bool lanes to 0/1 —
+            # per pixel the scalar loop keeps a DYNAMIC bool (which e.g.
+            # keeps the old value at channel commit); unmergeable
+            raise _PredicationUnsupported()
         return np.where(cond, t, f)
     if isinstance(t, str) and isinstance(f, str) and t == f:
         return t
@@ -487,7 +552,12 @@ class Interpreter:
                             and m.lo <= subject < hi
                         )
                     else:
-                        hit = m == subject
+                        # Rhai case match = same-type equality (1 never
+                        # matches true); array subjects (vectorized
+                        # closures) bail to the scalar loop
+                        hit = _rhai_eq(m, subject)
+                        if isinstance(hit, np.ndarray):
+                            raise _PredicationUnsupported()
                     if hit:
                         if body[0] == "block":
                             return self.exec_block(body, scopes + [{}])
@@ -509,6 +579,10 @@ class Interpreter:
         if kind == "un":
             v = self.eval(e[2], scopes)
             if e[1] == "-":
+                if _cmp_class(v) != "num":
+                    # Rhai negation exists only for INT/FLOAT (-true errors)
+                    raise RhaiRuntimeError(
+                        f"function not found: - ({_type_of(v)})")
                 return -v
             if e[1] == "!":
                 if isinstance(v, np.ndarray):
@@ -655,7 +729,10 @@ class Interpreter:
                 self.depth -= 1
         fn = self.host_fns.get(name)
         if fn is None:
-            raise RhaiRuntimeError(f"function not found: {name} ({len(args)} args)")
+            # Rhai-style signature with ARG TYPES ("fx (i64, i64)"), which
+            # the friendly categorizer shows verbatim (scripting.rs:115-124)
+            sig = ", ".join(_type_of(a) for a in args)
+            raise RhaiRuntimeError(f"function not found: {name} ({sig})")
         return fn(*args)
 
     def call_closure(self, closure: Closure, args):
@@ -686,9 +763,26 @@ class Interpreter:
         both_int = (isinstance(l, int) and not isinstance(l, bool)) and (
             isinstance(r, int) and not isinstance(r, bool)
         )
+        if op in ("+", "-", "*", "/", "%", "**"):
+            if op == "+":
+                if isinstance(l, str) or isinstance(r, str):
+                    return (l + r
+                            if isinstance(l, str) and isinstance(r, str)
+                            else to_display(l) + to_display(r))
+                if isinstance(l, list) and isinstance(r, list):
+                    return l + r  # Rhai array concat (new array)
+                if isinstance(l, dict) and isinstance(r, dict):
+                    m = dict(l)
+                    m.update(r)
+                    return m  # Rhai map merge (rhs wins)
+            # Rhai arithmetic builtins exist only for INT/FLOAT: bool,
+            # unit, arrays, maps etc. are ErrorFunctionNotFound (`true + 1`
+            # errors, never Python's 2); this also blocks Python sequence
+            # repetition for '*' (a clone-on-let aliasing escape hatch)
+            if _cmp_class(l) != "num" or _cmp_class(r) != "num":
+                raise RhaiRuntimeError(
+                    f"function not found: {op} ({_type_of(l)}, {_type_of(r)})")
         if op == "+":
-            if isinstance(l, str) or isinstance(r, str):
-                return to_display(l) + to_display(r) if not (isinstance(l, str) and isinstance(r, str)) else l + r
             if is_arr:
                 _check_vector_overflow(op, l, r)
             return l + r
@@ -697,12 +791,6 @@ class Interpreter:
                 _check_vector_overflow(op, l, r)
             return l - r
         if op == "*":
-            if not is_arr and (isinstance(l, (list, dict, str))
-                               or isinstance(r, (list, dict, str))):
-                # Rhai defines no '*' for arrays/maps/strings; Python's
-                # sequence repetition would also alias elements (a
-                # clone-on-let escape hatch)
-                raise RhaiRuntimeError("'*' needs two numbers")
             if is_arr:
                 _check_vector_overflow(op, l, r)
             return l * r
@@ -793,23 +881,41 @@ class Interpreter:
         if op == "in":
             if isinstance(r, dict):
                 return l in r
-            if isinstance(r, (list, str)):
+            if isinstance(r, str):
                 return l in r
+            if isinstance(r, list):
+                # array membership uses Rhai == per element (true !in [1])
+                if isinstance(l, np.ndarray):
+                    raise _PredicationUnsupported()
+                for x in r:
+                    e = _rhai_eq(l, x)
+                    if isinstance(e, np.ndarray):
+                        raise _PredicationUnsupported()
+                    if e:
+                        return True
+                return False
             if isinstance(r, RhaiRange):
                 hi = r.hi + 1 if r.inclusive else r.hi
                 return r.lo <= l < hi
             raise RhaiRuntimeError("'in' needs an array, map, string or range")
         if op == "==":
-            return l == r
+            return _rhai_eq(l, r)
         if op == "!=":
-            return l != r
-        if op == "<":
-            return l < r
-        if op == "<=":
-            return l <= r
-        if op == ">":
-            return l > r
-        if op == ">=":
+            e = _rhai_eq(l, r)
+            return ~e if isinstance(e, np.ndarray) else not e
+        if op in ("<", "<=", ">", ">="):
+            cl = _cmp_class(l)
+            if cl != _cmp_class(r) or cl not in ("num", "str"):
+                # Rhai defines ordering only for numerics and strings;
+                # anything else is ErrorFunctionNotFound
+                raise RhaiRuntimeError(
+                    f"function not found: {op} ({_type_of(l)}, {_type_of(r)})")
+            if op == "<":
+                return l < r
+            if op == "<=":
+                return l <= r
+            if op == ">":
+                return l > r
             return l >= r
         raise RhaiRuntimeError(f"unknown operator {op}")
 
@@ -869,12 +975,14 @@ class Interpreter:
                 obj.clear()
                 return UNIT
             if name == "contains":
-                return args[0] in obj
+                # Rhai == per element (same-type: [1].contains(true) is
+                # false); delegate to the 'in' operator's rules
+                return self._binop("in", args[0], obj)
         if isinstance(obj, dict):
             if name == "keys":
-                return list(obj.keys())
+                return sorted(obj.keys())  # BTreeMap order
             if name == "values":
-                return list(obj.values())
+                return [obj[k] for k in sorted(obj)]
             if name == "contains":
                 return args[0] in obj
             if name == "remove":

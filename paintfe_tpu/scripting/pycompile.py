@@ -462,7 +462,7 @@ class _Compiler:
         if kind == "un":
             v = self.expr(e[2])
             if e[1] == "-":
-                return f"(-({v}))"
+                return f"_Bneg({v})"
             if e[1] == "!":
                 return f"(not _T({v}))"
             raise TranspileUnsupported(f"unary {e[1]}")
@@ -658,6 +658,26 @@ _BIN_HELPERS = {"+": "_Badd", "-": "_Bsub", "*": "_Bmul", "/": "_Bdiv",
 _F53 = 1 << 53
 
 
+def _Bneg(v):
+    t = type(v)
+    if t is int or t is float:  # exact: bool is NOT negatable in Rhai
+        return -v
+    if I._cmp_class(v) != "num":
+        raise I.RhaiRuntimeError(f"function not found: - ({I._type_of(v)})")
+    return -v
+
+
+def _swm(subject, m):
+    """switch-case matcher: ranges match non-bool ints; everything else is
+    Rhai same-type equality (1 never matches true)."""
+    if isinstance(m, I.RhaiRange):
+        hi = m.hi + 1 if m.inclusive else m.hi
+        return (isinstance(subject, int)
+                and not isinstance(subject, bool)
+                and m.lo <= subject < hi)
+    return I._rhai_eq(m, subject)
+
+
 def _uerr(ex):
     """UnboundLocalError/NameError on a mangled script variable -> the
     interp's 'variable not found' error (use-before-let reads)."""
@@ -796,14 +816,6 @@ def _make_env(rt: _Runtime) -> dict:
             return
         raise I.RhaiRuntimeError("property assignment needs a map")
 
-    def _swm(subject, m):
-        if isinstance(m, I.RhaiRange):
-            hi = m.hi + 1 if m.inclusive else m.hi
-            return (isinstance(subject, int)
-                    and not isinstance(subject, bool)
-                    and m.lo <= subject < hi)
-        return m == subject
-
     def _cn(name, args):
         # resolution order mirrors interp.call_function (minus the scope
         # walk, which the compiler resolved statically via _cv)
@@ -825,8 +837,8 @@ def _make_env(rt: _Runtime) -> dict:
             return f(*args)
         hf = host.get(name)
         if hf is None:
-            raise I.RhaiRuntimeError(
-                f"function not found: {name} ({len(args)} args)")
+            sig = ", ".join(I._type_of(a) for a in args)
+            raise I.RhaiRuntimeError(f"function not found: {name} ({sig})")
         return hf(*args)
 
     def _fnptr_call(p, args):
@@ -874,7 +886,7 @@ def _make_env(rt: _Runtime) -> dict:
         "_ix": _ix,
         "_ai": _ai,
         "_ap": _ap,
-        "_swm": _swm,
+        "_swm": _swm, "_Bneg": _Bneg,
         "_cn": _cn,
         "_cv": _cv,
         "_cvg": _cvg,
@@ -1013,6 +1025,8 @@ def _closure_env(closure, interp) -> dict:
         "_B": B,
         "_D": I.to_display,
         "_T": I._truthy,
+        "_swm": _swm,
+        "_Bneg": _Bneg,
         "_copy": lambda v: v if type(v) in _SCALAR_TYPES else I._rhai_copy(v),
         "_dyn": _dyn,
         "_dynset": _dynset,

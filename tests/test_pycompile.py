@@ -332,3 +332,22 @@ def test_midloop_throw_commits_nothing(monkeypatch):
     assert a[3] == b[3] == ["stop"]
     assert np.array_equal(a[0], b[0])
     assert np.array_equal(np.asarray(a[0]), img)     # snapshot: untouched
+
+
+def test_switch_and_negation_inside_compiled_closure(monkeypatch):
+    """_swm/_Bneg must be in the compiled-CLOSURE env too, not just the
+    whole-program env (found by a CLI drive: switch in a pixel closure
+    NameError'd in the region runner)."""
+    src = ("for_each_pixel(|x, y, r, g, b, a| {"
+           " [switch r { 0..=100 => 30, _ => 220 }, -(-g), b, a] });"
+           "print_line(`${get_r(0, 0)}`);")
+    img = np.zeros((4, 4, 4), np.uint8)
+    img[..., 0] = 150
+    img[..., 3] = 255
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "0")
+    a = execute_script_sync(src, img.copy(), 4, 4, None)
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "auto")
+    b = execute_script_sync(src, img.copy(), 4, 4, None)
+    assert a[3] == b[3] == ["220"]
+    assert np.array_equal(a[0], b[0])
+    assert (np.asarray(b[0])[..., 0] == 220).all()

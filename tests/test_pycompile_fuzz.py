@@ -40,6 +40,10 @@ class Gen:
     def scalar_expr(self, d=0):
         r = self.r.random()
         if d > 2 or r < 0.3:
+            if self.r.random() < 0.08:
+                # bools in arithmetic/compare positions: engines must agree
+                # on the function-not-found errors and unlike-type == rules
+                return self.pick(["true", "false"])
             return self.pick([self.int_lit, self.float_lit,
                               lambda: self.pick(NAMES)])()
         if r < 0.72:
@@ -133,9 +137,12 @@ class Gen:
                     f"{{ {v} += 1; {body} }}")
         if r < 0.95:
             k = self.pick(["p", "q"])
-            return (f'let m_{k} = #{{ {k}: {self.scalar_expr(2)} }}; '
+            k2 = self.pick(["aa", "zz"])
+            return (f'let m_{k} = #{{ {k}: {self.scalar_expr(2)}, '
+                    f'{k2}: {self.int_lit()} }}; '
                     f'm_{k}["{k}"] += {self.int_lit()}; '
-                    f'print_line(`m=${{m_{k}.{k}}}`);')
+                    f'print_line(`m=${{m_{k}.{k}}} all=${{m_{k}}} '
+                    f'ks=${{m_{k}.keys()}}`);')
         if r < 0.975:
             v = self.pick(NAMES)
             return (f'let s_{v} = "ab" + {v}; s_{v}.make_upper(); '

@@ -56,6 +56,21 @@ WORKING = [
      'print_line(`${f.call(2)}`);', ["42"]),
     ('fn g() { 5 } let f = Fn("g"); print_line(f.name);', ["g"]),
     ('fn h(x) { x + 1 } let f = Fn("h"); print_line(`${f(41)}`);', ["42"]),
+    # mismatched-type comparisons: == false / != true, same-type deep
+    # equality for containers, BTreeMap-sorted map iteration
+    ('print_line(`${true == 1} ${false == 0} ${true != 1}`);',
+     ["false false true"]),
+    ('print_line(`${1 == 1.0} ${() == ()} ${[true] == [1]}`);',
+     ["true true false"]),
+    ('print_line(`${1 in [true, 1]} ${true in [1]} ${[1].contains(true)}`);',
+     ["true false false"]),
+    ('print_line(`${switch true { 1 => "a", true => "b", _ => "c" }}`);',
+     ["b"]),
+    ('print_line(`${#{z: 1, a: 2}}`);', ['#{"a": 2, "z": 1}']),
+    ('let m = #{z: 1, a: 2}; print_line(`${m.keys()} ${m.values()}`);',
+     ['["a", "z"] [2, 1]']),
+    ('print_line(`${[1] + [2, 3]} ${#{a: 1} + #{b: 2, a: 9}}`);',
+     ['[1, 2, 3] #{"a": 9, "b": 2}']),
     # closure currying
     ('let add = |a, b| a + b; let inc = add.curry(1); '
      'print_line(`${inc.call(41)}`);', ["42"]),
@@ -107,6 +122,16 @@ TARGETED_ERRORS = [
     ("let x = 1 << 64;", "integer overflow"),
     ("let x = 1 << -1;", "integer overflow"),
     ('let x = "a" & 1;', "'&' needs two ints or two bools"),
+    # Rhai arithmetic/ordering builtins exist only for INT/FLOAT: unlike
+    # types (incl. bool) are ErrorFunctionNotFound, never Python coercion
+    ("let x = true + 1;", "function not found: + (bool, i64)"),
+    ("let x = 1 - false;", "function not found: - (i64, bool)"),
+    ("let x = -true;", "function not found: - (bool)"),
+    ("let x = 2 ** true;", "function not found: ** (i64, bool)"),
+    ("let x = () + 1;", "function not found: + ((), i64)"),
+    ("let x = true < 2;", "function not found: < (bool, i64)"),
+    ('let x = "a" < 1;', "function not found: < (string, i64)"),
+    ("let x = [1] < [2];", "function not found: < (array, array)"),
 ]
 
 
