@@ -846,10 +846,17 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
             return _fmax(a, b)
         return max(a, b)
 
-    register("abs")(lambda x: abs(x))
+    def _checked_abs(x):
+        # checked i64: abs(i64::MIN) overflows (Rhai default build)
+        if isinstance(x, int) and not isinstance(x, bool) \
+                and x == -(1 << 63):
+            raise RhaiRuntimeError(f"integer overflow: abs({x})")
+        return abs(x)
+
+    register("abs")(_checked_abs)
     register("min")(_generic_min)
     register("max")(_generic_max)
-    register("abs_i")(lambda x: abs(_as_int(x)))
+    register("abs_i")(lambda x: _checked_abs(_as_int(x)))
     register("min_i")(lambda a, b: min(_as_int(a), _as_int(b)))
     register("max_i")(lambda a, b: max(_as_int(a), _as_int(b)))
     register("min_f")(_fmin)

@@ -276,6 +276,17 @@ def _check_vector_shift(r):
 
 
 _I64_SAFE = float(2 ** 62)
+_I64_MIN = -(1 << 63)
+_I64_MAX = (1 << 63) - 1
+
+
+def _check_i64(v, l, op, r):
+    """Rhai's default build uses CHECKED i64 arithmetic: out-of-range
+    results are script errors, never Python bigints (the reference
+    enables only the 'sync' feature, so 'unchecked' is off)."""
+    if v < _I64_MIN or v > _I64_MAX:
+        raise RhaiRuntimeError(f"integer overflow: {l} {op} {r}")
+    return v
 
 
 def _check_vector_overflow(op, l, r):
@@ -323,14 +334,20 @@ def _merge_predicated(cond, t, f):
         if (not isinstance(t, np.ndarray) and not isinstance(f, np.ndarray)
                 and type(t) is type(f) and t == f):
             return t
-        tb = isinstance(t, (bool, np.bool_)) or (
-            isinstance(t, np.ndarray) and t.dtype.kind == "b")
-        fb = isinstance(f, (bool, np.bool_)) or (
-            isinstance(f, np.ndarray) and f.dtype.kind == "b")
-        if tb != fb:
-            # np.where(cond, bool, int) promotes the bool lanes to 0/1 —
-            # per pixel the scalar loop keeps a DYNAMIC bool (which e.g.
-            # keeps the old value at channel commit); unmergeable
+        def kind(v):
+            if isinstance(v, (bool, np.bool_)):
+                return "b"
+            if isinstance(v, np.ndarray):
+                return "b" if v.dtype.kind == "b" else (
+                    "i" if v.dtype.kind in "iu" else "f")
+            return "i" if isinstance(v, (int, np.integer)) else "f"
+
+        if kind(t) != kind(f):
+            # np.where promotes across kinds (bool lanes become 0/1, int
+            # lanes become floats) — per pixel the scalar loop keeps a
+            # DYNAMIC type whose later semantics differ (bool keeps the
+            # old channel; int arithmetic is CHECKED where float isn't);
+            # unmergeable, bail to the exact loop
             raise _PredicationUnsupported()
         return np.where(cond, t, f)
     if isinstance(t, str) and isinstance(f, str) and t == f:
@@ -583,6 +600,8 @@ class Interpreter:
                     # Rhai negation exists only for INT/FLOAT (-true errors)
                     raise RhaiRuntimeError(
                         f"function not found: - ({_type_of(v)})")
+                if isinstance(v, int) and v == _I64_MIN:
+                    raise RhaiRuntimeError(f"integer overflow: -{v}")
                 return -v
             if e[1] == "!":
                 if isinstance(v, np.ndarray):
@@ -785,21 +804,31 @@ class Interpreter:
         if op == "+":
             if is_arr:
                 _check_vector_overflow(op, l, r)
+                return l + r
+            if both_int:
+                return _check_i64(l + r, l, "+", r)
             return l + r
         if op == "-":
             if is_arr:
                 _check_vector_overflow(op, l, r)
+                return l - r
+            if both_int:
+                return _check_i64(l - r, l, "-", r)
             return l - r
         if op == "*":
             if is_arr:
                 _check_vector_overflow(op, l, r)
+                return l * r
+            if both_int:
+                return _check_i64(l * r, l, "*", r)
             return l * r
         if op == "/":
             if both_int:
                 if r == 0:
                     raise RhaiRuntimeError("division by zero")
                 q = abs(l) // abs(r)
-                return q if (l >= 0) == (r >= 0) else -q
+                return _check_i64(q if (l >= 0) == (r >= 0) else -q,
+                                  l, "/", r)
             if is_arr:
                 if _int_like(l) and _int_like(r):
                     # Rust i64 semantics: truncate toward zero (numpy //
@@ -819,7 +848,11 @@ class Interpreter:
             if both_int:
                 if r == 0:
                     raise RhaiRuntimeError("modulo by zero")
-                return int(float(np.fmod(l, r)))  # Rust % truncates toward zero
+                if l == _I64_MIN and r == -1:
+                    # Rust checked_rem: the one i64 % that overflows
+                    raise RhaiRuntimeError(f"integer overflow: {l} % {r}")
+                rem = abs(l) % abs(r)  # Rust % truncates toward zero (exact)
+                return rem if l >= 0 else -rem
             if is_arr:
                 if _int_like(l) and _int_like(r) and (np.asarray(r) == 0).any():
                     raise RhaiRuntimeError("modulo by zero")
@@ -836,7 +869,11 @@ class Interpreter:
                     # Python would silently produce a float
                     raise RhaiRuntimeError(
                         "integer raised to a negative exponent")
-                return l**r
+                # checked_pow: quick magnitude gate so 2 ** 10^18 errors
+                # instead of materializing an astronomical bigint
+                if abs(l) > 1 and r > 63:
+                    raise RhaiRuntimeError(f"integer overflow: {l} ** {r}")
+                return _check_i64(l**r, l, "**", r)
             # f64 powf: full IEEE — (-2.0)**0.5 = NaN (Python makes it
             # complex), 0.0**-1.0 = inf (Python raises)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -1025,6 +1062,8 @@ class Interpreter:
                 return UNIT
         if isinstance(obj, float) or isinstance(obj, int):
             if name == "abs":
+                if isinstance(obj, int) and obj == _I64_MIN:
+                    raise RhaiRuntimeError(f"integer overflow: abs({obj})")
                 return abs(obj)
             if name == "floor":
                 return math.floor(obj)
@@ -1044,6 +1083,15 @@ class Interpreter:
                 # f64::sqrt: negative -> NaN, never a host ValueError
                 return math.sqrt(obj) if obj >= 0 else float("nan")
             if name == "to_int":
+                if isinstance(obj, float):
+                    # checked f64 -> i64 (Rhai math_basic): past-range
+                    # floats error, in-range truncate, NaN -> 0 (Rust `as`)
+                    if obj != obj:
+                        return 0
+                    if obj > float(_I64_MAX) or obj < float(_I64_MIN):
+                        raise RhaiRuntimeError(
+                            f"integer overflow: to_int({obj})")
+                    return min(max(int(obj), _I64_MIN), _I64_MAX)
                 return int(obj)
             if name == "to_float":
                 return float(obj)

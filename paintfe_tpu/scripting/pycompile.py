@@ -661,6 +661,8 @@ _F53 = 1 << 53
 def _Bneg(v):
     t = type(v)
     if t is int or t is float:  # exact: bool is NOT negatable in Rhai
+        if v == I._I64_MIN and t is int:
+            raise I.RhaiRuntimeError(f"integer overflow: -{v}")
         return -v
     if I._cmp_class(v) != "num":
         raise I.RhaiRuntimeError(f"function not found: - ({I._type_of(v)})")
@@ -696,17 +698,34 @@ def _make_fast_binops(B):
         t = type(v)
         return t is int or t is float
 
+    _MIN, _MAX = I._I64_MIN, I._I64_MAX
+
     def _Badd(l, r):
+        if type(l) is int and type(r) is int:
+            v = l + r
+            if _MIN <= v <= _MAX:  # checked i64 (Rhai default build)
+                return v
+            raise I.RhaiRuntimeError(f"integer overflow: {l} + {r}")
         if _num(l) and _num(r):
             return l + r
         return B("+", l, r)
 
     def _Bsub(l, r):
+        if type(l) is int and type(r) is int:
+            v = l - r
+            if _MIN <= v <= _MAX:
+                return v
+            raise I.RhaiRuntimeError(f"integer overflow: {l} - {r}")
         if _num(l) and _num(r):
             return l - r
         return B("-", l, r)
 
     def _Bmul(l, r):
+        if type(l) is int and type(r) is int:
+            v = l * r
+            if _MIN <= v <= _MAX:
+                return v
+            raise I.RhaiRuntimeError(f"integer overflow: {l} * {r}")
         if _num(l) and _num(r):
             return l * r
         return B("*", l, r)
@@ -716,7 +735,10 @@ def _make_fast_binops(B):
             if r == 0:
                 raise I.RhaiRuntimeError("division by zero")
             q = abs(l) // abs(r)
-            return q if (l >= 0) == (r >= 0) else -q
+            q = q if (l >= 0) == (r >= 0) else -q
+            if q > _MAX:  # only i64::MIN / -1
+                raise I.RhaiRuntimeError(f"integer overflow: {l} / {r}")
+            return q
         if _num(l) and _num(r):
             if r == 0:
                 # IEEE inf/NaN corner: route through the interp (Python's
@@ -738,6 +760,8 @@ def _make_fast_binops(B):
             # corners through the interp
             if _num(l) and _num(r) and r != 0 and math.isfinite(l):
                 return math.fmod(l, r)
+        # large ints / i64::MIN % -1 / non-numbers: the interp's exact
+        # integer path (with the checked_rem overflow) handles them
         return B("%", l, r)
 
     def _cmp(name, pyop):

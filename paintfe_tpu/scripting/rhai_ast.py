@@ -128,6 +128,11 @@ def tokenize(src: str) -> List[Tok]:
                     while j < n and src[j].isdigit():
                         j += 1
             text = src[i:j].replace("_", "")
+            if not isfloat and int(text) > (1 << 63) - 1:
+                # Rhai lexes numbers via i64::from_str and FALLS BACK to
+                # f64 on overflow: a past-i64::MAX literal is a FLOAT,
+                # never a silent Python bigint
+                isfloat = True
             toks.append(
                 Tok("float" if isfloat else "int",
                     float(text) if isfloat else int(text), start_line, start_col)

@@ -71,6 +71,11 @@ WORKING = [
      ['["a", "z"] [2, 1]']),
     ('print_line(`${[1] + [2, 3]} ${#{a: 1} + #{b: 2, a: 9}}`);',
      ['[1, 2, 3] #{"a": 9, "b": 2}']),
+    # past-i64::MAX literals lex as FLOATS (Rhai's from_str fallback)
+    ('print_line(type_of(9223372036854775808));', ["f64"]),
+    ('print_line(`${9223372036854775807 + 0}`);', ["9223372036854775807"]),
+    # NaN to_int is Rust `as` (0); in-range floats truncate
+    ('print_line(`${(0.0/0.0).to_int()} ${(-2.7).to_int()}`);', ["0 -2"]),
     # closure currying
     ('let add = |a, b| a + b; let inc = add.curry(1); '
      'print_line(`${inc.call(41)}`);', ["42"]),
@@ -132,6 +137,18 @@ TARGETED_ERRORS = [
     ("let x = true < 2;", "function not found: < (bool, i64)"),
     ('let x = "a" < 1;', "function not found: < (string, i64)"),
     ("let x = [1] < [2];", "function not found: < (array, array)"),
+    # checked i64 arithmetic (Rhai default build: 'unchecked' is OFF)
+    ("let x = 9223372036854775807 + 1;", "integer overflow"),
+    ("let x = -9223372036854775807 - 2;", "integer overflow"),
+    ("let x = 4611686018427387904 * 2;", "integer overflow"),
+    ("let x = 2 ** 64;", "integer overflow"),
+    ("let m = (0 - 4611686018427387904) * 2; let y = -m;",
+     "integer overflow"),
+    ("let m = (0 - 4611686018427387904) * 2; let y = abs(m);",
+     "integer overflow"),
+    ("let m = (0 - 4611686018427387904) * 2; let y = m / -1;",
+     "integer overflow"),
+    ("let x = (1.0e30).to_int();", "integer overflow"),
 ]
 
 

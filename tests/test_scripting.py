@@ -1107,21 +1107,25 @@ def test_purity_scan_rejects_fnptr_call_and_curry():
     assert console == ["16"]
 
 
-def test_vectorized_i64_overflow_falls_back_to_bigints():
-    # (r - 128) * 2^57 wraps in numpy int64 but not in the scalar loop's
-    # Python ints; the guard must route to the scalar path so both
-    # configurations agree (and match Rhai's unchecked i64? No — the
-    # adjudicated oracle is the scalar loop)
+def test_vectorized_i64_checked_overflow():
+    # in-range big products must agree between the vectorized pass (which
+    # falls back near 2^62) and the scalar loop...
     _run_both_ways(
         "for_each_pixel(|x, y, r, g, b, a| {"
-        " let big = (r - 128) * 144115188075855872;"
+        " let big = (r - 128) * 18014398509481984;"   # * 2^54: in range
         " let v = if big > 0 { 255 } else { 0 };"
         " [v, g, b, a] });", size=16)
-    _run_both_ways(
+    # ...and past i64::MAX both tiers raise the CHECKED-arithmetic error
+    # (Rhai's default build; Python bigints must never leak)
+    msg = _err_both_ways(
         "for_each_pixel(|x, y, r, g, b, a| {"
-        " let big = (r + 1) ** 9;"
-        " [if big > 4000000000000000000 { 255 } else { r }, g, b, a] });",
-        size=16)
+        " let big = (r + 2) * 144115188075855872;"    # * 2^57: overflows
+        " [if big > 0 { 255 } else { 0 }, g, b, a] });")
+    assert "integer overflow" in msg
+    msg = _err_both_ways(
+        "for_each_pixel(|x, y, r, g, b, a| {"
+        " let big = (r + 1) ** 9; [b, g, b, a] });")
+    assert "integer overflow" in msg
 
 
 def test_math_fn_ieee_corners():
