@@ -302,12 +302,16 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _chain_kernel_fn(taps, r, h, w, th, tw, params, interpret):
+def _chain_kernel_fn(taps, r, h, w, th, tw, params, interpret, vmem_limit):
     hp = _round_up(h, th)
     wp = _round_up(w, tw)
     halo_r = _round_up(th + 2 * r, 8)
     halo_c = _round_up(tw + 2 * r, 128)
     grid = (hp // th, wp // tw)
+    extra = {}
+    if vmem_limit is not None and not interpret:
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit)
 
     def run(img, overlay):  # u8 [H, W, 4] x2
         packed = jax.lax.bitcast_convert_type(img, jnp.uint32)
@@ -330,10 +334,33 @@ def _chain_kernel_fn(taps, r, h, w, th, tw, params, interpret):
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
+            **extra,
         )(padded, ovp)
         return jax.lax.bitcast_convert_type(out[:h, :w], jnp.uint8)
 
     return jax.jit(run)
+
+
+# Mosaic's default scoped-VMEM cap is 16 MB; v5e has 128 MB physical VMEM.
+# The mega kernel's scoped need comes from the compiler's liveness window
+# across the fully-unrolled tap sweep, which no closed-form halo-area model
+# predicts (restructuring to incremental roll-by-1 only moved sigma=25 at
+# 128x512 from 51.7M to 21.5M — the stack, not one pass, is what grows).
+# Policy is therefore TABLE-DRIVEN on configs measured on a real v5e
+# (2026-08-19, this round):
+#   nt=121 @ 128x512 compiles under the default 16M cap (r=60)
+#   nt=151 @ 128x512 needs 51.68M  -> raised limit         (r=75)
+#   nt=253 @  64x256 needs 100.36M -> raised limit          (r=126)
+#   nt=253 @  32x128 needs 18.59M (small tiles do NOT save much)
+# Scoped need grows monotonically with tap count at fixed tile shape, so
+# each band is anchored at its measured worst endpoint.
+_RAISED_VMEM_LIMIT = 110 * 1024 * 1024
+
+# Reference parity: the GPU blur caps its radius at 127 and falls back to
+# the CPU path beyond (src/gpu/shaders.rs:933-936); the mega kernel caps
+# at r=126 (the largest measured-safe band) and falls back to the planar
+# two-kernel formulation, which is bit-identical by construction.
+MAX_KERNEL_RADIUS = 126
 
 
 def _pick_tiles(h, w, r):
@@ -345,23 +372,22 @@ def _pick_tiles(h, w, r):
     from 4.0 to 4.4 GPix/s.  Falls back to 128x512 when no divisor
     lands in the sweet-spot range.
 
-    The pick is BLUR-RADIUS aware: the per-tile VMEM working set scales
-    with the haloed tile area (th+2r)x(tw+2r), so large sigmas step down
-    to the smaller known-good tile sizes instead of overflowing VMEM with
-    the big exact-divisor tiles."""
-    def halo_area(th_, tw_):
-        return _round_up(th_ + 2 * r, 8) * _round_up(tw_ + 2 * r, 128)
+    The pick is BLUR-RADIUS aware, with bands anchored at on-chip
+    measurements (see the table above): big exact-divisor tiles only for
+    r <= 20, 128x512 to r = 75, 64x256 to r = 126; r > 60 also raises
+    the Mosaic scoped-VMEM limit (the round-4 halo-area budget was a
+    fantasy — sigma=25 at its 128x512 pick needed 51.68M on the chip).
 
-    # ~330k haloed elements keeps the full f32 working set inside v5e VMEM
-    # (the long-certified 128x512 at r=75 sits at ~215k)
-    BUDGET = 330_000
+    Returns (th, tw, vmem_limit_bytes_or_None)."""
+    if r > 75:
+        return 64, 256, _RAISED_VMEM_LIMIT
+    if r > 60:
+        return 128, 512, _RAISED_VMEM_LIMIT
+    if r > 20:
+        return 128, 512, None
     th = next((t for t in range(240, 63, -8) if h % t == 0), 128)
     tw = next((t for t in range(768, 255, -128) if w % t == 0), 512)
-    if halo_area(th, tw) > BUDGET:
-        th, tw = 128, 512
-        if halo_area(th, tw) > BUDGET:
-            th, tw = 64, 256
-    return th, tw
+    return th, tw, None
 
 
 def fused_chain_kernel(img, overlay, *, sigma=2.0, brightness=10.0,
@@ -376,16 +402,24 @@ def fused_chain_kernel(img, overlay, *, sigma=2.0, brightness=10.0,
         interpret = jax.default_backend() != "tpu"
     taps = gaussian_kernel(float(sigma))
     r = (taps.shape[0] - 1) // 2
+    if r > MAX_KERNEL_RADIUS:
+        return fused_chain(
+            img, overlay, sigma=sigma, brightness=brightness,
+            contrast=contrast, black=black, white=white, gamma=gamma,
+            sepia_strength=sepia_strength, blend_opacity=blend_opacity,
+            interpret=interpret)
     img = jnp.asarray(img, jnp.uint8)
     overlay = jnp.asarray(overlay, jnp.uint8)
     h, w = img.shape[0], img.shape[1]
-    auto_th, auto_tw = _pick_tiles(h, w, r)
+    auto_th, auto_tw, vmem_limit = _pick_tiles(h, w, r)
     th = auto_th if th is None else th
     tw = auto_tw if tw is None else tw
     th = min(th, _round_up(h, 8))
     tw = min(tw, _round_up(w, 128))
+    if r > 60:
+        vmem_limit = _RAISED_VMEM_LIMIT  # also for caller-forced tiles
     params = (float(brightness), float(contrast), float(black), float(white),
               float(gamma), float(sepia_strength), float(blend_opacity))
     fn = _chain_kernel_fn(tuple(float(t) for t in taps), r, h, w, th, tw,
-                          params, interpret)
+                          params, interpret, vmem_limit)
     return fn(img, overlay)

@@ -332,6 +332,16 @@ def _blur2d_fn(taps: tuple, r: int, h: int, w: int, th: int, tw: int,
     halo_r = _round_up(th + 2 * r, 8)
     halo_c = _round_up(tw + 2 * r, 128)
     grid = (4, hp // th, wp // tw)
+    extra = {}
+    if len(taps) > 25 and not interpret:
+        # Mosaic's scoped-VMEM need grows with the unrolled tap sweep's
+        # liveness window, not the declared buffers: taps=41 (this
+        # kernel's ceiling) at w=768 measured 18.20M on v5e against the
+        # 16M default cap (round 5; same failure class as fused_chain's
+        # sigma=25 OOM).  Raise the cap for the large-tap band — v5e has
+        # 128M physical VMEM.
+        extra["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024)
 
     def run(planar):  # u8 [4, hp + (halo_r - th), wp + (halo_c - tw)]
         return pl.pallas_call(
@@ -345,6 +355,7 @@ def _blur2d_fn(taps: tuple, r: int, h: int, w: int, th: int, tw: int,
                 pltpu.SemaphoreType.DMA,
             ],
             interpret=interpret,
+            **extra,
         )(planar)
 
     return jax.jit(run)

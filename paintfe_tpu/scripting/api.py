@@ -56,8 +56,19 @@ _PURE_HOST_FNS = frozenset({
     "PI", "rgb_to_hsl", "hsl_to_rgb",
 })
 
+# Std array methods that invoke a function-valued argument (closure or Fn
+# pointer).  With an argument present, the callee is arbitrary code: the
+# vectorizer purity scans must treat them like `.call()` indirection.
+_HIGHER_ORDER_METHODS = frozenset({
+    "map", "filter", "reduce", "for_each", "sort", "retain", "drain",
+    "index_of", "find", "some", "all", "none",
+})
+
 _MUTATING_METHODS = frozenset({
     "push", "pop", "clear", "remove",
+    # std array package methods that mutate the receiver
+    "sort", "reverse", "retain", "drain", "splice", "insert", "shift",
+    "chop", "append", "pad",
     # in-place string methods (interp._STRING_INPLACE)
     "trim", "make_upper", "make_lower", "replace", "truncate",
 })
@@ -108,9 +119,11 @@ def closure_avoids_pixel_state(cb: Closure, user_fns=frozenset()) -> bool:
             continue
         if not isinstance(e, tuple):
             continue
-        if e[0] in ("let", "const", "for", "fn") and len(e) > 1 \
-                and isinstance(e[1], str):
-            loc.add(e[1])
+        if e[0] in ("let", "const", "for", "fn") and len(e) > 1:
+            if isinstance(e[1], str):
+                loc.add(e[1])
+            elif e[0] == "for" and isinstance(e[1], tuple):
+                loc.update(e[1])  # two-binding `for (v, i) in`
         if e[0] == "try" and len(e) > 2 and isinstance(e[2], str):
             loc.add(e[2])  # catch variable
         stack.extend(x for x in e[1:] if isinstance(x, (list, tuple)))
@@ -132,7 +145,8 @@ def closure_avoids_pixel_state(cb: Closure, user_fns=frozenset()) -> bool:
         elif kind == "closure":
             return False
         elif kind == "method" and len(e) > 3 and e[3] is not None \
-                and e[2] in ("call", "curry"):
+                and (e[2] in ("call", "curry")
+                     or (e[2] in _HIGHER_ORDER_METHODS and e[3])):
             return False
         stack.extend(x for x in e[1:] if isinstance(x, (list, tuple)))
     return True
@@ -175,10 +189,13 @@ def closure_is_pure(cb: Closure, user_fns=frozenset()) -> bool:
             if e[3] is not None and e[2] in user_fns:
                 ok = False  # fn-call syntax sugar may hit a script fn
                 return
-            if e[3] is not None and e[2] in ("call", "curry"):
-                # .call()/.curry() on a captured FnPtr/Closure can execute
-                # arbitrary (impure) code — the vectorizer would run it
-                # ONCE on whole arrays instead of once per pixel
+            if e[3] is not None and (
+                    e[2] in ("call", "curry")
+                    or (e[2] in _HIGHER_ORDER_METHODS and e[3])):
+                # .call()/.curry() (and std array methods taking a
+                # function argument) on a captured FnPtr/Closure can
+                # execute arbitrary (impure) code — the vectorizer would
+                # run it ONCE on whole arrays instead of once per pixel
                 ok = False
                 return
             if e[3] is not None and e[2] in _MUTATING_METHODS and _base_var(e[1]) not in loc:
@@ -237,7 +254,8 @@ def closure_is_pure(cb: Closure, user_fns=frozenset()) -> bool:
                 scan_block(st[1], loc)
             elif kind == "for":
                 scan_expr(st[2], loc)
-                scan_block(st[3], loc | {st[1]})
+                bound = set(st[1]) if isinstance(st[1], tuple) else {st[1]}
+                scan_block(st[3], loc | bound)
             elif kind in ("break", "continue"):
                 pass
             elif kind == "return":

@@ -365,6 +365,10 @@ class Interpreter:
         self.max_operations = max_operations
         self.globals: Dict[str, Any] = {}
         self.user_fns: Dict[str, Any] = {}
+        # populated by pycompile's runtime with the transpiled script fns
+        # (name -> python callable), so FnPtr resolution inside std array
+        # callbacks (map(Fn("f"))) works in the compiled tier too
+        self.compiled_fns: Dict[str, Any] = {}
         self.depth = 0
         # name -> Closure shim wrapping a user fn's (params, body) over
         # [globals], so pycompile's closure compiler serves user fns too
@@ -464,10 +468,24 @@ class Interpreter:
                 it = [_rhai_copy(x) for x in iterable]
             else:
                 raise RhaiRuntimeError("for loop needs a range or array")
+            var = stmt[1]
+            if isinstance(var, tuple):
+                # `for (v, i) in it`: second binding = iteration counter
+                vname, iname = var
+                for idx, v in enumerate(it):
+                    self.tick()
+                    try:
+                        self.exec_block(stmt[3],
+                                        scopes + [{vname: v, iname: idx}])
+                    except _Break:
+                        break
+                    except _Continue:
+                        continue
+                return UNIT
             for v in it:
                 self.tick()
                 try:
-                    self.exec_block(stmt[3], scopes + [{stmt[1]: v}])
+                    self.exec_block(stmt[3], scopes + [{var: v}])
                 except _Break:
                     break
                 except _Continue:
@@ -746,6 +764,12 @@ class Interpreter:
                     return r.value
             finally:
                 self.depth -= 1
+        cf = self.compiled_fns.get(name)
+        if cf is not None:
+            if cf.__code__.co_argcount != len(args):
+                raise RhaiRuntimeError(
+                    f"function '{name}' expects {cf.__code__.co_argcount} args")
+            return cf(*args)
         fn = self.host_fns.get(name)
         if fn is None:
             # Rhai-style signature with ARG TYPES ("fx (i64, i64)"), which
@@ -956,6 +980,54 @@ class Interpreter:
             return l >= r
         raise RhaiRuntimeError(f"unknown operator {op}")
 
+    # -- std-library callbacks (map/filter/... take a closure or Fn ptr) -----
+
+    def _cb(self, fn, cargs, scopes):
+        """Invoke a map/filter/sort-style callback.  Closure and user-fn
+        calls clone their arguments (Rhai by-value args) inside
+        call_closure/call_function."""
+        if isinstance(fn, Closure):
+            return self.call_closure(fn, cargs)
+        if isinstance(fn, FnPtr):
+            return self.call_function(
+                fn.name, list(fn.curried) + list(cargs),
+                scopes if scopes is not None else [self.globals],
+                deref_vars=False)
+        raise RhaiRuntimeError(
+            f"expected a function argument, got {_type_of(fn)}")
+
+    def _cb_arity(self, fn):
+        if isinstance(fn, Closure):
+            return len(fn.params)
+        if isinstance(fn, FnPtr):
+            uf = self.user_fns.get(fn.name)
+            if uf is not None:
+                return len(uf[0]) - len(fn.curried)
+            cf = self.compiled_fns.get(fn.name)
+            if cf is not None:
+                return cf.__code__.co_argcount - len(fn.curried)
+        return None  # host fn behind an Fn pointer: arity unknown
+
+    def _cb_pred(self, fn, v, i, scopes):
+        """Predicate invocation with Rhai's arity adaptation ((item) or
+        (item, index)); result must be a bool."""
+        want = self._cb_arity(fn)
+        r = self._cb(fn, [v, i] if want == 2 else [v], scopes)
+        return _truthy(r)
+
+    @staticmethod
+    def _std_range(length, start, n):
+        """Rhai array range normalization: negative start counts from the
+        end (clamped to 0), start past the end is empty, negative/overlong
+        counts clamp."""
+        start = int(start)
+        if start < 0:
+            start = max(length + start, 0)
+        if start > length:
+            start = length
+        n = max(int(n), 0)
+        return start, min(n, length - start)
+
     def _method(self, obj, name, args, scopes=None):
         import math
 
@@ -1015,6 +1087,203 @@ class Interpreter:
                 # Rhai == per element (same-type: [1].contains(true) is
                 # false); delegate to the 'in' operator's rules
                 return self._binop("in", args[0], obj)
+            # -- Rhai 1.25 standard array package (scripting.rs:284-317
+            # embeds the default std packages, so reference scripts use
+            # these freely).  Mutating methods operate on the receiver in
+            # place; callbacks may be closures or Fn pointers, with the
+            # (item) / (item, index) arity adaptation Rhai applies.
+            if name == "map":
+                fn = args[0]
+                want = self._cb_arity(fn)
+                out = []
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    out.append(self._cb(fn, [v, i] if want == 2 else [v],
+                                        scopes))
+                return out
+            if name == "filter":
+                fn = args[0]
+                out = []
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    if self._cb_pred(fn, v, i, scopes):
+                        out.append(v)
+                return out
+            if name == "reduce":
+                fn = args[0]
+                acc = args[1] if len(args) > 1 else UNIT
+                want = self._cb_arity(fn)
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    acc = self._cb(fn, [acc, v, i] if want == 3 else [acc, v],
+                                   scopes)
+                return acc
+            if name == "for_each":
+                fn = args[0]
+                want = self._cb_arity(fn)
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    self._cb(fn, [v, i] if want == 2 else [v], scopes)
+                return UNIT
+            if name == "sort":
+                if args:
+                    fn = args[0]
+
+                    def cmp(a, b):
+                        self.tick()
+                        r = self._cb(fn, [a, b], scopes)
+                        if isinstance(r, bool) or not isinstance(r, int):
+                            raise RhaiRuntimeError(
+                                "sort comparator must return an integer")
+                        return -1 if r < 0 else (1 if r > 0 else 0)
+
+                    import functools
+
+                    obj.sort(key=functools.cmp_to_key(cmp))
+                    return UNIT
+                if len(obj) > 1:
+                    # no-comparator sort requires one homogeneous type
+                    # (Rhai compares TypeIds: [1, 2.0].sort() errors)
+                    kinds = {_type_of(x) for x in obj}
+                    if len(kinds) > 1:
+                        raise RhaiRuntimeError(
+                            "sort(): array elements must all be the same type")
+                    k = kinds.pop()
+                    if k not in ("i64", "f64", "string", "bool"):
+                        if k != "()":
+                            raise RhaiRuntimeError(
+                                f"sort(): cannot compare values of type {k}")
+                    else:
+                        obj.sort()
+                return UNIT
+            if name == "reverse":
+                obj.reverse()
+                return UNIT
+            if name == "retain":
+                if args and isinstance(args[0], (Closure, FnPtr)):
+                    fn = args[0]
+                    kept, removed = [], []
+                    for i, v in enumerate(list(obj)):
+                        self.tick()
+                        (kept if self._cb_pred(fn, v, i, scopes)
+                         else removed).append(v)
+                    obj[:] = kept
+                    return removed
+                start, n = self._std_range(
+                    len(obj), args[0], args[1] if len(args) > 1 else len(obj))
+                removed = obj[:start] + obj[start + n:]
+                obj[:] = obj[start:start + n]
+                return removed
+            if name == "drain":
+                if args and isinstance(args[0], (Closure, FnPtr)):
+                    fn = args[0]
+                    kept, removed = [], []
+                    for i, v in enumerate(list(obj)):
+                        self.tick()
+                        (removed if self._cb_pred(fn, v, i, scopes)
+                         else kept).append(v)
+                    obj[:] = kept
+                    return removed
+                start, n = self._std_range(
+                    len(obj), args[0], args[1] if len(args) > 1 else len(obj))
+                removed = obj[start:start + n]
+                del obj[start:start + n]
+                return removed
+            if name == "splice":
+                start, n = self._std_range(len(obj), args[0], args[1])
+                repl = args[2] if len(args) > 2 else []
+                if not isinstance(repl, list):
+                    raise RhaiRuntimeError("splice() replacement must be an array")
+                obj[start:start + n] = repl  # args were cloned on entry
+                return UNIT
+            if name == "index_of":
+                start = int(args[1]) if len(args) > 1 else 0
+                if start < 0:
+                    start = max(len(obj) + start, 0)
+                if isinstance(args[0], (Closure, FnPtr)):
+                    fn = args[0]
+                    for i in range(start, len(obj)):
+                        self.tick()
+                        if self._cb_pred(fn, obj[i], i, scopes):
+                            return i
+                    return -1
+                for i in range(start, len(obj)):
+                    self.tick()
+                    e = _rhai_eq(args[0], obj[i])
+                    if isinstance(e, np.ndarray):
+                        raise _PredicationUnsupported()
+                    if e:
+                        return i
+                return -1
+            if name == "find":
+                fn = args[0]
+                start = int(args[1]) if len(args) > 1 else 0
+                if start < 0:
+                    start = max(len(obj) + start, 0)
+                for i in range(start, len(obj)):
+                    self.tick()
+                    if self._cb_pred(fn, obj[i], i, scopes):
+                        return _rhai_copy(obj[i])
+                return UNIT
+            if name == "some":
+                fn = args[0]
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    if self._cb_pred(fn, v, i, scopes):
+                        return True
+                return False
+            if name == "all":
+                fn = args[0]
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    if not self._cb_pred(fn, v, i, scopes):
+                        return False
+                return True
+            if name == "none":
+                fn = args[0]
+                for i, v in enumerate(list(obj)):
+                    self.tick()
+                    if self._cb_pred(fn, v, i, scopes):
+                        return False
+                return True
+            if name == "insert":
+                pos = int(args[0])
+                if pos < 0:
+                    pos = max(len(obj) + pos, 0)
+                obj.insert(pos, args[1])  # append when pos >= len
+                return UNIT
+            if name == "remove":
+                pos = int(args[0])
+                if pos < 0:
+                    pos += len(obj)
+                if pos < 0 or pos >= len(obj):
+                    return UNIT  # Rhai: invalid index removes nothing
+                return obj.pop(pos)
+            if name == "shift":
+                return obj.pop(0) if obj else UNIT
+            if name == "truncate":
+                del obj[max(int(args[0]), 0):]
+                return UNIT
+            if name == "chop":
+                keep = max(int(args[0]), 0)
+                if keep < len(obj):
+                    del obj[: len(obj) - keep]
+                return UNIT
+            if name == "extract":
+                start, n = self._std_range(
+                    len(obj), args[0], args[1] if len(args) > 1 else len(obj))
+                return [_rhai_copy(x) for x in obj[start:start + n]]
+            if name == "append":
+                if not isinstance(args[0], list):
+                    raise RhaiRuntimeError("append() expects an array")
+                obj.extend(args[0])  # args were cloned on entry
+                return UNIT
+            if name == "pad":
+                target = int(args[0])
+                while len(obj) < target:
+                    self.tick()
+                    obj.append(_rhai_copy(args[1]))
+                return UNIT
         if isinstance(obj, dict):
             if name == "keys":
                 return sorted(obj.keys())  # BTreeMap order
@@ -1056,6 +1325,41 @@ class Interpreter:
                     at = args[0]
                     return [obj[:at], obj[at:]]
                 return obj.split(args[0])
+            if name == "parse_int":
+                # Rust i64::from_str_radix semantics (Rhai's parse_int):
+                # optional sign then digits of the radix — no whitespace,
+                # no underscores, no 0x prefixes; overflow is an error
+                radix = int(args[0]) if args else 10
+                if radix < 2 or radix > 36:
+                    raise RhaiRuntimeError(
+                        f"parse_int(): invalid radix {radix}")
+                body = obj[1:] if obj[:1] in ("+", "-") else obj
+                try:
+                    if not body:
+                        raise ValueError("empty")
+                    for ch in body:
+                        int(ch, radix)  # rejects '_', 'x', whitespace...
+                    v = int(obj, radix)
+                except ValueError:
+                    raise RhaiRuntimeError(
+                        f"Error parsing integer number '{obj}'")
+                if v < _I64_MIN or v > _I64_MAX:
+                    raise RhaiRuntimeError(
+                        f"Error parsing integer number '{obj}': "
+                        "number too large to fit in a 64-bit integer")
+                return v
+            if name == "parse_float":
+                # Rust f64 FromStr: inf/infinity/NaN accepted, but not
+                # Python's extra leniency (surrounding whitespace,
+                # digit-group underscores)
+                if obj != obj.strip() or "_" in obj:
+                    raise RhaiRuntimeError(
+                        f"Error parsing floating-point number '{obj}'")
+                try:
+                    return float(obj)
+                except ValueError:
+                    raise RhaiRuntimeError(
+                        f"Error parsing floating-point number '{obj}'")
             if name in _STRING_INPLACE:
                 # receiver was a temporary (not a variable): mutate the
                 # copy and discard, like Rhai

@@ -227,8 +227,16 @@ class _Compiler:
             itv = self.tmp()
             self.emit(f"{itv} = _forit({it})")
             self.scopes.append({})
-            py = self.declare(var)
-            self.emit(f"for {py} in {itv}:")
+            if isinstance(var, tuple):
+                # `for (v, i) in it`: enumerate yields (counter, value);
+                # the parser rejects duplicate names, so binding order
+                # cannot matter
+                vpy = self.declare(var[0])
+                ipy = self.declare(var[1])
+                self.emit(f"for {ipy}, {vpy} in enumerate({itv}):")
+            else:
+                py = self.declare(var)
+                self.emit(f"for {py} in {itv}:")
             self.indent += 1
             self.emit("_tick()")
             self.block(body, loop_body=True, no_scope=False)
@@ -432,7 +440,14 @@ class _Compiler:
                 if pk == "lit":
                     parts.append(repr(payload))
                 else:
-                    parts.append(f"_D({self.expr_t(payload)})")
+                    # the DISPLAY conversion must be pinned at this part's
+                    # evaluation point, not deferred to the final concat: a
+                    # later `${a.remove(...)}` part may mutate a container
+                    # an earlier `${a}` part captured by reference (interp
+                    # converts each part to a string immediately)
+                    t = self.tmp()
+                    self.emit(f"{t} = _D({self.expr_t(payload)})")
+                    parts.append(t)
             return "(" + " + ".join(parts) + ")" if parts else "''"
         if kind == "var":
             py = self.resolve(e[1])
@@ -800,6 +815,9 @@ def _make_env(rt: _Runtime) -> dict:
     interp = rt.interp
     host = interp.host_fns
     fns = rt.fns
+    # alias the live dict so interp.call_function (FnPtr deref inside std
+    # array callbacks, closure-env _cn) resolves transpiled fns too
+    interp.compiled_fns = fns
     B = interp._binop
 
     def _nf(name):

@@ -330,7 +330,23 @@ class Parser:
                 return ("loop", body)
             if t.value == "for":
                 self.next()
-                var = self.expect("ident").value
+                if self.at_punct("("):
+                    # Rhai two-binding form: `for (item, counter) in it`
+                    # (the reference's Rhai 1.25 BasicIteratorPackage) —
+                    # first name binds the value, second the 0-based
+                    # iteration counter
+                    self.next()
+                    var = self.expect("ident").value
+                    self.expect("punct", ",")
+                    counter = self.expect("ident").value
+                    close = self.expect("punct", ")")
+                    if counter == var:
+                        raise RhaiSyntaxError(
+                            f"duplicate variable name '{var}' in for loop",
+                            close.line, close.col)
+                    var = (var, counter)
+                else:
+                    var = self.expect("ident").value
                 self.expect("kw", "in")
                 iterable = self.parse_expr()
                 body = self.parse_block()

@@ -112,10 +112,10 @@ def test_pick_tiles_exact_divisors():
     from paintfe_tpu.ops.fused_chain import (_pick_tiles, fused_chain,
                                              fused_chain_kernel)
 
-    assert _pick_tiles(2160, 3840, 6) == (240, 768)   # 4K: both exact
-    th, tw = _pick_tiles(2161, 3841, 6)            # primes: fallback
-    assert (th, tw) == (128, 512)
-    th, tw = _pick_tiles(1080, 1920, 6)
+    assert _pick_tiles(2160, 3840, 6) == (240, 768, None)  # 4K: both exact
+    th, tw, lim = _pick_tiles(2161, 3841, 6)           # primes: fallback
+    assert (th, tw, lim) == (128, 512, None)
+    th, tw, lim = _pick_tiles(1080, 1920, 6)
     assert 1080 % th == 0 and 1920 % tw == 0
 
     import jax
@@ -130,6 +130,39 @@ def test_pick_tiles_exact_divisors():
     explicit = np.asarray(fused_chain_kernel(img, ov, th=32, tw=256))
     np.testing.assert_array_equal(ref, auto)
     np.testing.assert_array_equal(ref, explicit)
+
+
+def test_pick_tiles_radius_bands():
+    """The VMEM policy is table-driven on on-chip measurements (fused_chain
+    module docstring): exact-divisor tiles only to r=20, 128x512 to r=75
+    (raised scoped limit past r=60), 64x256 with the raised limit to
+    r=126, and beyond MAX_KERNEL_RADIUS the mega kernel must delegate to
+    the planar two-kernel path (reference radius-cap discipline,
+    src/gpu/shaders.rs:933-936)."""
+    from paintfe_tpu.ops.fused_chain import (_RAISED_VMEM_LIMIT,
+                                             MAX_KERNEL_RADIUS, _pick_tiles,
+                                             fused_chain, fused_chain_kernel)
+
+    assert _pick_tiles(2160, 3840, 20) == (240, 768, None)
+    assert _pick_tiles(2160, 3840, 21) == (128, 512, None)
+    assert _pick_tiles(2160, 3840, 60) == (128, 512, None)
+    assert _pick_tiles(2160, 3840, 61) == (128, 512, _RAISED_VMEM_LIMIT)
+    assert _pick_tiles(2160, 3840, 75) == (128, 512, _RAISED_VMEM_LIMIT)
+    assert _pick_tiles(2160, 3840, 76) == (64, 256, _RAISED_VMEM_LIMIT)
+    assert _pick_tiles(2160, 3840, 126) == (64, 256, _RAISED_VMEM_LIMIT)
+    assert MAX_KERNEL_RADIUS == 126
+
+    # beyond the cap: bit-identical via the planar fallback (sigma=50 ->
+    # r=150); interpret mode exercises the delegation logic itself
+    import jax
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (48, 160, 4), np.uint8)
+    ov = rng.integers(0, 256, (48, 160, 4), np.uint8)
+    ref = np.asarray(jax.jit(
+        lambda a, b: fused_chain(a, b, sigma=50.0))(img, ov))
+    out = np.asarray(fused_chain_kernel(img, ov, sigma=50.0))
+    np.testing.assert_array_equal(ref, out)
 
 
 def test_fused_blur_large_radius_fallback_no_redispatch(monkeypatch):

@@ -74,6 +74,54 @@ DIVERGENCE_PRONE = [
     'let f = Fn("f"); f();',
     'let f = Fn("f"); f.call();',
     'fn h() { 7 } let f = Fn("h"); print_line(`${f()}`);',
+    # a later template part mutating a container an earlier part rendered:
+    # the display conversion must be pinned per part (round-5 regression —
+    # the transpiler used to defer _D to the final concat)
+    'let a = [1, 2, 3]; print_line(`${a} ${a.remove(1)} ${a}`);',
+    # std array package, Fn-pointer callbacks (no closures: the battery
+    # requires the compiled tier) — value semantics and error parity
+    'fn dbl(v) { v * 2 } print_line(`${[1, 2].map(Fn("dbl"))}`);',
+    'fn idx(v, i) { v + i * 10 } print_line(`${[5, 6].map(Fn("idx"))}`);',
+    'fn pos(v) { v > 0 } print_line(`${[-1, 2].filter(Fn("pos"))}`);',
+    'fn acc(s, v) { s + v } print_line(`${[1, 2, 3].reduce(Fn("acc"), 10)}`);',
+    'fn desc(x, y) { y - x } let a = [2, 5, 1]; a.sort(Fn("desc")); '
+    'print_line(`${a}`);',
+    # comparator returning a non-int: error parity mid-sort
+    'fn bad(x, y) { true } let a = [2, 1, 3]; a.sort(Fn("bad"));',
+    # predicate returning a non-bool: _truthy error parity
+    'fn n(v) { v } print_line(`${[1].some(Fn("n"))}`);',
+    # arity mismatch through a map callback: message parity
+    'fn two(a, b) { a + b } print_line(`${[1].map(Fn("two"))}`);',
+    'let a = [3, 1]; a.sort(); print_line(`${a}`);',
+    'let a = [1, "x"]; a.sort();',                 # mixed-type sort error
+    'let a = [1, 2, 3, 4, 5]; print_line(`${a.retain(1, 2)} ${a}`);',
+    'let a = [1, 2, 3, 4, 5]; print_line(`${a.drain(-2, 9)} ${a}`);',
+    'let a = [1, 2, 3]; a.splice(-1, 5, [7]); print_line(`${a}`);',
+    'let a = [1, 2]; print_line(`${a.index_of(2, -1)} ${a.index_of(1, 9)}`);',
+    'let a = [1, 2, 3]; print_line(`${a.extract(-2)} ${a.remove(-1)} ${a}`);',
+    'let a = []; print_line(`${a.shift()} ${a.pop()}`);',  # unit results
+    'let a = [1]; a.pad(3, [0]); a[1].push(9); print_line(`${a}`);',
+    # parse_int/parse_float: Rust from_str strictness + error parity
+    'print_line(`${"42".parse_int()} ${"-ff".parse_int(16)}`);',
+    'print_line(`${"0x1A".parse_int(16)}`);',      # prefix rejected
+    'print_line(`${" 5".parse_int()}`);',          # whitespace rejected
+    'print_line(`${"1_0".parse_int()}`);',         # underscore rejected
+    'print_line(`${"".parse_int()}`);',
+    'print_line(`${"9223372036854775808".parse_int()}`);',  # i64 overflow
+    'print_line(`${"abc".parse_int(37)}`);',       # bad radix
+    'print_line(`${"inf".parse_float()} ${"NaN".parse_float()}`);',
+    'print_line(`${"1_0".parse_float()}`);',       # underscore rejected
+    'print_line(`${"2.5e2".parse_float()}`);',
+    'try { "zz".parse_int(); } catch (e) { print_line(e); }',
+    # two-binding for loops: ranges, arrays, break/continue, shadowing
+    'let s = ""; for (v, i) in ["x", "y"] { s += `${i}${v}`; } print_line(s);',
+    'let t = 0; for (v, i) in 5..8 { if i == 1 { continue; } t += v; } '
+    'print_line(`${t}`);',
+    'let v = 9; let i = 9; for (v, i) in [10] { print_line(`${v} ${i}`); } '
+    'print_line(`${v} ${i}`);',
+    # for (v, i) snapshot semantics: pushes during the loop don't extend it
+    'let a = [1, 2]; let n = 0; for (v, i) in a { a.push(v); n += 1; } '
+    'print_line(`${n} ${a.len()}`);',
     # Rhai clone-on-value: method args are cloned...
     'let a = [1]; let arr = []; arr.push(a); a.push(2); '
     'print_line(`${arr[0].len()} ${a.len()}`);',
@@ -191,6 +239,41 @@ def test_fast_path_actually_engages(monkeypatch):
     assert try_compile('for_each_pixel(|r, g, b, a, x, y| [r, g, b, a]);') is None
 
 
+def _has_closure(src):
+    from paintfe_tpu.scripting.rhai_ast import parse
+
+    stack = [parse(src)]
+    while stack:
+        e = stack.pop()
+        if isinstance(e, tuple):
+            if e and e[0] == "closure":
+                return True
+            stack.extend(x for x in e if isinstance(x, (tuple, list)))
+        elif isinstance(e, list):
+            stack.extend(x for x in e if isinstance(x, (tuple, list)))
+    return False
+
+
+def test_tier_attribution_corpus(monkeypatch):
+    """Which tier each corpus script lands on is an ASSERTED property, not
+    an accident: every closure-free WORKING + DIVERGENCE_PRONE script must
+    compile (a silent everything-falls-back regression would otherwise
+    only surface as skipped parametrizations), and only closure scripts
+    may tree-walk."""
+    monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "auto")
+    compiled = walked = 0
+    for src in ([s for s, _ in WORKING] + DIVERGENCE_PRONE):
+        if try_compile(src) is not None:
+            compiled += 1
+        else:
+            walked += 1
+            assert _has_closure(src), (
+                f"closure-free script fell back to the tree-walker:\n{src}")
+    assert compiled >= 100  # the corpus is overwhelmingly compiled-tier
+    for src in CLOSURE_CASES:
+        assert _has_closure(src)  # documented tree-walker-resident cases
+
+
 def test_operation_budget_enforced_compiled(monkeypatch):
     monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "1")
     import paintfe_tpu.scripting.interp as interp_mod
@@ -249,6 +332,22 @@ CLOSURE_CASES = [
     # curried closures keep their pre-bound scope
     'let add = |a, b| a + b; let inc = add.curry(10); '
     'print_line(`${inc.call(5)}`);',
+    # std array methods with closure callbacks (round-5): captured-state
+    # writes, arity adaptation, value isolation, errors mid-iteration
+    'let log = []; let m = [1, 2].map(|v| { log.push(v); v * 3 }); '
+    'print_line(`${m} ${log}`);',
+    'let a = [3, 1, 2]; a.sort(|x, y| y - x); print_line(`${a}`);',
+    'let a = [1, 2, 3]; print_line(`${a.reduce(|s, v, i| '
+    'if s.type_of() == "()" { v + i } else { s + v + i })}`);',
+    'let a = [[1], [2]]; let r = a.retain(|v| v[0] > 1); '
+    'r[0].push(9); print_line(`${a} ${r}`);',
+    'let a = [1, 2, 3]; try { a.map(|v| if v == 2 { throw "mid"; } '
+    'else { v }); } catch (e) { print_line(`${e} ${a}`); }',
+    'let a = [5, 6, 7]; print_line(`${a.find(|v, i| i == 2)}`);',
+    'let hits = 0; [1, 2, 3].for_each(|v| { hits += v; }); '
+    'print_line(`${hits}`);',
+    'fn tw(v) { v * 2 } let a = [1, 2].map(|v| tw(v) + 1); '
+    'print_line(`${a}`);',
 ]
 
 

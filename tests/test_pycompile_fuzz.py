@@ -26,6 +26,7 @@ class Gen:
     def __init__(self, seed):
         self.r = random.Random(seed)
         self.fns = []
+        self.fns2 = []  # two-parameter fns (reduce/sort callbacks)
         self.depth = 0
 
     def pick(self, xs):
@@ -80,7 +81,86 @@ class Gen:
             e = f"({e} {self.pick(['&&', '||'])} {e2})"
         return e
 
+    # strings biased toward the parse_int/parse_float strictness corners
+    # (whitespace, underscores, 0x prefixes, overflow, radix errors)
+    PARSE_POOL = ['"42"', '"-7"', '"ff"', '"0x1A"', '" 5"', '"1_0"', '""',
+                  '"abc"', '"+9"', '"101"', '"9223372036854775808"',
+                  '"3.5"', '"1e3"', '"inf"', '"NaN"', '"2.5e2"', '"-0"']
+
+    def stdlib_stmt(self, d=0):
+        """Std array package + parse conversions + two-binding for: every
+        construct lands in BOTH engines (Fn pointers, never closures —
+        the compiled tier must accept the whole program)."""
+        r = self.r.random()
+        v = f"sa_{self.pick(NAMES)}"
+        arr = ", ".join(self.int_lit() for _ in range(self.r.randint(1, 4)))
+        if r < 0.14:
+            ops = self.pick([".sort()", ".reverse()",
+                             f".truncate({self.r.randint(0, 3)})",
+                             f".chop({self.r.randint(0, 3)})"])
+            return (f"let {v} = [{arr}]; {v}{ops}; "
+                    f"print_line(`${{{v}}}`);")
+        if r < 0.26:
+            s, n = self.r.randint(-3, 4), self.r.randint(0, 4)
+            m = self.pick(["retain", "drain", "extract"])
+            return (f"let {v} = [{arr}]; "
+                    f"print_line(`${{{v}.{m}({s}, {n})}} ${{{v}}}`);")
+        if r < 0.36:
+            s, n = self.r.randint(-2, 3), self.r.randint(0, 3)
+            return (f"let {v} = [{arr}]; {v}.splice({s}, {n}, "
+                    f"[{self.int_lit()}]); print_line(`${{{v}}}`);")
+        if r < 0.46:
+            start = ("" if self.r.random() < 0.5
+                     else f", {self.r.randint(-2, 3)}")
+            return (f"let {v} = [{arr}]; "
+                    f"print_line(`${{{v}.index_of({self.int_lit()}{start})}}`);")
+        if r < 0.56:
+            m = self.pick(["insert", "remove", "shift", "pad"])
+            if m == "insert":
+                call = f"{v}.insert({self.r.randint(-2, 4)}, {self.int_lit()})"
+            elif m == "remove":
+                call = f"print_line(`${{{v}.remove({self.r.randint(-3, 4)})}}`)"
+            elif m == "shift":
+                call = f"print_line(`${{{v}.shift()}}`)"
+            else:
+                call = f"{v}.pad({self.r.randint(0, 5)}, {self.int_lit()})"
+            return f"let {v} = [{arr}]; {call}; print_line(`${{{v}}}`);"
+        if r < 0.68 and self.fns:
+            fn = self.pick(self.fns)
+            m = self.pick(["map", "filter", "some", "all", "none",
+                           "index_of", "for_each"])
+            return (f"let {v} = [{arr}]; "
+                    f'print_line(`${{{v}.{m}(Fn("{fn}"))}}`);')
+        if r < 0.78 and self.fns2:
+            fn = self.pick(self.fns2)
+            if self.r.random() < 0.5:
+                return (f"let {v} = [{arr}]; {v}.sort(Fn(\"{fn}\")); "
+                        f"print_line(`${{{v}}}`);")
+            init = ("" if self.r.random() < 0.5
+                    else f", {self.int_lit()}")
+            return (f"let {v} = [{arr}]; "
+                    f'print_line(`${{{v}.reduce(Fn("{fn}"){init})}}`);')
+        if r < 0.9:
+            s = self.pick(self.PARSE_POOL)
+            if self.r.random() < 0.6:
+                radix = ("" if self.r.random() < 0.6
+                         else f"({self.pick(['2', '16', '8', '37'])})")
+                return f"print_line(`${{{s}.parse_int{radix or '()'}}}`);"
+            return f"print_line(`${{{s}.parse_float()}}`);"
+        body = self.stmt(d + 1)
+        extra = ""
+        if self.r.random() < 0.3:
+            extra = (f" if fi == {self.r.randint(0, 2)} "
+                     f"{{ {self.pick(['break', 'continue'])}; }}")
+        it = (f"[{arr}]" if self.r.random() < 0.5
+              else f"0..{self.r.randint(1, 5)}")
+        return (f"let fsum = 0; for (fv, fi) in {it} "
+                f"{{{extra} fsum += fv * 10 + fi; {body} }} "
+                f"print_line(`f=${{fsum}}`);")
+
     def stmt(self, d=0):
+        if d < 2 and self.r.random() < 0.2:
+            return self.stdlib_stmt(d)
         r = self.r.random()
         if r < 0.25:
             return f"let {self.pick(NAMES)} = {self.scalar_expr()};"
@@ -163,6 +243,14 @@ class Gen:
                 body = (f"{self.pick(NAMES)} += 1; "
                         f"{self.scalar_expr()}")
             parts.append(f"fn {fn}(p) {{ {body} }}")
+        if self.r.random() < 0.6:
+            # a two-parameter fn for reduce/sort callbacks; sometimes a
+            # deliberately WRONG comparator/reducer (bool or unit result)
+            # so the error paths get fuzzed too
+            self.fns2.append("f2")
+            body = self.pick(["p - q", "q - p", "p + q", "p < q",
+                              "if p > q { 1 } else { -1 }"])
+            parts.append(f"fn f2(p, q) {{ {body} }}")
         for _ in range(self.r.randint(3, 10)):
             parts.append(self.stmt())
         if self.fns and self.r.random() < 0.3:

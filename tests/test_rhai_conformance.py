@@ -99,6 +99,66 @@ WORKING = [
     ('let n = 2; print_line(switch n { 1 | 2 => "ab", _ => "z" });', ["ab"]),
     ('let n = 3; print_line(`${switch n { 0..=2 => 0, _ => n | 4 }}`);',
      ["7"]),
+    # --- Rhai 1.25 std array package (round-5: the reference embeds the
+    # standard packages, scripting.rs:284-317) ---
+    ('let a = [3, 1, 2]; a.sort(); print_line(`${a}`);', ["[1, 2, 3]"]),
+    ('let a = ["b", "a"]; a.sort(); a.reverse(); print_line(`${a}`);',
+     ['["b", "a"]']),
+    ('let a = [1, 2, 3]; print_line(`${a.map(|v| v * 2)}`);', ["[2, 4, 6]"]),
+    ('let a = [1, 2, 3]; print_line(`${a.map(|v, i| v + i * 10)}`);',
+     ["[1, 12, 23]"]),
+    ('let a = [1, 2, 3, 4]; print_line(`${a.filter(|v| v % 2 == 0)}`);',
+     ["[2, 4]"]),
+    ('let a = [1, 2, 3]; print_line(`${a.reduce(|s, v| '
+     'if s.type_of() == "()" { v } else { s + v })}`);', ["6"]),
+    ('let a = [1, 2, 3]; print_line(`${a.reduce(|s, v| s + v, 100)}`);',
+     ["106"]),
+    ('let a = [1, 2, 3, 4]; let r = a.retain(|v| v > 2); '
+     'print_line(`${a} ${r}`);', ["[3, 4] [1, 2]"]),
+    ('let a = [1, 2, 3, 4]; let d = a.drain(|v| v < 3); '
+     'print_line(`${a} ${d}`);', ["[3, 4] [1, 2]"]),
+    ('let a = [1, 2, 3, 4, 5]; let d = a.drain(1, 2); '
+     'print_line(`${a} ${d}`);', ["[1, 4, 5] [2, 3]"]),
+    ('let a = [1, 2, 3, 4, 5]; a.splice(1, 3, [9, 9]); print_line(`${a}`);',
+     ["[1, 9, 9, 5]"]),
+    ('let a = [10, 20, 30, 20]; print_line(`${a.index_of(20)} '
+     '${a.index_of(20, 2)} ${a.index_of(99)}`);', ["1 3 -1"]),
+    ('let a = [1, 5, 9]; print_line(`${a.index_of(|v| v > 3)}`);', ["1"]),
+    ('let a = [1, 2]; print_line(`${a.some(|v| v > 1)} ${a.all(|v| v > 1)} '
+     '${a.none(|v| v > 5)}`);', ["true false true"]),
+    ('let a = [1, 2, 3]; a.insert(1, 9); print_line(`${a}`); '
+     'print_line(`${a.remove(2)} ${a}`);', ["[1, 9, 2, 3]", "2 [1, 9, 3]"]),
+    ('let a = [1, 2, 3]; print_line(`${a.shift()} ${a}`);', ["1 [2, 3]"]),
+    ('let a = [1, 2, 3, 4]; a.truncate(2); print_line(`${a}`);', ["[1, 2]"]),
+    ('let a = [1, 2, 3, 4]; a.chop(2); print_line(`${a}`);', ["[3, 4]"]),
+    ('let a = [1, 2, 3, 4]; print_line(`${a.extract(1, 2)} ${a}`);',
+     ["[2, 3] [1, 2, 3, 4]"]),
+    ('let a = [1]; a.pad(3, 0); a.append([7]); print_line(`${a}`);',
+     ["[1, 0, 0, 7]"]),
+    # clone-on-value: splice replacement and map results don't alias
+    ('let r = [9]; let a = [1, 2, 3]; a.splice(1, 1, r); r.push(8); '
+     'print_line(`${a}`);', ["[1, 9, 3]"]),
+    ('let a = [[1], [2]]; let m = a.map(|v| { v.push(0); v }); '
+     'print_line(`${a} ${m}`);', ["[[1], [2]] [[1, 0], [2, 0]]"]),
+    # Fn-pointer callbacks resolve script fns (incl. two-arg comparators)
+    ('fn dbl(v) { v * 2 } print_line(`${[1, 2].map(Fn("dbl"))}`);',
+     ["[2, 4]"]),
+    ('fn desc(x, y) { y - x } let a = [2, 5, 1]; a.sort(Fn("desc")); '
+     'print_line(`${a}`);', ["[5, 2, 1]"]),
+    ('let a = [2, 5, 1]; a.sort(|x, y| x - y); print_line(`${a}`);',
+     ["[1, 2, 5]"]),
+    # string parse conversions (Rust from_str semantics)
+    ('print_line(`${"42".parse_int()} ${"-7".parse_int()} '
+     '${"ff".parse_int(16)} ${"101".parse_int(2)}`);', ["42 -7 255 5"]),
+    ('print_line(`${"3.5".parse_float()} ${"1e3".parse_float()}`);',
+     ["3.5 1000.0"]),
+    # two-binding for: value + 0-based counter, arrays and ranges
+    ('let s = ""; for (v, i) in ["a", "b", "c"] { s += v + i; } '
+     'print_line(s);', ["a0b1c2"]),
+    ('let t = 0; for (v, i) in 10..13 { t += v * 10 + i; } print_line(`${t}`);',
+     ["333"]),
+    ('let s = ""; for (v, i) in ["a", "b", "c", "d"] '
+     '{ if i == 2 { break; } s += v; } print_line(s);', ["ab"]),
 ]
 
 

@@ -151,7 +151,7 @@ def test_mosaic_chain_kernel_auto_tile_geometries():
                                              fused_chain_kernel)
 
     for h, w in ((240, 768), (216, 640), (240, 384)):
-        th, tw = _pick_tiles(h, w, r=6)
+        th, tw, _lim = _pick_tiles(h, w, r=6)
         assert (th, tw) == (h, w), f"auto-pick drifted for {h}x{w}"
         rng = np.random.default_rng(h + w)
         img = np.asarray(rng.integers(0, 256, (h, w, 4), np.uint8))
@@ -162,8 +162,9 @@ def test_mosaic_chain_kernel_auto_tile_geometries():
 
 
 def test_mosaic_chain_kernel_large_sigma_fits_vmem():
-    """Radius-aware tile pick: sigma=25 (r=75) must step down from the big
-    exact-divisor tiles and still compile + match the oracle on chip."""
+    """Radius-aware pick at sigma=25 (r=75): 128x512 tiles with the raised
+    scoped-VMEM limit (the kernel needs 51.68M on chip — the round-4
+    halo-area budget OOMed exactly here) must compile + match the oracle."""
     from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
 
     rng = np.random.default_rng(9)
@@ -171,4 +172,68 @@ def test_mosaic_chain_kernel_large_sigma_fits_vmem():
     ov = np.asarray(rng.integers(0, 256, (480, 1536, 4), np.uint8))
     got = np.asarray(fused_chain_kernel(img, ov, sigma=25.0, interpret=False))
     want = np.asarray(fused_chain(img, ov, sigma=25.0, interpret=False))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_chain_kernel_exact_divisor_band_endpoint():
+    """r=20 (sigma=6.66) is the largest radius still allowed the big
+    exact-divisor tiles; certify that band endpoint (240x768 tile, nt=41
+    halo sweep) on real Mosaic under the DEFAULT scoped limit."""
+    from paintfe_tpu.ops.fused_chain import (_pick_tiles, fused_chain,
+                                             fused_chain_kernel)
+
+    sigma = 20.0 / 3.0  # ceil(3*sigma) == 20
+    rng = np.random.default_rng(11)
+    img = np.asarray(rng.integers(0, 256, (240, 768, 4), np.uint8))
+    ov = np.asarray(rng.integers(0, 256, (240, 768, 4), np.uint8))
+    th, tw, lim = _pick_tiles(240, 768, 20)
+    assert (th, tw, lim) == (240, 768, None)
+    got = np.asarray(fused_chain_kernel(img, ov, sigma=sigma, interpret=False))
+    want = np.asarray(fused_chain(img, ov, sigma=sigma, interpret=False))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_chain_kernel_max_radius_band():
+    """The top band: sigma=42 (r=126, 253 taps) on 64x256 tiles with the
+    raised limit — measured 100.36M scoped need on v5e, the largest
+    radius the mega kernel accepts before delegating to the planar path.
+    Wide aspect stresses the lane-dim halo at its maximum."""
+    from paintfe_tpu.ops.fused_chain import fused_chain, fused_chain_kernel
+
+    rng = np.random.default_rng(12)
+    img = np.asarray(rng.integers(0, 256, (256, 1024, 4), np.uint8))
+    ov = np.asarray(rng.integers(0, 256, (256, 1024, 4), np.uint8))
+    got = np.asarray(fused_chain_kernel(img, ov, sigma=42.0, interpret=False))
+    want = np.asarray(fused_chain(img, ov, sigma=42.0, interpret=False))
+    assert np.array_equal(got, want)
+
+
+def test_mosaic_chain_kernel_beyond_cap_planar_fallback():
+    """sigma=50 (r=150) exceeds MAX_KERNEL_RADIUS: fused_chain_kernel must
+    delegate to the planar two-kernel path, which runs the XLA separable
+    blur on chip — certify it executes and matches the XLA public-op
+    formulation end to end."""
+    import jax.numpy as jnp
+    from paintfe_tpu.core.blend import BlendMode, blend_u8
+    from paintfe_tpu.ops.filters import _gaussian_fn
+    from paintfe_tpu.ops.fused_chain import (_bc_planar, _levels_planar,
+                                             _sepia_planar, fused_chain_kernel)
+
+    rng = np.random.default_rng(13)
+    img = np.asarray(rng.integers(0, 256, (96, 256, 4), np.uint8))
+    ov = np.asarray(rng.integers(0, 256, (96, 256, 4), np.uint8))
+    got = np.asarray(fused_chain_kernel(img, ov, sigma=50.0, interpret=False))
+
+    def oracle(a, b):
+        blurred = _gaussian_fn(50.0, 96, 256)(a)
+        pl_ = [jnp.transpose(blurred, (2, 0, 1))[c] for c in range(4)]
+        pl_ = _bc_planar(pl_, 10.0, 20.0)
+        pl_ = _levels_planar(pl_, 10.0, 245.0, 1.1)
+        pl_ = _sepia_planar(pl_, 0.5)
+        base = jnp.transpose(jnp.stack(pl_, 0), (1, 2, 0))
+        return blend_u8(base, b, BlendMode.SOFT_LIGHT, 0.6)
+
+    import jax
+
+    want = np.asarray(jax.jit(oracle)(img, ov))
     assert np.array_equal(got, want)
