@@ -34,20 +34,26 @@ def format_extension(fmt: str) -> str:
 def load_image(path) -> np.ndarray:
     """Load any supported raster file as RGBA u8 [H, W, 4]."""
     ext = pathlib.Path(path).suffix.lower().lstrip(".")
-    if ext in ("dng", "cr2", "nef", "nrw"):
+    if ext in ("dng", "cr2", "nef", "nrw", "arw", "pef", "srw", "orf",
+               "rw2", "rwl"):
         from paintfe_tpu.io import raw
 
-        # .nrw is Nikon's NEF variant with the same TIFF layout
+        # .nrw is Nikon's NEF variant and .rwl Leica's RW2 variant, each
+        # sharing the donor format's TIFF layout
         loader = {"dng": raw.load_dng, "cr2": raw.load_cr2,
-                  "nef": raw.load_nef, "nrw": raw.load_nef}[ext]
+                  "nef": raw.load_nef, "nrw": raw.load_nef,
+                  "arw": raw.load_arw, "pef": raw.load_pef,
+                  "srw": raw.load_srw, "orf": raw.load_orf,
+                  "rw2": raw.load_rw2, "rwl": raw.load_rw2}[ext]
         try:
             return loader(path)
         except raw.RawError as e:
             raise CodecError(f"failed to decode {ext.upper()} '{path}': {e}")
     if ext in RAW_EXTS:
         raise CodecError(
-            f"RAW camera format '.{ext}' requires a raw decoder not present in "
-            "this environment (DNG/CR2/NEF decode natively)"
+            f"RAW camera format '.{ext}' requires a raw decoder not present "
+            "in this environment (DNG/CR2/NEF/ARW/PEF/SRW/ORF/RW2 decode "
+            "natively)"
         )
     try:
         img = Image.open(path)

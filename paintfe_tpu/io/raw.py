@@ -1,5 +1,6 @@
 """RAW camera ingestion: DNG (uncompressed + lossless-JPEG, strips +
-tiles), Canon CR2, and Nikon NEF.
+tiles), Canon CR2, Nikon NEF, Sony ARW, Pentax PEF, Samsung SRW,
+Olympus ORF, and Panasonic RW2/RWL.
 
 The reference reads its RAW families through the `rawloader` crate
 (src/io.rs:36-80).  That decoder stack doesn't exist here, so this module
@@ -16,13 +17,21 @@ implements the interchange formats natively:
   SensorInfo-based active-area crop + masked-border black estimation.
 - **NEF**: TIFF container with packed 12/14-bit uncompressed raw SubIFDs.
 
+- **ARW/PEF/SRW/ORF**: the shared TIFF/EP CFA shape (ORF with Olympus's
+  RO/SR magic variants) — plain 16-bit or MSB-packed 12/14-bit strips,
+  plus Sony's lossless SOF3 mode (Compression=7).
+- **RW2/RWL**: Panasonic's magic-85 container with its own tag set
+  (sensor borders, CFA enum, per-color blacks, x256 balances), unpacked
+  16-bit samples.
+
 The SOF3 entropy decoder is native C++ (native/ljpeg.cpp), spec-
 implemented and fuzzed against an independent test-side encoder; the
 baseline-DCT decoder for lossy DNG is likewise native (native/jpegdct.cpp)
-and validated against PIL/libjpeg as an independent oracle.  Remaining
-families (CR3/ARW/ORF/RW2/SRW/PEF/RAF + Nikon-compressed NEF) use
-proprietary entropy tables that cannot be verified here without real
-camera files — they raise a clear CodecError instead.
+and validated against PIL/libjpeg as an independent oracle.  Proprietary
+entropy codings (CR3, RAF, Nikon-compressed NEF, Sony ARW2 curve, Pentax
+huffman, Olympus compressed, Panasonic sync-coded) use tables that cannot
+be verified here without real camera files — they raise a clear
+CodecError instead.
 
 Pipeline (host-side, numpy): black-level subtract -> white-level
 normalize -> (CFA) white balance + bilinear demosaic -> optional camera
@@ -127,7 +136,8 @@ def _parse_ifd(blob: bytes, end: str, off: int) -> Tuple[Dict[int, list], int]:
     return tags, nxt
 
 
-def _all_ifds(blob: bytes) -> Tuple[str, List[Dict[int, list]]]:
+def _all_ifds(blob: bytes,
+              magics: Tuple[int, ...] = (42,)) -> Tuple[str, List[Dict[int, list]]]:
     if blob[:2] == b"II":
         end = "<"
     elif blob[:2] == b"MM":
@@ -135,7 +145,7 @@ def _all_ifds(blob: bytes) -> Tuple[str, List[Dict[int, list]]]:
     else:
         raise RawError("not a TIFF container")
     (magic,) = struct.unpack(end + "H", blob[2:4])
-    if magic != 42:
+    if magic not in magics:
         raise RawError("not a TIFF container (bad magic)")
     (off,) = struct.unpack(end + "I", blob[4:8])
     ifds: List[Dict[int, list]] = []
@@ -981,6 +991,222 @@ def _unpack_bits_msb(payload: bytes, bits: int, count: int) -> np.ndarray:
     bits_arr = bits_arr[:count * bits].reshape(count, bits)
     weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint32)
     return (bits_arr.astype(np.uint32) @ weights).astype(np.uint16)
+
+
+# ---------------------------------------------------------------------------
+# TIFF/EP CFA families: Sony ARW, Pentax PEF, Samsung SRW, Olympus ORF
+# ---------------------------------------------------------------------------
+#
+# rawloader (the reference's decoder, src/io.rs:36-80) reads these through
+# per-maker modules; the verifiable subset here is their shared TIFF/EP
+# container shape: a CFA raw IFD (PhotometricInterpretation 32803) holding
+# plain 16-bit or MSB-packed 12/14-bit strips (Compression=1), plus — for
+# Sony's newer lossless mode — SOF3 lossless-JPEG segments (Compression=7),
+# which reuse the same native decoder the DNG/CR2 paths fuzz against an
+# independent encoder.  Proprietary entropy codings (Sony ARW2 curve 32767,
+# Pentax huffman 65535, Olympus mid-strip compression) raise targeted
+# errors: their tables cannot be validated here without real camera files.
+#
+# Black/white levels honor DNG-style BlackLevel/WhiteLevel tags when the
+# file carries them and default to 0 / full-scale otherwise (real cameras
+# bury levels in maker notes whose layouts are unverifiable here); as-shot
+# WB likewise comes from AsShotNeutral when present.
+
+_ORF_MAGICS = (42, 0x4F52, 0x5253)  # "RO" (most models) / "SR" variants
+
+
+def _decode_tiffep_cfa(blob: bytes, family: str,
+                       magics: Tuple[int, ...] = (42,)) -> np.ndarray:
+    end, ifds = _all_ifds(blob, magics)
+    cands = [t for t in ifds if t.get(T_PHOTOMETRIC, [0])[0] == 32803]
+    if not cands:
+        raise RawError(f"no CFA raw IFD found in {family.upper()}")
+    tags = max(cands,
+               key=lambda t: t.get(T_WIDTH, [0])[0] * t.get(T_HEIGHT, [0])[0])
+    w = tags[T_WIDTH][0]
+    h = tags[T_HEIGHT][0]
+    bits = tags.get(T_BITS, [16])[0]
+    comp = tags.get(T_COMPRESSION, [1])[0]
+
+    if comp == 32767:
+        raise RawError("Sony ARW2 curve-compressed raws are not supported "
+                       "(uncompressed and lossless-JPEG ARW decode natively)")
+    if comp == 65535:
+        raise RawError("Pentax-compressed PEF raws are not supported "
+                       "(uncompressed PEF decodes natively)")
+    if comp == 7:
+        data = np.asarray(_read_ljpeg_samples(blob, tags, w, h, 1,
+                                              T_TILE_OFFSETS in tags))
+    elif comp != 1:
+        raise RawError(f"{family.upper()} compression {comp} is not supported")
+    else:
+        offsets = tags.get(T_STRIP_OFFSETS)
+        counts = tags.get(T_STRIP_COUNTS)
+        if not offsets or not counts:
+            raise RawError(f"{family.upper()} raw IFD has no strip offsets")
+        payload = b"".join(blob[o:o + c] for o, c in zip(offsets, counts))
+        if bits == 16:
+            dt = np.dtype(("<" if end == "<" else ">") + "u2")
+            if len(payload) < w * h * 2:
+                raise RawError(
+                    f"{family.upper()} strip data shorter than the raster "
+                    "(maker-compressed variant?)")
+            data = np.frombuffer(payload, dt, count=w * h).astype(np.float32)
+        elif bits in (12, 14):
+            try:
+                data = _unpack_bits_msb(payload, bits, w * h).astype(np.float32)
+            except RawError:
+                raise RawError(
+                    f"{family.upper()} strip data shorter than the packed "
+                    "raster (maker-compressed variant?)")
+        else:
+            raise RawError(
+                f"{bits}-bit {family.upper()} samples are not supported")
+    data = np.asarray(data, np.float32).reshape(h, w)
+
+    pat = tags.get(T_CFA_PATTERN, [0, 1, 1, 2])  # TIFF/EP default: RGGB
+    dim = tags.get(T_CFA_DIM, [2, 2])
+    if dim[0] != 2 or dim[1] != 2 or len(pat) < 4:
+        raise RawError("only 2x2 CFA patterns are supported")
+    pattern = np.array(pat[:4], np.int32).reshape(2, 2)
+    norm = _normalize_levels(data, tags, bits)
+
+    neutral = tags.get(T_AS_SHOT_NEUTRAL)
+    if neutral and len(neutral) >= 3 and all(float(n) > 0 for n in neutral[:3]):
+        wb = np.array([1.0 / float(n) for n in neutral[:3]], np.float32)
+        wb = wb / max(wb[1], 1e-6)
+        ys, xs = np.mgrid[0:norm.shape[0], 0:norm.shape[1]]
+        norm = np.clip(norm * wb[pattern[ys % 2, xs % 2]], 0.0, 1.0)
+    rgb = _demosaic_bilinear(norm, pattern)
+    cm = tags.get(T_COLOR_MATRIX1)
+    if cm and len(cm) == 9:
+        rgb = _apply_color_matrix(rgb, np.array(cm, np.float32).reshape(3, 3))
+    return _finish_srgb(rgb)
+
+
+def _make_tiffep_loader(family: str, magics: Tuple[int, ...] = (42,)):
+    def load(path) -> np.ndarray:
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        try:
+            return _decode_tiffep_cfa(blob, family, magics)
+        except RawError:
+            raise
+        except (struct.error, KeyError, ValueError, IndexError) as e:
+            raise RawError(
+                f"malformed {family.upper()}: {type(e).__name__}: {e}")
+    load.__name__ = f"load_{family}"
+    load.__doc__ = (
+        f"Decode a {family.upper()} (TIFF/EP CFA container) into RGBA u8 "
+        "[H, W, 4]; see the family notes above for the supported subset.")
+    return load
+
+
+load_arw = _make_tiffep_loader("arw")
+load_pef = _make_tiffep_loader("pef")
+load_srw = _make_tiffep_loader("srw")
+load_orf = _make_tiffep_loader("orf", _ORF_MAGICS)
+
+
+# ---------------------------------------------------------------------------
+# Panasonic RW2 (and Leica RWL, the same container)
+# ---------------------------------------------------------------------------
+
+# PanasonicRaw tag ids (public exiftool table; dcraw's parser agrees)
+P_SENSOR_WIDTH = 0x0002
+P_SENSOR_HEIGHT = 0x0003
+P_TOP_BORDER = 0x0004
+P_LEFT_BORDER = 0x0005
+P_BOTTOM_BORDER = 0x0006
+P_RIGHT_BORDER = 0x0007
+P_CFA_PATTERN = 0x0009
+P_BITS = 0x000A
+P_COMPRESSION = 0x000B
+P_RED_BALANCE = 0x0011
+P_BLUE_BALANCE = 0x0012
+P_BLACK_RED = 0x001C
+P_BLACK_GREEN = 0x001D
+P_BLACK_BLUE = 0x001E
+P_RAW_FORMAT = 0x002D
+P_STRIP_OFFSETS = 0x0118
+
+# CFAPattern enum -> 2x2 pattern of (0=R, 1=G, 2=B), row-major
+_RW2_CFA = {1: [0, 1, 1, 2], 2: [1, 0, 2, 1], 3: [1, 2, 0, 1],
+            4: [2, 1, 1, 0]}
+
+
+def load_rw2(path) -> np.ndarray:
+    """Decode a Panasonic RW2 / Leica RWL into RGBA u8 [H, W, 4].
+
+    RW2 is a TIFF container with magic 85 instead of 42 and Panasonic's
+    own IFD0 tag set: sensor dims + active-area borders (0x0002-0x0007),
+    a CFA-pattern ENUM (0x0009 — never the TIFF/EP pattern array), bit
+    depth 0x000A, per-color black levels 0x001C-0x001E, WB as red/blue
+    balances scaled by 256 (0x0011/0x0012), and raw data at 0x0118.
+    Supported: the unpacked little-endian 16-bit sample layout; the
+    sync-coded Panasonic bitstream (RawFormat >= 4's packed variants)
+    raises a targeted error."""
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    try:
+        return _decode_rw2(blob)
+    except RawError:
+        raise
+    except (struct.error, KeyError, ValueError, IndexError) as e:
+        raise RawError(f"malformed RW2: {type(e).__name__}: {e}")
+
+
+def _decode_rw2(blob: bytes) -> np.ndarray:
+    end, ifds = _all_ifds(blob, magics=(85,))
+    tags = next((t for t in ifds if P_SENSOR_WIDTH in t
+                 and P_SENSOR_HEIGHT in t), None)
+    if tags is None:
+        raise RawError("no Panasonic sensor IFD found in RW2")
+    w = int(tags[P_SENSOR_WIDTH][0])
+    h = int(tags[P_SENSOR_HEIGHT][0])
+    bits = int(tags.get(P_BITS, [12])[0])
+    offsets = tags.get(P_STRIP_OFFSETS) or tags.get(T_STRIP_OFFSETS)
+    if not offsets:
+        raise RawError("RW2 has no raw data offset")
+    payload = blob[int(offsets[0]):]
+    if len(payload) < w * h * 2:
+        raise RawError("RW2 raw data shorter than an unpacked raster "
+                       "(Panasonic sync-coded bitstreams are not supported)")
+    data = np.frombuffer(payload, "<u2", count=w * h).astype(
+        np.float32).reshape(h, w)
+
+    cfa = int(tags.get(P_CFA_PATTERN, [1])[0])
+    if cfa not in _RW2_CFA:
+        raise RawError(f"RW2 CFA pattern enum {cfa} is not supported")
+    pattern = np.array(_RW2_CFA[cfa], np.int32).reshape(2, 2)
+
+    # active-area crop; the CFA enum describes the sensor origin, so crop
+    # parity must carry into the pattern phase
+    top = int(tags.get(P_TOP_BORDER, [0])[0])
+    left = int(tags.get(P_LEFT_BORDER, [0])[0])
+    bottom = int(tags.get(P_BOTTOM_BORDER, [h])[0]) or h
+    right = int(tags.get(P_RIGHT_BORDER, [w])[0]) or w
+    if not (0 <= top < bottom <= h and 0 <= left < right <= w):
+        raise RawError("RW2 sensor borders outside image bounds")
+    data = data[top:bottom, left:right]
+    pattern = np.roll(np.roll(pattern, -top % 2, 0), -left % 2, 1)
+
+    black = np.array([float(tags.get(P_BLACK_RED, [0])[0]),
+                      float(tags.get(P_BLACK_GREEN, [0])[0]),
+                      float(tags.get(P_BLACK_BLUE, [0])[0])], np.float32)
+    white = float((1 << bits) - 1)
+    ys, xs = np.mgrid[0:data.shape[0], 0:data.shape[1]]
+    plane = pattern[ys % 2, xs % 2]
+    norm = np.clip((data - black[plane]) / max(white - black.max(), 1.0),
+                   0.0, 1.0)
+
+    red_bal = float(tags.get(P_RED_BALANCE, [256])[0]) / 256.0
+    blue_bal = float(tags.get(P_BLUE_BALANCE, [256])[0]) / 256.0
+    if red_bal > 0 and blue_bal > 0:
+        wb = np.array([red_bal, 1.0, blue_bal], np.float32)
+        norm = np.clip(norm * wb[plane], 0.0, 1.0)
+    rgb = _demosaic_bilinear(norm, pattern)
+    return _finish_srgb(rgb)
 
 
 def _apply_color_matrix(rgb: np.ndarray, cm_xyz_to_cam: np.ndarray) -> np.ndarray:

@@ -590,10 +590,16 @@ def test_unsupported_paths_clear_errors(tmp_path):
     with pytest.raises(codecs.CodecError, match="lossless-JPEG"):
         codecs.load_image(p3)
     # proprietary RAW families without native decoders keep the targeted
-    # message (CR2/NEF now decode natively; see test_raw_camera.py)
+    # message (CR2/NEF/ARW/PEF/SRW/ORF/RW2 now decode natively; see
+    # test_raw_camera.py and test_raw_families.py)
+    cr3 = tmp_path / "x.cr3"
+    cr3.write_bytes(b"\0\0\0\x18ftypcrx ")
+    with pytest.raises(codecs.CodecError, match="raw decoder"):
+        codecs.load_image(cr3)
+    # truncated members of the native families surface as CodecError too
     arw = tmp_path / "x.arw"
     arw.write_bytes(b"II*\0")
-    with pytest.raises(codecs.CodecError, match="raw decoder"):
+    with pytest.raises(codecs.CodecError, match="malformed ARW"):
         codecs.load_image(arw)
     # a TIFF without DNGVersion is rejected by the DNG reader
     with pytest.raises(raw.RawError, match="DNGVersion"):
