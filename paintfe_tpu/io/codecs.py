@@ -140,13 +140,28 @@ def save_image(img: np.ndarray, path, fmt: Optional[str] = None, quality: int = 
             # (quantize_rgba io.rs:2960-2989 + gif::Frame default) builds an
             # RGB-only palette with no transparency either — transparent
             # pixels flatten to their stored RGB in both implementations.
-            pil.convert("P", palette=Image.ADAPTIVE).save(path, format="GIF")
+            # Palette = NeuQuant like encode_static_gif (io.rs:2743-2767).
+            _gif_p_frame(np.asarray(pil.convert("RGBA"), np.uint8),
+                         256).save(path, format="GIF")
         else:
             raise CodecError(f"unsupported save format '{fmt}'")
     except CodecError:
         raise
     except Exception as e:
         raise CodecError(f"failed to encode '{path}': {e}")
+
+
+def _gif_p_frame(rgba: np.ndarray, colors: int) -> "Image.Image":
+    """RGBA u8 [H, W, 4] -> PIL 'P' image carrying a NeuQuant palette —
+    the reference's quantize_rgba (io.rs:2960-2989, color_quant NeuQuant
+    at samplefac 10 over RGBA)."""
+    from paintfe_tpu.io.neuquant import quantize_rgba
+
+    h, w = rgba.shape[0], rgba.shape[1]
+    palette, indices = quantize_rgba(rgba, colors)
+    pim = Image.fromarray(indices.reshape(h, w), "P")
+    pim.putpalette(palette.reshape(-1).tobytes())
+    return pim
 
 
 def gif_delay_cs(fps: float) -> int:
@@ -194,8 +209,11 @@ def save_animation(frames: List[np.ndarray], path, fmt: str = "gif",
             # 65535 cs for non-PIL consumers
             delay_ms = min(gif_delay_cs(fps) * 10, 65535)
             colors = int(np.clip(max_colors, 2, 256))
-            base = [p.convert("P", palette=Image.ADAPTIVE, colors=colors)
-                    for p in pils]
+            # reference palette discipline (io.rs:2794-2812): NeuQuant
+            # global palette from the first frame + a NeuQuant local
+            # palette per frame; PIL writes the first frame's palette as
+            # the global table and local tables where palettes differ
+            base = [_gif_p_frame(fr, colors) for fr in frames]
             base[0].save(
                 path, format="GIF", save_all=True, append_images=base[1:],
                 duration=delay_ms, loop=0, disposal=2,

@@ -18,7 +18,7 @@ import threading
 _DIR = pathlib.Path(__file__).resolve().parent
 _LIB_PATH = _DIR / "libpaintfe_native.so"
 _SOURCES = [_DIR / "inpaint.cpp", _DIR / "ljpeg.cpp", _DIR / "jpegdct.cpp",
-            _DIR / "bytecodec.cpp"]
+            _DIR / "bytecodec.cpp", _DIR / "neuquant.cpp"]
 _lock = threading.Lock()
 _lib = None
 _build_error = None
