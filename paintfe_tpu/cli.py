@@ -314,34 +314,49 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 1 if any_failure else 0
 
 
+def _compute_frame(input_path, script_source):
+    """One input -> processed flattened frame (the --animate unit of work;
+    may raise any of _INPUT_ERRORS)."""
+    canvas = load_canvas(input_path)
+    if script_source is not None:
+        idx = canvas.active_layer_index
+        result, new_w, new_h, _console, canvas_ops = execute_script_sync(
+            script_source, canvas.layers[idx].pixels,
+            canvas.width, canvas.height, canvas.selection,
+        )
+        # same commit path as run_one (canonicalize + deep sync)
+        _commit_script_result(canvas, idx, result, new_w, new_h, canvas_ops)
+    return (canvas.composite() if len(canvas.layers) > 1
+            else canvas.active_layer.pixels)
+
+
 def _run_animate(inputs, args, script_source) -> int:
     """Process every input, then encode all frames as one animation
-    ("each visible layer = one frame" semantics applied to the batch)."""
+    ("each visible layer = one frame" semantics applied to the batch).
+
+    With --shard, frame computation runs through the bucketed mesh engine
+    (the BASELINE "sharded batch -> per-frame animated export" target) —
+    frames are bit-identical to this serial path and come back in input
+    order."""
     ext = pathlib.Path(args.animate).suffix.lower().lstrip(".")
     anim_fmt = {"gif": "gif", "png": "apng", "apng": "apng", "webp": "webp"}.get(ext)
     if anim_fmt is None:
         print(f"error: --animate needs a .gif/.png/.webp path, got '{ext}'",
               file=sys.stderr)
         return 1
-    frames = []
-    any_failure = False
-    for input_path in inputs:
-        try:
-            canvas = load_canvas(input_path)
-            if script_source is not None:
-                idx = canvas.active_layer_index
-                result, new_w, new_h, _console, canvas_ops = execute_script_sync(
-                    script_source, canvas.layers[idx].pixels,
-                    canvas.width, canvas.height, canvas.selection,
-                )
-                # same commit path as run_one (canonicalize + deep sync)
-                _commit_script_result(canvas, idx, result, new_w, new_h,
-                                      canvas_ops)
-            frames.append(canvas.composite() if len(canvas.layers) > 1
-                          else canvas.active_layer.pixels)
-        except _INPUT_ERRORS as e:
-            print(f"  error: {e}", file=sys.stderr)
-            any_failure = True
+    if args.shard:
+        from paintfe_tpu.parallel.batch import run_sharded_frames
+
+        frames, any_failure = run_sharded_frames(inputs, args, script_source)
+    else:
+        frames = []
+        any_failure = False
+        for input_path in inputs:
+            try:
+                frames.append(_compute_frame(input_path, script_source))
+            except _INPUT_ERRORS as e:
+                print(f"  error: {e}", file=sys.stderr)
+                any_failure = True
     if not frames:
         return 1
     try:

@@ -104,6 +104,19 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
         for k, i in enumerate(idxs):
             save_one(i, out[k])
 
+    # Layered containers (.pfe/.pdn) need the full canvas path — the flat
+    # batch loader can't model script-on-active-layer + composite; the
+    # serial runner handles them with identical semantics.
+    flat_idxs = []
+    for idx, p in enumerate(inputs):
+        if pathlib.Path(p).suffix.lower() in (".pfe", ".pdn"):
+            if _run_one_safe(inputs[idx], args, fmt, script_source):
+                state["done"] += 1
+            else:
+                state["failed"] = True
+        else:
+            flat_idxs.append(idx)
+
     # Stream decode -> bucket -> flush: the decode-ahead window stays
     # bounded (a full-glob drain would hold every decoded image in host
     # memory before the first compute).
@@ -111,7 +124,9 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
 
     buckets = defaultdict(list)  # (h, w) -> [input index]
     loaded = {}
-    for idx, (path, img) in enumerate(prefetch_images(inputs)):
+    for k, (path, img) in enumerate(
+            prefetch_images([inputs[i] for i in flat_idxs])):
+        idx = flat_idxs[k]
         if isinstance(img, Exception):
             print(f"  error: {img}", file=sys.stderr)
             state["failed"] = True
@@ -129,6 +144,101 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
         n = state["done"]
         print(f"sharded batch: {n} images in {dt:.2f}s ({n / max(dt, 1e-9):.1f} img/s)")
     return 1 if state["failed"] else 0
+
+
+def run_sharded_frames(inputs: List[pathlib.Path], args,
+                       script_source: Optional[str]):
+    """Frame computation for `--shard --animate` (the BASELINE "1k-image
+    sharded batch + per-frame animated export" row): the same bucketed
+    mesh engine as run_sharded_batch, but collecting processed frames
+    instead of encoding files.  Returns (frames in input order, failed);
+    failed inputs are skipped with keep-going semantics, exactly like the
+    serial --animate loop."""
+    from paintfe_tpu.cli import _INPUT_ERRORS, _compute_frame
+    from paintfe_tpu.parallel.prefetch import prefetch_images
+
+    ops = []
+    per_bucket_trace = False
+    serial_only = False
+    if script_source:
+        try:
+            ops = trace_script(script_source)
+        except NotVectorizable as e:
+            if str(e) in ("width", "height"):
+                per_bucket_trace = True
+            else:
+                if args.verbose:
+                    print(f"note: script uses per-pixel API ({e}); "
+                          "running per-image")
+                serial_only = True
+        except Exception as e:
+            print(f"  error: script error: {e}", file=sys.stderr)
+            return [], True
+
+    frames = {}
+    state = {"failed": False}
+
+    def compute_serial(idx):
+        try:
+            frames[idx] = _compute_frame(inputs[idx], script_source)
+        except _INPUT_ERRORS as e:
+            print(f"  error: {e}", file=sys.stderr)
+            state["failed"] = True
+
+    if serial_only:
+        for idx in range(len(inputs)):
+            compute_serial(idx)
+        return [frames[i] for i in sorted(frames)], state["failed"]
+
+    def flush_bucket(shape, idxs, loaded):
+        try:
+            bops = ops
+            if per_bucket_trace:
+                bops = trace_script(script_source, dims=(shape[1], shape[0]))
+            batch = np.stack([loaded.pop(i) for i in idxs])
+            out = run_batch(batch, bops)
+        except NotVectorizable:
+            for i in idxs:
+                loaded.pop(i, None)
+                compute_serial(i)
+            return
+        except Exception as e:
+            print(f"  error: batch of {len(idxs)} {shape[1]}x{shape[0]} "
+                  f"images failed ({e}); retrying per-image",
+                  file=sys.stderr)
+            for i in idxs:
+                loaded.pop(i, None)
+                compute_serial(i)
+            return
+        for k, i in enumerate(idxs):
+            frames[i] = np.asarray(out[k])
+
+    # layered containers must go through the full canvas path (script on
+    # the active layer + composite), which a flat load_image can't model
+    flat, layered = [], []
+    for idx, p in enumerate(inputs):
+        (layered if pathlib.Path(p).suffix.lower() in (".pfe", ".pdn")
+         else flat).append(idx)
+    for idx in layered:
+        compute_serial(idx)
+
+    buckets = defaultdict(list)
+    loaded = {}
+    for k, (path, img) in enumerate(
+            prefetch_images([inputs[i] for i in flat])):
+        idx = flat[k]
+        if isinstance(img, Exception):
+            print(f"  error: {img}", file=sys.stderr)
+            state["failed"] = True
+            continue
+        loaded[idx] = img
+        shape = img.shape[:2]
+        buckets[shape].append(idx)
+        if len(buckets[shape]) >= FLUSH_AT:
+            flush_bucket(shape, buckets.pop(shape), loaded)
+    for shape, idxs in buckets.items():
+        flush_bucket(shape, idxs, loaded)
+    return [frames[i] for i in sorted(frames)], state["failed"]
 
 
 def _run_one_safe(input_path, args, fmt, script_source) -> bool:

@@ -101,6 +101,66 @@ def test_cli_animate_with_script(tmp_path):
     np.testing.assert_array_equal(frames[0][..., 0], 255 - expected[..., 0])
 
 
+def test_cli_sharded_animate_matches_serial(tmp_path):
+    """The BASELINE "sharded batch + per-frame animated export" target at
+    CPU-mesh scale: 72 images (a scaled 1k stand-in crossing the 64-image
+    bucket flush) through a Rhai op chain on the 8-device mesh, exported
+    as one animation — byte-identical to the serial --animate path, with
+    keep-going semantics for a corrupt member."""
+    for i in range(72):
+        img = fixtures.test_gradient(24, 32)
+        # a big distinct patch per frame: the sepia chain quantizes small
+        # differences away and PIL merges identical consecutive frames
+        img[0:8, 0:8] = [(i * 37) % 256, (i * 91) % 256, (i * 53) % 256, 255]
+        codecs.save_image(img, tmp_path / f"m{i:03d}.png", "png")
+    script = tmp_path / "s.rhai"
+    script.write_text("apply_brightness_contrast(12.0, 18.0);\n"
+                      "apply_sepia(0.4);")
+
+    serial = tmp_path / "serial.png"
+    sharded = tmp_path / "sharded.png"
+    rc = cli.main(["-i", str(tmp_path / "m*.png"), "-s", str(script),
+                   "--animate", str(serial), "--fps", "12"])
+    assert rc == 0
+    rc = cli.main(["-i", str(tmp_path / "m*.png"), "-s", str(script),
+                   "--shard", "--animate", str(sharded), "--fps", "12"])
+    assert rc == 0
+    assert serial.read_bytes() == sharded.read_bytes()
+    frames, _ = codecs.load_frames(sharded)
+    assert len(frames) == 72
+
+    # keep-going: one corrupt member drops its frame, exit code 1, the
+    # other 72 frames still export in order
+    (tmp_path / "m036a.png").write_bytes(b"not a png")
+    broken = tmp_path / "broken.png"
+    rc = cli.main(["-i", str(tmp_path / "m*.png"), "-s", str(script),
+                   "--shard", "--animate", str(broken), "--fps", "12"])
+    assert rc == 1
+    frames2, _ = codecs.load_frames(broken)
+    assert len(frames2) == 72
+    for a, b in zip(frames, frames2):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_animate_per_pixel_fallback(tmp_path):
+    """Scripts the vectorizer can't trace still animate under --shard via
+    the per-image path, identical to serial."""
+    for i in range(3):
+        img = fixtures.test_gradient(12, 16)
+        img[0, 0] = [i * 50, 0, 0, 255]
+        codecs.save_image(img, tmp_path / f"p{i}.png", "png")
+    script = tmp_path / "s.rhai"
+    script.write_text(
+        "for_each_pixel(|x, y, r, g, b, a| [b, g, r, a]);")
+    serial = tmp_path / "serial.gif"
+    sharded = tmp_path / "sharded.gif"
+    assert cli.main(["-i", str(tmp_path / "p*.png"), "-s", str(script),
+                     "--animate", str(serial)]) == 0
+    assert cli.main(["-i", str(tmp_path / "p*.png"), "-s", str(script),
+                     "--shard", "--animate", str(sharded)]) == 0
+    assert serial.read_bytes() == sharded.read_bytes()
+
+
 def test_per_band_hsl_identity_and_selectivity():
     img = fixtures.color_bands(64, 8)
     zeros = np.zeros(6, np.float32)
