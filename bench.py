@@ -521,6 +521,88 @@ def inpaint_bench():
         print(f"inpaint {tier:13s} {dt:5.2f} s   (reference claim: {ref})")
 
 
+def e2e_bench():
+    """Honest end-to-end headless-pipeline throughput — the SURVEY north
+    star (decode -> Rhai script -> encode), measured at the CLI surface
+    through the sharded batch runner with the prefetch loader overlapping
+    host IO against device compute.
+
+    Methodology per CLAUDE.md: the first (warm-up) run eats compiles and
+    the page cache; the reported number is the median of 3 subsequent
+    full-batch runs.  The attribution rows time each stage alone on the
+    same data so the binding constraint is explicit — every image also
+    pays one host->device upload and one device->host fetch (~35 ms RTT
+    each on this rig's tunnel when they can't batch), which is why the
+    batch path ships N images per dispatch instead of chatting per file.
+    """
+    import pathlib
+    import shutil
+    import statistics
+    import tempfile
+
+    from paintfe_tpu import cli
+    from paintfe_tpu.io import codecs
+    from paintfe_tpu.parallel.pipeline import run_batch, trace_script
+
+    rng = np.random.default_rng(0)
+    script_src = ("apply_blur(2.0);\n"
+                  "apply_brightness_contrast(10.0, 20.0);\n"
+                  "apply_levels(10.0, 245.0, 1.1);\n"
+                  "apply_sepia(0.5);\n")
+
+    for label, h, w, n in (("1 Mpix", 1024, 1024, 24),
+                           ("4 Mpix", 2048, 2048, 12)):
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix="pfe_e2e_"))
+        try:
+            for i in range(n):
+                img = rng.integers(0, 256, (h, w, 4), np.uint8)
+                codecs.save_image(img, tmp / f"i{i:03d}.png", "png")
+            script = tmp / "s.rhai"
+            script.write_text(script_src)
+
+            def run_once(tag):
+                out = tmp / f"out_{tag}"
+                out.mkdir()
+                t0 = time.perf_counter()
+                rc = cli.main(["-i", str(tmp / "i*.png"), "-s", str(script),
+                               "--shard", "--output-dir", str(out),
+                               "-f", "png"])
+                dt = time.perf_counter() - t0
+                assert rc == 0
+                shutil.rmtree(out)
+                return dt
+
+            run_once("warm")  # compiles + page cache
+            dts = [run_once(f"t{j}") for j in range(3)]
+            dt = statistics.median(dts)
+
+            # attribution on the same inputs: decode-only, compute-only
+            # (device incl. transfers), encode-only
+            t0 = time.perf_counter()
+            imgs = [codecs.load_image(tmp / f"i{i:03d}.png")
+                    for i in range(n)]
+            t_dec = time.perf_counter() - t0
+            ops = trace_script(script_src)
+            batch = np.stack(imgs)
+            run_batch(batch, ops)  # warm
+            t0 = time.perf_counter()
+            outs = run_batch(batch, ops)
+            t_dev = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            for i in range(n):
+                codecs.save_image(outs[i], tmp / f"enc{i:03d}.png", "png")
+            t_enc = time.perf_counter() - t0
+
+            print(f"e2e {label}: {n} images in {dt:.2f} s "
+                  f"({n / dt:.2f} img/s, {n * h * w / dt / 1e6:.0f} MPix/s) "
+                  f"[runs {', '.join(f'{d:.2f}' for d in dts)}]")
+            print(f"    attribution: decode {t_dec:.2f} s, device "
+                  f"compute+transfers {t_dev:.2f} s, encode {t_enc:.2f} s "
+                  f"(host codecs {'bind' if t_dec + t_enc > t_dev else 'do not bind'})")
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
     if "--table" in sys.argv:
         table()
@@ -530,5 +612,7 @@ if __name__ == "__main__":
         scripts_bench()
     elif "--inpaint" in sys.argv:
         inpaint_bench()
+    elif "--e2e" in sys.argv:
+        e2e_bench()
     else:
         main()

@@ -58,7 +58,11 @@ class PluginHost:
     boundary — a dying plugin raises PluginError, never takes us down."""
 
     def __init__(self, exe_path, trust: Optional[TrustList] = None,
-                 timeout: float = 60.0):
+                 timeout: float = 60.0, args=(), launcher=()):
+        """`launcher` prefixes the command line (e.g. ("dotnet",) for the
+        .NET host in paintdotnet-host/); `args` follow the executable
+        (e.g. the plugin DLL path).  Trust hashes the executable itself,
+        like the reference's allowlist."""
         exe_path = pathlib.Path(exe_path)
         if not exe_path.exists():
             raise PluginError(f"plugin not found: {exe_path}")
@@ -66,12 +70,15 @@ class PluginHost:
             raise PluginError(f"plugin not in the trust list: {exe_path}")
         self.exe_path = exe_path
         self.timeout = timeout
+        self.args = [str(a) for a in args]
+        self.launcher = [str(x) for x in launcher]
         self.proc: Optional[subprocess.Popen] = None
 
     def _ensure(self):
         if self.proc is None or self.proc.poll() is not None:
             self.proc = subprocess.Popen(
-                [str(self.exe_path)], stdin=subprocess.PIPE,
+                self.launcher + [str(self.exe_path)] + self.args,
+                stdin=subprocess.PIPE,
                 stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
             )
 
