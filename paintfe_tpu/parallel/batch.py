@@ -53,7 +53,17 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
     state = {"failed": False, "done": 0}
     t0 = time.time()
 
-    def save_one(idx, img):
+    # Encode-behind pool, the mirror image of the prefetch decode pool:
+    # PNG/JPEG encoding releases the GIL inside PIL's C codecs and was the
+    # measured binding stage of the e2e pipeline (bench.py --e2e: encode
+    # ~3x the device time at 1 Mpix).  Files are distinct, so order is
+    # free; results drain at the end for keep-going accounting.
+    import concurrent.futures
+
+    encode_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    encodes = []
+
+    def _encode_worker(idx, img):
         output_path = build_output_path(inputs[idx], args.output,
                                         args.output_dir, fmt)
         try:
@@ -62,12 +72,25 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
                 webp_lossless=not args.webp_lossy,
                 tiff_compression=args.tiff_compression,
             )
-            state["done"] += 1
-            if args.verbose:
-                print(f"  -> {output_path}")
+            return True, f"  -> {output_path}"
         except codecs.CodecError as e:
-            print(f"  error: {e}", file=sys.stderr)
-            state["failed"] = True
+            return False, f"  error: {e}"
+
+    def save_one(idx, img):
+        encodes.append(encode_pool.submit(_encode_worker, idx, img))
+
+    def drain_encodes():
+        for fut in encodes:
+            ok, msg = fut.result()
+            if ok:
+                state["done"] += 1
+                if args.verbose:
+                    print(msg)
+            else:
+                print(msg, file=sys.stderr)
+                state["failed"] = True
+        encodes.clear()
+        encode_pool.shutdown(wait=True)
 
     def flush_bucket(shape, idxs, loaded):
         """Compute one static-shape batch.  A bucket failure keeps going:
@@ -138,6 +161,7 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
             flush_bucket(shape, buckets.pop(shape), loaded)
     for shape, idxs in buckets.items():
         flush_bucket(shape, idxs, loaded)
+    drain_encodes()
 
     if args.verbose:
         dt = time.time() - t0
