@@ -466,6 +466,8 @@ class Interpreter:
                 # mutating the loop variable must not write through to the
                 # array (and body pushes don't extend the iteration)
                 it = [_rhai_copy(x) for x in iterable]
+            elif isinstance(iterable, str):
+                it = list(iterable)  # Rhai iterates strings by char
             else:
                 raise RhaiRuntimeError("for loop needs a range or array")
             var = stmt[1]

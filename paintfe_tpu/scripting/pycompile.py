@@ -830,6 +830,8 @@ def _make_env(rt: _Runtime) -> dict:
             # Rhai for-in yields cloned values over a snapshot (matches
             # the tree-walker's loop binding)
             return [I._rhai_copy(x) for x in v]
+        if isinstance(v, str):
+            return list(v)  # Rhai iterates strings by char
         raise I.RhaiRuntimeError("for loop needs a range or array")
 
     def _ix(obj, idx):
@@ -1121,6 +1123,8 @@ def _closure_env(closure, interp) -> dict:
             # Rhai for-in yields cloned values over a snapshot (matches
             # the tree-walker's loop binding)
             return [I._rhai_copy(x) for x in v]
+        if isinstance(v, str):
+            return list(v)  # Rhai iterates strings by char
         raise I.RhaiRuntimeError("for loop needs a range or array")
 
     env["_ix"] = _ix

@@ -172,6 +172,29 @@ def tokenize(src: str) -> List[Tok]:
             advance(1)
             toks.append(Tok("str", "".join(buf), start_line, start_col))
             continue
+        if c == "'":
+            # Rhai char literal.  This engine models chars as 1-char
+            # strings (interp.py module notes): `for ch in "abc"` and
+            # `ch == 'a'` behave naturally; the divergence is type_of
+            # ("string" here vs Rhai's "char") and cross-type == corners.
+            advance(1)
+            if i < n and src[i] == "\\" and i + 1 < n:
+                esc = src[i + 1]
+                value = {"n": "\n", "t": "\t", "r": "\r", "'": "'",
+                         "\\": "\\", "0": "\0"}.get(esc, esc)
+                advance(2)
+            elif i < n and src[i] != "'":
+                value = src[i]
+                advance(1)
+            else:
+                raise RhaiSyntaxError("empty char literal", start_line,
+                                      start_col)
+            if i >= n or src[i] != "'":
+                raise RhaiSyntaxError("unterminated char literal",
+                                      start_line, start_col)
+            advance(1)
+            toks.append(Tok("str", value, start_line, start_col))
+            continue
         if c == "`":
             # template string -> list of ('lit', str) | ('expr', token-substring)
             advance(1)

@@ -159,6 +159,13 @@ WORKING = [
      ["333"]),
     ('let s = ""; for (v, i) in ["a", "b", "c", "d"] '
      '{ if i == 2 { break; } s += v; } print_line(s);', ["ab"]),
+    # strings iterate by char; char literals are 1-char strings here
+    # (documented divergence: type_of says "string", not "char")
+    ('let n = 0; for ch in "hello" { if ch == \'l\' { n += 1; } } '
+     'print_line(`${n}`);', ["2"]),
+    ('let s = ""; for (ch, i) in "abc" { s += `${i}${ch}`; } print_line(s);',
+     ["0a1b2c"]),
+    ("let t = '\\t'; print_line(`x${t}y`);", ["x\ty"]),
 ]
 
 
