@@ -1077,6 +1077,8 @@ class Interpreter:
         if isinstance(obj, list):
             if name == "len":
                 return len(obj)
+            if name == "is_empty":
+                return len(obj) == 0
             if name == "push":
                 obj.append(args[0])
                 return UNIT
@@ -1297,9 +1299,26 @@ class Interpreter:
                 return obj.pop(args[0], UNIT)
             if name == "len":
                 return len(obj)
+            if name == "get":
+                return _rhai_copy(obj.get(args[0], UNIT))
+            if name == "set":
+                obj[args[0]] = args[1]  # args were cloned on entry
+                return UNIT
+            if name == "mixin":
+                if not isinstance(args[0], dict):
+                    raise RhaiRuntimeError("mixin() expects a map")
+                obj.update(args[0])  # rhs wins, like the '+' merge
+                return UNIT
+            if name == "clear":
+                obj.clear()
+                return UNIT
+            if name == "is_empty":
+                return len(obj) == 0
         if isinstance(obj, str):
             if name == "len":
                 return len(obj)
+            if name == "is_empty":
+                return len(obj) == 0
             if name == "to_upper":
                 return obj.upper()
             if name == "to_lower":

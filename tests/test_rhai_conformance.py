@@ -166,6 +166,16 @@ WORKING = [
     ('let s = ""; for (ch, i) in "abc" { s += `${i}${ch}`; } print_line(s);',
      ["0a1b2c"]),
     ("let t = '\\t'; print_line(`x${t}y`);", ["x\ty"]),
+    # map std package: get/set/mixin/clear/is_empty
+    ('let m = #{ a: 1 }; print_line(`${m.get("a")} ${m.get("zz")}`);',
+     ["1 "]),
+    ('let m = #{}; m.set("k", [1]); let v = m.get("k"); v.push(2); '
+     'print_line(`${m.k} ${v}`);', ["[1] [1, 2]"]),  # get returns a clone
+    ('let m = #{ a: 1, b: 2 }; m.mixin(#{ b: 9, c: 3 }); print_line(`${m}`);',
+     ['#{"a": 1, "b": 9, "c": 3}']),
+    ('let m = #{ a: 1 }; m.clear(); print_line(`${m.is_empty()} '
+     '${[].is_empty()} ${"".is_empty()} ${[1].is_empty()}`);',
+     ["true true true false"]),
 ]
 
 
