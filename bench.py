@@ -84,6 +84,12 @@ def table():
         row(name, _measure(run_k, img_d, ov_d, salt, k_lo, k_hi))
 
     slope_row("chain mega-kernel", lambda a, x: fused_chain_kernel(a, x))
+    # the round-5 raised-VMEM band: sigma=25 (r=75, 128x512 tiles at
+    # 51.68M scoped need) — the exact config the round-4 tile pick OOMed
+    # on; its row certifies the band stays both correct AND fast
+    slope_row("chain mega sigma=25",
+              lambda a, x: fused_chain_kernel(a, x, sigma=25.0),
+              k_lo=2, k_hi=10)
     slope_row("chain planar 2-kernel", lambda a, x: fused_chain(a, x))
     slope_row("blur pallas fused", lambda a, x: gaussian_blur_fused(x, 2.0))
     slope_row("blur xla separable", lambda a, x: filters.gaussian_blur(x, 2.0))

@@ -16,6 +16,27 @@ Design stance (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
-from paintfe_tpu.core.blend import BlendMode  # noqa: F401
-from paintfe_tpu.core.canvas import Canvas, Layer  # noqa: F401
-from paintfe_tpu.core.project import Project  # noqa: F401
+# Lazy re-exports (PEP 562): the eager imports pulled jax into EVERY
+# consumer of the package — including the encode-pool spawn workers,
+# whose whole job is PIL+numpy (measured: the jax import tax per worker
+# erased the pool's win).  paintfe_tpu.BlendMode etc. still work.
+_EXPORTS = {
+    "BlendMode": ("paintfe_tpu.core.blend", "BlendMode"),
+    "Canvas": ("paintfe_tpu.core.canvas", "Canvas"),
+    "Layer": ("paintfe_tpu.core.canvas", "Layer"),
+    "Project": ("paintfe_tpu.core.project", "Project"),
+}
+
+
+def __getattr__(name):
+    try:
+        mod_name, attr = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module 'paintfe_tpu' has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

@@ -25,6 +25,39 @@ from paintfe_tpu.parallel.pipeline import NotVectorizable, run_batch, trace_scri
 FLUSH_AT = 64  # compute a shape bucket once this many images accumulate
 
 
+def _encode_one(img, output_path, fmt, quality, webp_lossless,
+                tiff_compression):
+    """Encode worker (module-level: must pickle for the process pool).
+    Imports only the codec module — the package __init__ is lazy, so
+    spawn workers never pay the jax import."""
+    from paintfe_tpu.io import codecs as _codecs
+
+    try:
+        _codecs.save_image(img, output_path, fmt, quality=quality,
+                           webp_lossless=webp_lossless,
+                           tiff_compression=tiff_compression)
+        return True, f"  -> {output_path}"
+    except _codecs.CodecError as e:
+        return False, f"  error: {e}"
+
+
+_PROC_POOL = None
+
+
+def _proc_pool():
+    """Singleton spawn-context encode pool: worker startup amortizes
+    across every sharded run in the process (bench runs, the server
+    daemon, multi-glob CLI invocations)."""
+    global _PROC_POOL
+    if _PROC_POOL is None:
+        import concurrent.futures
+        import multiprocessing
+
+        _PROC_POOL = concurrent.futures.ProcessPoolExecutor(
+            max_workers=4, mp_context=multiprocessing.get_context("spawn"))
+    return _PROC_POOL
+
+
 def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
                       script_source: Optional[str]) -> int:
     from paintfe_tpu.cli import build_output_path, run_one
@@ -53,35 +86,51 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
     state = {"failed": False, "done": 0}
     t0 = time.time()
 
-    # Encode-behind pool, the mirror image of the prefetch decode pool:
-    # PNG/JPEG encoding releases the GIL inside PIL's C codecs and was the
-    # measured binding stage of the e2e pipeline (bench.py --e2e: encode
-    # ~3x the device time at 1 Mpix).  Files are distinct, so order is
-    # free; results drain at the end for keep-going accounting.
+    # Encode-behind pool, the mirror image of the prefetch decode pool.
+    # Pillow's PNG encoder is GIL-BOUND on this rig (measured: 8x 1 Mpix
+    # encodes, 4 threads, speedup x1.00 — Pillow 12.1), so real overlap
+    # needs PROCESSES for the heavy frames; the spawn workers pay a
+    # one-time package import, so small frames (tests, thumbnails) stay
+    # on a thread pool where the GIL loss is cheaper than the spawn.
+    # Files are distinct, so order is free; results drain at the end for
+    # keep-going accounting.
     import concurrent.futures
 
-    encode_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    thread_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+    proc_pool = None
     encodes = []
+    PROC_THRESHOLD = 512 * 1024  # pixels; ~0.5 Mpix
 
-    def _encode_worker(idx, img):
+    def _encode_args(idx):
         output_path = build_output_path(inputs[idx], args.output,
                                         args.output_dir, fmt)
-        try:
-            codecs.save_image(
-                img, output_path, fmt, quality=args.quality,
-                webp_lossless=not args.webp_lossy,
-                tiff_compression=args.tiff_compression,
-            )
-            return True, f"  -> {output_path}"
-        except codecs.CodecError as e:
-            return False, f"  error: {e}"
+        return (str(output_path), fmt, args.quality, not args.webp_lossy,
+                args.tiff_compression)
 
     def save_one(idx, img):
-        encodes.append(encode_pool.submit(_encode_worker, idx, img))
+        nonlocal proc_pool
+        eargs = _encode_args(idx)
+        if img.shape[0] * img.shape[1] >= PROC_THRESHOLD:
+            if proc_pool is None:
+                try:
+                    proc_pool = _proc_pool()
+                except (OSError, ValueError):
+                    proc_pool = thread_pool  # restricted platforms
+            try:
+                encodes.append(proc_pool.submit(_encode_one, np.asarray(img),
+                                                *eargs))
+                return
+            except Exception:
+                pass  # pickling/pool failure: fall through to threads
+        encodes.append(thread_pool.submit(_encode_one, np.asarray(img),
+                                          *eargs))
 
     def drain_encodes():
         for fut in encodes:
-            ok, msg = fut.result()
+            try:
+                ok, msg = fut.result()
+            except Exception as e:  # worker crash (BrokenProcessPool...)
+                ok, msg = False, f"  error: encode worker failed: {e}"
             if ok:
                 state["done"] += 1
                 if args.verbose:
@@ -90,7 +139,8 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
                 print(msg, file=sys.stderr)
                 state["failed"] = True
         encodes.clear()
-        encode_pool.shutdown(wait=True)
+        thread_pool.shutdown(wait=True)
+        # the singleton process pool stays alive for the next run
 
     def flush_bucket(shape, idxs, loaded):
         """Compute one static-shape batch.  A bucket failure keeps going:
