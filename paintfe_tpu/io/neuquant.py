@@ -78,7 +78,11 @@ def _train_python(pixels: np.ndarray, samplefac: int,
             rad = bias_radius >> 6
             if rad <= 1:
                 rad = 0
-    return np.clip(np.rint(net), 0, 255).astype(np.uint8)
+    # half-AWAY-from-zero like the native trainer's lround (np.rint is
+    # banker's rounding — a x.5 neuron would round differently and break
+    # cross-environment byte-stability of GIF palettes); values are
+    # clamped to [0, 255] first, where floor(x + 0.5) == half-away
+    return np.floor(np.clip(net, 0, 255) + 0.5).astype(np.uint8)
 
 
 def quantize_rgba(frame: np.ndarray,

@@ -61,13 +61,20 @@ class PluginHost:
                  timeout: float = 60.0, args=(), launcher=()):
         """`launcher` prefixes the command line (e.g. ("dotnet",) for the
         .NET host in paintdotnet-host/); `args` follow the executable
-        (e.g. the plugin DLL path).  Trust hashes the executable itself,
-        like the reference's allowlist."""
+        (e.g. the plugin DLL path).  The trust list must cover the
+        executable AND every argument that is an existing file — the
+        plugin DLL handed to the .NET host is the code that actually
+        runs, and the reference hashes the plugin file itself
+        (paintdotnet_plugins.rs:236-287)."""
         exe_path = pathlib.Path(exe_path)
         if not exe_path.exists():
             raise PluginError(f"plugin not found: {exe_path}")
-        if trust is not None and not trust.is_trusted(exe_path):
-            raise PluginError(f"plugin not in the trust list: {exe_path}")
+        if trust is not None:
+            for target in [exe_path] + [pathlib.Path(a) for a in args
+                                        if pathlib.Path(str(a)).is_file()]:
+                if not trust.is_trusted(target):
+                    raise PluginError(
+                        f"plugin not in the trust list: {target}")
         self.exe_path = exe_path
         self.timeout = timeout
         self.args = [str(a) for a in args]

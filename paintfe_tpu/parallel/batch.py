@@ -107,8 +107,29 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
         return (str(output_path), fmt, args.quality, not args.webp_lossy,
                 args.tiff_compression)
 
+    # cap on in-flight encode futures: each holds a full output frame, so
+    # an unbounded queue on a 1k-image 4-Mpix job would pin ~16 GB of
+    # frames in host memory while the chip races ahead of the encoders —
+    # the same bounded-window discipline the decode prefetcher applies
+    ENCODE_WINDOW = 16
+
+    def _settle(fut):
+        try:
+            ok, msg = fut.result()
+        except Exception as e:  # worker crash (BrokenProcessPool...)
+            ok, msg = False, f"  error: encode worker failed: {e}"
+        if ok:
+            state["done"] += 1
+            if args.verbose:
+                print(msg)
+        else:
+            print(msg, file=sys.stderr)
+            state["failed"] = True
+
     def save_one(idx, img):
         nonlocal proc_pool
+        while len(encodes) >= ENCODE_WINDOW:
+            _settle(encodes.pop(0))
         eargs = _encode_args(idx)
         if img.shape[0] * img.shape[1] >= PROC_THRESHOLD:
             if proc_pool is None:
@@ -127,17 +148,7 @@ def run_sharded_batch(inputs: List[pathlib.Path], args, fmt: str,
 
     def drain_encodes():
         for fut in encodes:
-            try:
-                ok, msg = fut.result()
-            except Exception as e:  # worker crash (BrokenProcessPool...)
-                ok, msg = False, f"  error: encode worker failed: {e}"
-            if ok:
-                state["done"] += 1
-                if args.verbose:
-                    print(msg)
-            else:
-                print(msg, file=sys.stderr)
-                state["failed"] = True
+            _settle(fut)
         encodes.clear()
         thread_pool.shutdown(wait=True)
         # the singleton process pool stays alive for the next run

@@ -69,6 +69,8 @@ _MUTATING_METHODS = frozenset({
     # std array package methods that mutate the receiver
     "sort", "reverse", "retain", "drain", "splice", "insert", "shift",
     "chop", "append", "pad",
+    # std map package mutators
+    "set", "mixin",
     # in-place string methods (interp._STRING_INPLACE)
     "trim", "make_upper", "make_lower", "replace", "truncate",
 })

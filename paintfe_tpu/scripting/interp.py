@@ -130,6 +130,10 @@ _STRING_INPLACE = frozenset({"trim", "make_upper", "make_lower", "replace", "tru
 
 
 def _string_inplace(s: str, name: str, args) -> str:
+    need = {"replace": 2, "truncate": 1}.get(name, 0)
+    if len(args) < need:
+        sig = ", ".join(["string"] + [_type_of(a) for a in args])
+        raise RhaiRuntimeError(f"function not found: {name} ({sig})")
     if name == "trim":
         return s.strip()
     if name == "make_upper":
@@ -141,6 +145,19 @@ def _string_inplace(s: str, name: str, args) -> str:
     if name == "truncate":
         return s[: max(int(args[0]), 0)]
     raise RhaiRuntimeError(f"unknown in-place string method '{name}'")
+
+
+# Minimum argument counts for std methods that index args[]: a wrong-arity
+# call must surface as a catchable function-not-found script error, never
+# a raw Python IndexError (which would escape the engine uncategorized).
+_STD_MIN_ARITY = {
+    "push": 1, "contains": 1, "map": 1, "filter": 1, "reduce": 1,
+    "for_each": 1, "retain": 1, "drain": 1, "splice": 2, "index_of": 1,
+    "find": 1, "some": 1, "all": 1, "none": 1, "insert": 2, "remove": 1,
+    "truncate": 1, "chop": 1, "extract": 1, "append": 1, "pad": 2,
+    "get": 1, "set": 2, "mixin": 1, "starts_with": 1, "ends_with": 1,
+    "sub_string": 1, "replace": 2, "parse_int": 0, "parse_float": 0,
+}
 
 
 def _truthy(v):
@@ -1018,6 +1035,15 @@ class Interpreter:
         return _truthy(r)
 
     @staticmethod
+    def _need(args, n, name, obj):
+        """Arity guard for std methods: a wrong-arity call must surface as
+        a catchable Rhai error (the reference reports function-not-found
+        with the receiver type), never a raw Python IndexError."""
+        if len(args) < n:
+            sig = ", ".join([_type_of(obj)] + [_type_of(a) for a in args])
+            raise RhaiRuntimeError(f"function not found: {name} ({sig})")
+
+    @staticmethod
     def _std_range(length, start, n):
         """Rhai array range normalization: negative start counts from the
         end (clamped to 0), start past the end is empty, negative/overlong
@@ -1039,6 +1065,10 @@ class Interpreter:
             # mutations of `a` must not alias into `arr`.  Scalars,
             # strings, and closures pass through _rhai_copy unchanged.
             args = [_rhai_copy(a) for a in args]
+            need = _STD_MIN_ARITY.get(name)
+            if need and len(args) < need:
+                sig = ", ".join([_type_of(obj)] + [_type_of(a) for a in args])
+                raise RhaiRuntimeError(f"function not found: {name} ({sig})")
         if isinstance(obj, Closure) and args is not None:
             if name == "call":
                 return self.call_closure(obj, args)
@@ -1111,7 +1141,9 @@ class Interpreter:
                 for i, v in enumerate(list(obj)):
                     self.tick()
                     if self._cb_pred(fn, v, i, scopes):
-                        out.append(v)
+                        # clone-on-collect: the result must not alias the
+                        # receiver's elements (Rhai Dynamic clone)
+                        out.append(_rhai_copy(v))
                 return out
             if name == "reduce":
                 fn = args[0]
@@ -1137,8 +1169,13 @@ class Interpreter:
                         self.tick()
                         r = self._cb(fn, [a, b], scopes)
                         if isinstance(r, bool) or not isinstance(r, int):
-                            raise RhaiRuntimeError(
-                                "sort comparator must return an integer")
+                            # Rhai's sort quietly falls back when the
+                            # comparator yields a non-INT (it never
+                            # aborts the sort); treat as equal — the
+                            # stable sort then preserves input order.
+                            # Comparator ERRORS still propagate (clearer
+                            # than silently swallowing them).
+                            return 0
                         return -1 if r < 0 else (1 if r > 0 else 0)
 
                     import functools
@@ -1356,8 +1393,10 @@ class Interpreter:
                         f"parse_int(): invalid radix {radix}")
                 body = obj[1:] if obj[:1] in ("+", "-") else obj
                 try:
-                    if not body:
-                        raise ValueError("empty")
+                    if not body or not body.isascii():
+                        # Rust from_str_radix is ASCII-only; Python's
+                        # int() accepts Unicode digit classes
+                        raise ValueError("empty or non-ascii")
                     for ch in body:
                         int(ch, radix)  # rejects '_', 'x', whitespace...
                     v = int(obj, radix)
@@ -1372,8 +1411,8 @@ class Interpreter:
             if name == "parse_float":
                 # Rust f64 FromStr: inf/infinity/NaN accepted, but not
                 # Python's extra leniency (surrounding whitespace,
-                # digit-group underscores)
-                if obj != obj.strip() or "_" in obj:
+                # digit-group underscores, Unicode digit classes)
+                if obj != obj.strip() or "_" in obj or not obj.isascii():
                     raise RhaiRuntimeError(
                         f"Error parsing floating-point number '{obj}'")
                 try:

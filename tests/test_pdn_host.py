@@ -63,7 +63,10 @@ def test_describe_and_render_fixture(built_host):
         host.close()
 
 
-def test_trust_list_gates_host(built_host, tmp_path):
+def test_trust_list_gates_host_and_plugin(built_host, tmp_path):
+    """Both the host executable AND the plugin DLL must be on the
+    allowlist — the DLL is the code that actually runs (the reference
+    hashes the plugin file, paintdotnet_plugins.rs:236-287)."""
     from paintfe_tpu.ops.plugins import PluginError, PluginHost, TrustList
 
     trust = TrustList(tmp_path / "trust.txt")
@@ -72,6 +75,12 @@ def test_trust_list_gates_host(built_host, tmp_path):
                    launcher=(dotnet,),
                    args=(built_host / "FixtureEffect.dll",))
     trust.trust(built_host / "PaintFeHost.dll")
+    # host trusted, plugin DLL still untrusted: must refuse
+    with pytest.raises(PluginError, match="trust"):
+        PluginHost(built_host / "PaintFeHost.dll", trust=trust,
+                   launcher=(dotnet,),
+                   args=(built_host / "FixtureEffect.dll",))
+    trust.trust(built_host / "FixtureEffect.dll")
     host = PluginHost(built_host / "PaintFeHost.dll", trust=trust,
                       launcher=(dotnet,),
                       args=(built_host / "FixtureEffect.dll",))

@@ -113,6 +113,18 @@ DIVERGENCE_PRONE = [
     'print_line(`${"1_0".parse_float()}`);',       # underscore rejected
     'print_line(`${"2.5e2".parse_float()}`);',
     'try { "zz".parse_int(); } catch (e) { print_line(e); }',
+    # wrong-arity std-method calls: catchable function-not-found errors,
+    # never raw IndexError crashes (round-5 review)
+    '[1, 2, 3].map();',
+    'let a = [1]; a.splice(1);',
+    'let a = [1]; try { a.reduce(); } catch (e) { print_line("c"); }',
+    'let m = #{}; m.set("k");',
+    'let a = [1]; a.push();',
+    '"ab".replace("a");',
+    'let s = "ab"; s.replace("a");',
+    # Unicode digits are NOT valid for Rust from_str parsing
+    'print_line(`${"٣٤".parse_int()}`);',
+    'print_line(`${"٣.5".parse_float()}`);',
     # two-binding for loops: ranges, arrays, break/continue, shadowing
     'let s = ""; for (v, i) in ["x", "y"] { s += `${i}${v}`; } print_line(s);',
     'let t = 0; for (v, i) in 5..8 { if i == 1 { continue; } t += v; } '
@@ -348,6 +360,12 @@ CLOSURE_CASES = [
     'print_line(`${hits}`);',
     'fn tw(v) { v * 2 } let a = [1, 2].map(|v| tw(v) + 1); '
     'print_line(`${a}`);',
+    # filter results are clones, never aliases of the receiver's elements
+    'let a = [[1]]; let f = a.filter(|v| true); f[0].push(9); '
+    'print_line(`${a} ${f}`);',
+    # a non-INT comparator silently compares equal (stable sort keeps
+    # input order), matching Rhai's quiet fallback — no error
+    'let a = [3, 1, 2]; a.sort(|x, y| x < y); print_line(`${a}`);',
 ]
 
 

@@ -495,6 +495,15 @@ def test_purity_scanner_classification():
     assert not closure_is_pure(prints)
     setter = closure_of("|x, y, r, g, b, a| { set_pixel(x, y, 0, 0, 0, 255); }")
     assert not closure_is_pure(setter)
+    # std map mutators on CAPTURED state must disqualify vectorization
+    # (round-5 review: m.set once-on-arrays would drop per-pixel ordering)
+    map_set = closure_of('|x| { m.set("last", x); x }')
+    assert not closure_is_pure(map_set)
+    map_mixin = closure_of("|x| { m.mixin(#{ a: x }); x }")
+    assert not closure_is_pure(map_mixin)
+    # ...while the same mutators on a LOCAL map stay pure
+    local_map = closure_of('|x| { let m = #{}; m.set("k", x); m.get("k") }')
+    assert closure_is_pure(local_map)
 
 
 # -- language-tail conformance (switch ranges, string methods, nesting) ------
