@@ -155,7 +155,14 @@ class Canvas:
     def from_image(cls, img: np.ndarray) -> "Canvas":
         img = np.asarray(img, np.uint8)
         h, w = img.shape[:2]
-        c = cls(width=w, height=h)
+        # imported images pass through the same 256-Mpix guard as new
+        # canvases (the reference routes TiledImage::from_rgba_image
+        # through the tiled_image.rs:14-26 clamp): an oversized decode
+        # must not allocate multi-GB dense layers
+        cw, ch = clamp_dimensions(w, h)
+        if (cw, ch) != (w, h):
+            img = img[:ch, :cw]
+        c = cls(width=img.shape[1], height=img.shape[0])
         c.layers.append(Layer(name="Background", pixels=img.copy()))
         return c
 

@@ -198,15 +198,16 @@ def prepared_to_rgba8(prep: PreparedExport) -> np.ndarray:
         return np.asarray(prep.data, np.uint8)
     if prep.kind == "rgba16":
         return ((prep.data.astype(np.uint32) + 128) // 257).astype(np.uint8)
+    from paintfe_tpu.core.deep import reinhard_tone_map
+
     px = prep.data.astype(f32)
     over = (px[..., 0:3] > 1.0).any(axis=-1)
     # plain path: round(clamp(v)*255)
     plain = np.floor(np.clip(px, 0.0, 1.0) * f32(255.0) + f32(0.5)).astype(np.uint8)
-    # Reinhard x/(1+x) at exposure 1.0 for HDR pixels (experimental.rs:59-70)
-    x = np.maximum(px[..., 0:3], 0.0)
-    tone_rgb = np.floor(x / (f32(1.0) + x) * f32(255.0) + f32(0.5))
-    tone_a = np.floor(np.clip(px[..., 3:4], 0.0, 1.0) * f32(255.0) + f32(0.5))
-    toned = np.clip(np.concatenate([tone_rgb, tone_a], axis=-1), 0, 255).astype(np.uint8)
+    # Reinhard x/(1+x) at exposure 1.0 for HDR pixels — the shared parity
+    # mirror of experimental.rs:59-70 (an inline copy here once drifted
+    # from it; keep ONE implementation)
+    toned = reinhard_tone_map(px, 1.0)
     return np.where(over[..., None], toned, plain)
 
 
@@ -253,6 +254,13 @@ def read_png16(path) -> np.ndarray:
         payload = blob[pos + 8:pos + 8 + length]
         if tag == b"IHDR":
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
+            interlace = payload[12]
+            if interlace != 0:
+                # Adam7 lays rows out in 7 passes; the sequential
+                # defilter would silently scramble pixels (the length
+                # guard passes because interlaced data is LARGER)
+                raise ValueError(
+                    "interlaced (Adam7) 16-bit PNGs are not supported")
         elif tag == b"IDAT":
             idat += payload
         pos += 12 + length
@@ -465,8 +473,17 @@ def write_tiff_f32(path, width: int, height: int, pixels: np.ndarray):
                 compression="none")
 
 
-def _lzw_decode(data: bytes) -> bytes:
-    """Inverse of _lzw_encode (TIFF early-change variant)."""
+def _lzw_decode(data: bytes, max_bytes: Optional[int] = None) -> bytes:
+    """Inverse of _lzw_encode (TIFF early-change variant).
+
+    `max_bytes` reproduces libtiff's contract: the decoder stops once the
+    expected strip size is produced and never reads further.  This is
+    load-bearing at the early-change boundary — when the FINAL data code
+    lands the table on exactly 2^width - 1 entries, the early-change bump
+    fires but the encoder's EOI was written at the old width (our encoder
+    and libtiff's agree; fuzz-verified: PIL decodes such strips), so
+    reading on would misparse EOI as a data code and append garbage.
+    Real consumers always know the strip size; pass it."""
     CLEAR, EOI = 256, 257
     out = bytearray()
     table = [bytes([i]) for i in range(256)] + [b"", b""]
@@ -476,7 +493,7 @@ def _lzw_decode(data: bytes) -> bytes:
     prev = None
     i = 0
     n = len(data)
-    while True:
+    while max_bytes is None or len(out) < max_bytes:
         while bitcnt < width and i < n:
             bitbuf = (bitbuf << 8) | data[i]
             bitcnt += 8
@@ -505,6 +522,8 @@ def _lzw_decode(data: bytes) -> bytes:
         # decoder grows one slot early (TIFF early change)
         if len(table) == (1 << width) - 1 and width < 12:
             width += 1
+    if max_bytes is not None:
+        return bytes(out[:max_bytes])
     return bytes(out)
 
 
@@ -530,25 +549,39 @@ def read_tiff_deep(path) -> np.ndarray:
     tags, _next = _parse_ifd(blob, end, ifd_off)
     w = tags[256][0]
     h = tags[257][0]
-    bits = tags[258][0]
+    bits_all = tags[258]
+    bits = bits_all[0]
+    if any(b != bits for b in bits_all):
+        raise ValueError("mixed per-channel TIFF bit depths are not supported")
     comp = tags.get(259, (1,))[0]
     sample_fmt = tags.get(339, (1,))[0]
     spp = tags.get(277, (4,))[0]
+    if tags.get(284, (1,))[0] != 1:
+        # PlanarConfiguration=2 stores channel-planar strips; reading it
+        # as chunky would silently scramble channels
+        raise ValueError("planar TIFF layout is not supported")
     offs = tags[273]
     counts = tags[279]
     payload = b"".join(blob[o:o + c] for o, c in zip(offs, counts))
+    expected = h * w * spp * (4 if (sample_fmt == 3 or bits == 32)
+                              else 2 if bits == 16 else 1)
     if comp == 5:
-        payload = _lzw_decode(payload)
+        # expected-size contract like libtiff's strip decode: at the LZW
+        # early-change boundary the stream legally ends with an EOI at the
+        # pre-bump width, which an unbounded decode misparses as data
+        payload = _lzw_decode(payload, expected)
     elif comp == 8:
         payload = zlib.decompress(payload)
     elif comp != 1:
         raise ValueError(f"unsupported TIFF compression {comp}")
     if sample_fmt == 3:
-        arr = np.frombuffer(payload, end + "f4").astype(f32)
+        arr = np.frombuffer(payload, end + "f4", count=h * w * spp).astype(f32)
     elif bits == 16:
-        arr = np.frombuffer(payload, end + "u2").astype(np.uint16)
+        arr = np.frombuffer(payload, end + "u2",
+                            count=h * w * spp).astype(np.uint16)
     else:
-        arr = np.frombuffer(payload, end + "u1").astype(np.uint8)
+        arr = np.frombuffer(payload, end + "u1",
+                            count=h * w * spp).astype(np.uint8)
     arr = arr.reshape(h, w, spp)
     if spp == 3:
         opaque = (np.float32(1.0) if sample_fmt == 3 else

@@ -36,6 +36,14 @@ class PfeError(Exception):
     pass
 
 
+def _enum_tag(table, tag: int, what: str):
+    """Bounds-checked bincode enum read: a corrupt tag must surface as
+    PfeError (the CLI's per-file keep-going contract), not IndexError."""
+    if not 0 <= tag < len(table):
+        raise PfeError(f"corrupt PFE: invalid {what} tag {tag}")
+    return table[tag]
+
+
 class _Reader:
     def __init__(self, data: bytes):
         self.data = data
@@ -291,7 +299,7 @@ def _write_adjustment(adj: AdjustmentLayerData) -> bytes:
 
 def _read_adjustment(data: bytes) -> AdjustmentLayerData:
     rd = _Reader(data)
-    kind = _ADJ_KINDS[rd.u32()]
+    kind = _enum_tag(_ADJ_KINDS, rd.u32(), "adjustment kind")
     adj = AdjustmentLayerData(kind=kind)
     if kind == AdjustmentKind.EXPOSURE:
         adj.ev = rd.f32()
@@ -315,7 +323,7 @@ def _write_deep(w: _Writer, deep: DeepRgbaBuffer):
 
 
 def _read_deep(rd: _Reader) -> DeepRgbaBuffer:
-    fmt = _PIXEL_FORMATS[rd.u32()]
+    fmt = _enum_tag(_PIXEL_FORMATS, rd.u32(), "pixel format")
     n = rd.u64()
     if fmt == PixelFormat.RGBA_U8:
         data = np.frombuffer(rd.take(n), np.uint8).copy()
@@ -467,7 +475,7 @@ def _load_v3(rd: _Reader) -> Canvas:
             cy = rd.u32()
             chunks.append((cx, cy, rd.bytes_vec()))
         content_data = rd.option(rd.bytes_vec)
-        fmt = _PIXEL_FORMATS[rd.u32()]
+        fmt = _enum_tag(_PIXEL_FORMATS, rd.u32(), "pixel format")
         hdr = _read_hdr(rd)
         meta = _read_meta(rd)
         rd.u32()  # webp_frame_compression

@@ -100,8 +100,21 @@ class AppSettings:
             default = getattr(settings, key)
             if isinstance(default, bool):
                 ok = isinstance(value, bool)
-            elif isinstance(default, (int, float)):
+            elif isinstance(default, int):
+                # int fields must stay int (2.5 in max_recent_files would
+                # explode later in range()/indexing, far from here)
+                ok = isinstance(value, int) and not isinstance(value, bool)
+            elif isinstance(default, float):
                 ok = isinstance(value, (int, float)) and not isinstance(value, bool)
+                if ok:
+                    value = float(value)
+            elif isinstance(default, tuple):
+                # container SHAPE validation too: a 3-element background
+                # or string members would crash np.asarray far from here
+                ok = (isinstance(value, tuple)
+                      and len(value) == len(default)
+                      and all(isinstance(v, int) and not isinstance(v, bool)
+                              and 0 <= v <= 255 for v in value))
             else:
                 ok = isinstance(value, type(default))
             if ok:

@@ -179,6 +179,10 @@ def test_fused_chain_spatial_zero_sigma():
     out = np.asarray(spatial.fused_chain_spatial(img, ov, _mesh8(), sigma=0.0))
     np.testing.assert_array_equal(ref, out)
 
+    if len(jax.devices()) < 8:
+        # the sigma=0 single-image leg above ran (rows_mesh degrades to
+        # the available devices); the 2x4 grid leg needs the CPU harness
+        pytest.skip("grid leg needs 8 devices (CPU harness provides them)")
     mesh = grid_mesh(2, 4, jax.devices()[:8])
     imgs = rng.integers(0, 256, (2, 64, 80, 4), np.uint8)
     ovs = rng.integers(0, 256, (2, 64, 80, 4), np.uint8)
