@@ -196,6 +196,12 @@ def run_one(input_path: pathlib.Path, output_path: pathlib.Path,
         pfe.save_pfe(canvas, str(output_path))
         return
 
+    # dirty text layers rasterize before any flatten/encode (cli.rs:275
+    # state.ensure_all_text_layers_rasterized)
+    from paintfe_tpu.ops.text_layer import ensure_text_layers_rasterized
+
+    ensure_text_layers_rasterized(canvas)
+
     if flatten and (len(canvas.layers) > 1 or deep_export.needs_deep_export(canvas)):
         # depth-aware export: deep/HDR layers route to 16-bit PNG or
         # 16/32-bit TIFF (io.rs:1413-1453, :1588-1631); plain single-layer
@@ -326,6 +332,9 @@ def _compute_frame(input_path, script_source):
         )
         # same commit path as run_one (canonicalize + deep sync)
         _commit_script_result(canvas, idx, result, new_w, new_h, canvas_ops)
+    from paintfe_tpu.ops.text_layer import ensure_text_layers_rasterized
+
+    ensure_text_layers_rasterized(canvas)
     return (canvas.composite() if len(canvas.layers) > 1
             else canvas.active_layer.pixels)
 

@@ -61,6 +61,18 @@ def merge_down(canvas: Canvas, layer_idx: int):
     remove it (operations.rs:790-860)."""
     if layer_idx == 0 or layer_idx >= len(canvas.layers):
         return
+    # auto-rasterize text layers before merging (operations.rs:803-809:
+    # pixels must be up to date, and the survivor becomes a raster layer
+    # so a later rasterize/PFE round-trip can't regenerate the text over
+    # the merged result)
+    for idx in (layer_idx, layer_idx - 1):
+        layer = canvas.layers[idx]
+        if getattr(layer, "content", "raster") == "text":
+            from paintfe_tpu.ops.text_layer import ensure_text_layers_rasterized
+
+            ensure_text_layers_rasterized(canvas)
+            layer.content = "raster"
+            layer.text_data = None
     top = canvas.layers[layer_idx]
     if top.visible:
         below = canvas.layers[layer_idx - 1]
@@ -181,7 +193,7 @@ def duplicate_layer(canvas: Canvas, layer_idx: Optional[int] = None) -> int:
     idx = canvas.active_layer_index if layer_idx is None else layer_idx
     src = canvas.layers[idx]
     copy = src.clone()
-    copy.name = f"{src.name} copy"
+    copy.name = f"{src.name} Copy"  # capital C (canvas_ops.rs:395)
     canvas.layers.insert(idx + 1, copy)
     canvas.active_layer_index = idx + 1
     return idx + 1

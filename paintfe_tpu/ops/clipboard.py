@@ -124,6 +124,8 @@ class Clipboard:
         canvas.layers[idx].pixels = delete_selected(
             canvas.layers[idx].pixels, canvas.selection
         )
+        # the reference auto-deselects after a cut (clipboard.rs:720)
+        canvas.selection = None
 
     def paste_as_layer(self, canvas: Canvas, at: Optional[Tuple[int, int]] = None) -> Optional[int]:
         """Paste as a new layer above the active one; returns its index."""

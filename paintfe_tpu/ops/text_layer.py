@@ -431,16 +431,33 @@ def _render_block(img: Image.Image, block: TextBlock):
             tile = Image.new("RGBA", (pad * 2, pad * 2), (0, 0, 0, 0))
             ImageDraw.Draw(tile).text((pad // 2, pad // 2), ch, font=font,
                                       fill=tuple(style.color))
+            # the glyph origin inside the tile; the paste must land it on
+            # the path anchor (rx, ry) — before and after any transform
+            qx, qy = pad // 2, pad // 2
             if style.width_scale != 1.0 or style.height_scale != 1.0:
-                tile = tile.resize(
-                    (max(int(tile.width * style.width_scale), 1),
-                     max(int(tile.height * style.height_scale), 1)),
-                    Image.BILINEAR,
-                )
+                new_w = max(int(tile.width * style.width_scale), 1)
+                new_h = max(int(tile.height * style.height_scale), 1)
+                qx *= new_w / tile.width
+                qy *= new_h / tile.height
+                tile = tile.resize((new_w, new_h), Image.BILINEAR)
             if abs(total_ang) >= 1e-3:
-                tile = tile.rotate(-np.rad2deg(total_ang), resample=Image.BILINEAR,
-                                   expand=True)
-            img.alpha_composite(tile, (int(rx) - tile.width // 4, int(ry) - tile.height // 4))
+                # expand-rotate moves content about the tile center and
+                # re-centers in the grown box: track the glyph origin
+                # through PIL's forward map (visual-CCW by `deg` in
+                # y-down coords) instead of assuming a fixed offset — a
+                # width//4 constant displaced rotated glyphs by up to
+                # ~font_size px off their path
+                deg = -np.rad2deg(total_ang)
+                cx, cy = tile.width / 2.0, tile.height / 2.0
+                a = np.deg2rad(deg)
+                dxq, dyq = qx - cx, qy - cy
+                rqx = dxq * np.cos(a) + dyq * np.sin(a)
+                rqy = -dxq * np.sin(a) + dyq * np.cos(a)
+                tile = tile.rotate(deg, resample=Image.BILINEAR, expand=True)
+                qx = tile.width / 2.0 + rqx
+                qy = tile.height / 2.0 + rqy
+            img.alpha_composite(tile, (int(rx) - int(round(qx)),
+                                       int(ry) - int(round(qy))))
 
 
 def _disc_dilate(mask: np.ndarray, radius: float) -> np.ndarray:
@@ -469,17 +486,22 @@ def _disc_dilate(mask: np.ndarray, radius: float) -> np.ndarray:
     return out
 
 
-def _render_text_shadow(rgba: np.ndarray, s: "ShadowEffect") -> np.ndarray:
+def _render_text_shadow(rgba: np.ndarray, s: "ShadowEffect",
+                        mask_from: Optional[np.ndarray] = None) -> np.ndarray:
     """The text drop shadow (text_layer/effects.rs render_shadow:220-300):
     offset the coverage, disc-dilate by `spread`, tint with the shadow color
     applying its alpha ONCE, Gaussian-blur, and composite beneath the text.
-    Distinct from ops.effects.render.drop_shadow, whose widen pass is
-    blur-derived and which takes a separate opacity (render.rs:175-260)."""
+    `mask_from` supplies the coverage source when `rgba` already carries
+    other effects (the reference derives every effect from the raw glyph
+    coverage, effects.rs:9-35).  Distinct from
+    ops.effects.render.drop_shadow, whose widen pass is blur-derived and
+    which takes a separate opacity (render.rs:175-260)."""
     from paintfe_tpu.core.blend import BlendMode, blend_u8
     from paintfe_tpu.ops.filters import gaussian_blur
 
     h, w = rgba.shape[:2]
-    cov = rgba[..., 3].astype(np.float32)  # coverage * 255
+    cov_src = rgba if mask_from is None else mask_from
+    cov = cov_src[..., 3].astype(np.float32)  # coverage * 255
     dx, dy = int(round(s.offset_x)), int(round(s.offset_y))
     mask = np.zeros((h, w), np.float32)
     ys0, ys1 = max(0, dy), min(h, h + dy)
@@ -504,17 +526,22 @@ def _render_text_shadow(rgba: np.ndarray, s: "ShadowEffect") -> np.ndarray:
 
 
 def _apply_effects(rgba: np.ndarray, effects: TextEffects) -> np.ndarray:
+    """Every effect derives from the GLYPH coverage (effects.rs:9-35):
+    outline first (its coverage source is the raw text image — deriving
+    it after the shadow would trace a ring around the blurred shadow
+    blob), then the shadow composites beneath the outlined text with the
+    text alpha as its mask."""
     from paintfe_tpu.ops.effects import render as render_fx
 
     out = rgba
-    if effects.shadow is not None:
-        out = _render_text_shadow(out, effects.shadow)
     if effects.outline is not None:
         o = effects.outline
         pos = {OutlinePosition.OUTSIDE: render_fx.OutlineMode.OUTSIDE,
                OutlinePosition.INSIDE: render_fx.OutlineMode.INSIDE,
                OutlinePosition.CENTER: render_fx.OutlineMode.CENTER}[o.position]
         out = np.asarray(render_fx.outline(out, int(max(o.width, 1)), tuple(o.color), pos, True))
+    if effects.shadow is not None:
+        out = _render_text_shadow(out, effects.shadow, mask_from=rgba)
     return out
 
 

@@ -188,15 +188,23 @@ def trace_script(source: str, dims: Optional[Tuple[int, int]] = None
             def make(name=name):
                 spec = arg_specs.get(name)
 
-                def rec(*args):
+                def rec(*args, _host_fn=fns[name]):
                     if spec is not None:
-                        if len(args) > len(spec):
-                            from paintfe_tpu.scripting.interp import (
-                                RhaiRuntimeError)
+                        # arity parity with the per-image path: bind
+                        # against the REAL host fn so required/optional
+                        # args match the oracle exactly (apply_sepia()
+                        # is legal, apply_levels(a, b) is not)
+                        import inspect
 
+                        try:
+                            inspect.signature(_host_fn).bind(*args)
+                        except TypeError:
+                            from paintfe_tpu.scripting.interp import (
+                                RhaiRuntimeError, _type_of)
+
+                            sig = ", ".join(_type_of(a) for a in args)
                             raise RhaiRuntimeError(
-                                f"function not found: {name} "
-                                f"({len(args)} args)")
+                                f"function not found: {name} ({sig})")
                         args = tuple(conv(a) for conv, a in zip(spec, args))
                     else:
                         args = tuple(

@@ -173,6 +173,19 @@ def apply_canvas_ops(canvas, ops: List[CanvasOpRequest], skip_layer: int):
         if canvas.selection is not None and canvas.selection.shape[:2] != (
                 canvas.height, canvas.width):
             canvas.selection = None
+        # Layer masks likewise: the reference's mask is a SPARSE TiledImage
+        # whose out-of-bounds reads yield 0, so a dimension change leaves
+        # stale masks readable (absent = 0).  Reproduce that with a
+        # zero-pad/crop to the new dims — the dense stack would otherwise
+        # crash the compositor on shape mismatch.
+        for layer in canvas.layers:
+            m = getattr(layer, "mask", None)
+            if m is not None and m.shape[:2] != (canvas.height, canvas.width):
+                fixed = np.zeros((canvas.height, canvas.width), m.dtype)
+                ch = min(m.shape[0], canvas.height)
+                cw = min(m.shape[1], canvas.width)
+                fixed[:ch, :cw] = m[:ch, :cw]
+                layer.mask = fixed
 
 
 # ---------------------------------------------------------------------------
@@ -194,7 +207,8 @@ def execute_script_async(source, pixels, width, height, mask=None,
     """Run a script on a worker thread; returns (thread, message_queue).
 
     Messages: console lines as they appear, progress updates, then one
-    terminal `completed` (payload = (pixels, w, h, console, canvas_ops)) or
+    terminal `completed` (payload = (pixels, w, h, console, canvas_ops,
+    elapsed_ms)) or
     `error` (payload = ScriptError).  `cancel_event.set()` aborts between
     operations (the reference polls an AtomicBool from on_progress).
     """

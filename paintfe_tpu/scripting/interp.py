@@ -795,7 +795,21 @@ class Interpreter:
             # the friendly categorizer shows verbatim (scripting.rs:115-124)
             sig = ", ".join(_type_of(a) for a in args)
             raise RhaiRuntimeError(f"function not found: {name} ({sig})")
-        return fn(*args)
+        try:
+            return fn(*args)
+        except TypeError as e:
+            # wrong-arity HOST calls must be catchable script errors, not
+            # raw TypeErrors escaping the engine (Rhai reports function-
+            # not-found).  Signature-bind only on the error path, so a
+            # TypeError raised INSIDE the host fn still propagates.
+            import inspect
+
+            try:
+                inspect.signature(fn).bind(*args)
+            except TypeError:
+                sig = ", ".join(_type_of(a) for a in args)
+                raise RhaiRuntimeError(f"function not found: {name} ({sig})")
+            raise e
 
     def call_closure(self, closure: Closure, args):
         if len(closure.params) != len(args):

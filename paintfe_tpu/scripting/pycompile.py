@@ -883,7 +883,19 @@ def _make_env(rt: _Runtime) -> dict:
         if hf is None:
             sig = ", ".join(I._type_of(a) for a in args)
             raise I.RhaiRuntimeError(f"function not found: {name} ({sig})")
-        return hf(*args)
+        try:
+            return hf(*args)
+        except TypeError as e:
+            # mirror interp.call_function: arity errors are catchable
+            # script errors; TypeErrors from INSIDE the fn propagate
+            import inspect
+
+            try:
+                inspect.signature(hf).bind(*args)
+            except TypeError:
+                sig = ", ".join(I._type_of(a) for a in args)
+                raise I.RhaiRuntimeError(f"function not found: {name} ({sig})")
+            raise e
 
     def _fnptr_call(p, args):
         return _cn(p.name, list(p.curried) + list(args))

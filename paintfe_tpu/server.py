@@ -66,6 +66,7 @@ class PaintServer:
     def __init__(self):
         self.scripts = _ScriptCache()
         self.jobs_done = 0
+        self._jobs_lock = threading.Lock()  # handler threads are concurrent
         self.started = time.time()
 
     def handle(self, job: dict) -> dict:
@@ -81,7 +82,8 @@ class PaintServer:
         t0 = time.time()
         try:
             out_path = self._run(job)
-            self.jobs_done += 1
+            with self._jobs_lock:
+                self.jobs_done += 1
             return {
                 "ok": True,
                 "output": str(out_path),

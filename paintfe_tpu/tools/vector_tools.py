@@ -289,6 +289,13 @@ def apply_perspective_crop(canvas, corners):
     if out_w < 2 or out_h < 2:
         return False
 
+    # dirty text layers must rasterize BEFORE the warp — flipping content
+    # to raster below would otherwise warp stale/blank pixels
+    # (perspective_gradient.rs:134-141)
+    from paintfe_tpu.ops.text_layer import ensure_text_layers_rasterized
+
+    ensure_text_layers_rasterized(canvas)
+
     u = ((np.arange(out_w, dtype=f32) + f32(0.5)) / f32(out_w))[None, :]
     v = ((np.arange(out_h, dtype=f32) + f32(0.5)) / f32(out_h))[:, None]
     tl, tr, br, bl = cs
