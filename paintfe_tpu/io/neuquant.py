@@ -81,8 +81,11 @@ def _train_python(pixels: np.ndarray, samplefac: int,
     # half-AWAY-from-zero like the native trainer's lround (np.rint is
     # banker's rounding — a x.5 neuron would round differently and break
     # cross-environment byte-stability of GIF palettes); values are
-    # clamped to [0, 255] first, where floor(x + 0.5) == half-away
-    return np.floor(np.clip(net, 0, 255) + 0.5).astype(np.uint8)
+    # clamped to [0, 255] first, where floor(x + 0.5) == half-away.
+    # Then GREEN-SORT like color_quant's inxbuild: the reference's
+    # palette order is the sorted network.
+    cmap = np.floor(np.clip(net, 0, 255) + 0.5).astype(np.uint8)
+    return cmap[np.argsort(cmap[:, 1], kind="stable")]
 
 
 def quantize_rgba(frame: np.ndarray,

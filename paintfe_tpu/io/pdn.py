@@ -62,6 +62,8 @@ def read_header(path) -> dict:
     data = pathlib.Path(path).read_bytes()
     if not data.startswith(b"PDN3"):
         raise PdnError("not a Paint.NET file (missing PDN3 magic)")
+    if len(data) < 7:
+        raise PdnError("truncated .pdn header")
     # 3-byte little-endian XML header length follows the magic
     n = data[4] | (data[5] << 8) | (data[6] << 16)
     xml = data[7 : 7 + n].decode("utf-8", errors="replace")
@@ -205,7 +207,6 @@ def _decode_pdn(data: bytes) -> Canvas:
 def load_pdn(path) -> Canvas:
     """Import a .pdn document: native decode first (io/nrbf.py), external
     helper (PAINTFE_PDN_HOST) as the fallback for graphs it can't walk."""
-    header = read_header(path)
     host = os.environ.get("PAINTFE_PDN_HOST")
     try:
         return load_pdn_native(path)

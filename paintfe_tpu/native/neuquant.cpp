@@ -141,12 +141,21 @@ extern "C" int neuquant_quantize(const uint8_t* pixels, long long n_pixels,
         }
     }
 
-    // colormap: rounded, clamped neurons
-    uint8_t cmap[256][4];
+    // colormap: rounded, clamped neurons, GREEN-SORTED like color_quant's
+    // inxbuild (the reference's palette order is the sorted network; an
+    // unsorted palette would emit different palette/index bytes)
+    uint8_t raw[256][4];
     for (int i = 0; i < colors; ++i)
         for (int c = 0; c < 4; ++c)
-            cmap[i][c] = static_cast<uint8_t>(
+            raw[i][c] = static_cast<uint8_t>(
                 std::clamp(std::lround(net.v[i][c]), 0l, 255l));
+    int order[256];
+    for (int i = 0; i < colors; ++i) order[i] = i;
+    std::stable_sort(order, order + colors,
+                     [&raw](int a, int b) { return raw[a][1] < raw[b][1]; });
+    uint8_t cmap[256][4];
+    for (int i = 0; i < colors; ++i)
+        for (int c = 0; c < 4; ++c) cmap[i][c] = raw[order[i]][c];
     for (int i = 0; i < colors; ++i)
         for (int c = 0; c < 4; ++c) palette_out[4 * i + c] = cmap[i][c];
 

@@ -105,21 +105,35 @@ def _try_transform_selected_region(canvas: Canvas, transform: CanvasTransform) -
 
 
 def _apply_all_layers(canvas: Canvas, transform: CanvasTransform):
+    """The reference's whole-canvas flips/rotates transform ONLY
+    layer.pixels (transform.rs flip_canvas_horizontal etc. —
+    layer.par_iter_mut over pixels; live layer masks stay put, only
+    rotate_canvas_arbitrary transforms them).  After a 90-degree rotate
+    of a non-square canvas a stale mask keeps the old shape; the
+    reference's sparse mask reads 0 out of bounds, which the dense model
+    reproduces with a zero-pad/crop."""
     fn = _RGBA_FNS[transform]
     for layer in canvas.layers:
         layer.pixels = fn(layer.pixels)
-        if layer.mask is not None:
-            layer.mask = fn(layer.mask[..., None])[..., 0]
     if transform in (CanvasTransform.ROT90_CW, CanvasTransform.ROT90_CCW):
         canvas.width, canvas.height = canvas.height, canvas.width
+        for layer in canvas.layers:
+            m = layer.mask
+            if m is not None and m.shape[:2] != (canvas.height, canvas.width):
+                fixed = np.zeros((canvas.height, canvas.width), m.dtype)
+                ch = min(m.shape[0], canvas.height)
+                cw = min(m.shape[1], canvas.width)
+                fixed[:ch, :cw] = m[:ch, :cw]
+                layer.mask = fixed
 
 
 def _clear_preview(canvas: Canvas):
-    """Every canvas transform drops the interactive stroke overlay first
-    (transform.rs calls state.clear_preview_state() in all 9 entry points):
-    a pre-transform-shaped preview would misalign — or, after a 90-degree
-    rotation of a non-square canvas, crash the next composite on a shape
-    mismatch."""
+    """Drop the interactive stroke overlay before a canvas transform.
+    NOTE a documented divergence: the reference clears previews only in
+    the 90-degree/arbitrary-rotate and selected-region paths — its flips
+    and 180-rotate KEEP the (now misaligned) overlay.  Keeping a stale
+    overlay is display-only state there; in this headless model it would
+    feed the next composite, so every transform clears it."""
     canvas.preview = None
     canvas.preview_replaces_layer = False
     canvas.preview_is_eraser = False

@@ -115,7 +115,12 @@ def flood_select(pixels: np.ndarray, start_x: int, start_y: int,
     if pixels[start_y, start_x, 3] == 0:
         return mask  # clicked a fully transparent pixel: no-op
     seed = pixels[start_y, start_x, :3].astype(f32)
-    tol_sq = f32(float(tolerance) * 2.55) * f32(float(tolerance) * 2.55)
+    # f32 chain exactly like the reference (color_removal.rs: `(tolerance
+    # * 2.55) * (tolerance * 2.55)` with a 2.55f32 literal) — computing
+    # the product in f64 first lands 1 ulp off and flips membership for
+    # pixels exactly at the threshold
+    tol = f32(tolerance) * f32(2.55)
+    tol_sq = tol * tol
     d = pixels[..., :3].astype(f32) - seed[None, None, :]
     dist_sq = d[..., 0] * d[..., 0] + d[..., 1] * d[..., 1] + d[..., 2] * d[..., 2]
     member = (pixels[..., 3] == 0) | (dist_sq <= tol_sq)

@@ -104,7 +104,9 @@ def _ssd_masked(img, mask, ax, ay, bx, by, half, min_valid, w, h):
             count += 1
     if count < min_valid:
         return np.inf
-    return float(ssd) / count
+    # f32 divide like native inpaint.cpp:50 (ssd / (float)count): an f64
+    # quotient can order two f32-equal candidates differently
+    return f32(ssd / f32(count))
 
 
 def _patchmatch_py(src, mask_in, patch_size, iterations):
@@ -174,7 +176,7 @@ def _patchmatch_py(src, mask_in, patch_size, iterations):
                     if s < best:
                         best, best_ox, best_oy = s, cx2 - hx, cy2 - hy
                 rng = (hx * 6364136223846793005 + hy * 982451653 + it * 1234567891) & U64
-                search_r = max_radius
+                search_r = f32(max_radius)  # f32 like the native search_r
                 while search_r >= 1.0:
                     rng = (rng * 6364136223846793005 + 1442695040888963407) & U64
                     ra = f32((rng >> 33) & 0xFFFFFFFF) / f32(0xFFFFFFFF)
@@ -188,7 +190,7 @@ def _patchmatch_py(src, mask_in, patch_size, iterations):
                         s = _ssd_masked(out, live, hx, hy, cx2, cy2, half, min_valid, w, h)
                         if s < best:
                             best, best_ox, best_oy = s, cx2 - hx, cy2 - hy
-                    search_r *= 0.5
+                    search_r = f32(search_r * f32(0.5))
                 nnf_ox[hy, hx], nnf_oy[hy, hx], nnf_ssd[hy, hx] = best_ox, best_oy, best
 
         fills = []
@@ -242,8 +244,13 @@ def _instant_brush_py(src, mask, out, cx, cy, brush_radius, sample_radius, hardn
             for i in range(n_cand):
                 ang = f32(i) * (f32(2 * np.pi) / f32(n_cand))
                 rr = inner_r + (outer_r - inner_r) * (f32(i) / f32(n_cand - 1))
-                sx = int(np.round(x + np.cos(ang) * rr))
-                sy = int(np.round(y + np.sin(ang) * rr))
+                # roundf parity: half-AWAY-from-zero like the native/
+                # reference path (np.round is banker's — 2.5 would pick
+                # the other sample pixel)
+                vx = x + np.cos(ang) * rr
+                vy = y + np.sin(ang) * rr
+                sx = int(np.floor(vx + 0.5)) if vx >= 0 else -int(np.floor(-vx + 0.5))
+                sy = int(np.floor(vy + 0.5)) if vy >= 0 else -int(np.floor(-vy + 0.5))
                 if not (0 <= sx < w and 0 <= sy < h) or mask[sy, sx] > 0:
                     continue
                 sp = src[sy, sx].astype(f32)
@@ -253,7 +260,10 @@ def _instant_brush_py(src, mask, out, cx, cy, brush_radius, sample_radius, hardn
                 wt = f32(wt + wc)
             if wt < 1e-6:
                 continue
-            fill = np.clip(sums / wt, 0, 255)
+            # the reference truncates the weighted mean to u8 BEFORE the
+            # lerp (clamp255/`as u8` in native/inpaint.cpp and the Rust
+            # core); lerping the fractional mean drifts channels by one
+            fill = np.trunc(np.clip(sums / wt, 0, 255))
             ea = out[y, x, 3] / 255.0
             if ga >= ea:
                 e = out[y, x].astype(f32)

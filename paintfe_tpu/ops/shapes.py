@@ -499,12 +499,46 @@ def _arc_to_points(p0, rx, ry, xrot, large, sweep, p1, tol, out):
         out.append((ex, ey))
 
 
-def parse_svg_path(d: str, tol: float = 0.5):
+def _cubic_bbox_update(bbox, p0, p1, p2, p3):
+    """Grow bbox by a cubic's EXACT extent (endpoints + derivative roots),
+    matching kurbo's bounding_box computed before flattening."""
+    for axis in (0, 1):
+        v0, v1, v2, v3 = p0[axis], p1[axis], p2[axis], p3[axis]
+        bbox[axis] = min(bbox[axis], v0, v3)
+        bbox[axis + 2] = max(bbox[axis + 2], v0, v3)
+        # B'(t) = At^2 + Bt + C
+        A = 3.0 * (-v0 + 3.0 * v1 - 3.0 * v2 + v3)
+        B = 6.0 * (v0 - 2.0 * v1 + v2)
+        C = 3.0 * (v1 - v0)
+        roots = []
+        if abs(A) < 1e-12:
+            if abs(B) > 1e-12:
+                roots.append(-C / B)
+        else:
+            disc = B * B - 4.0 * A * C
+            if disc >= 0.0:
+                sq = disc ** 0.5
+                roots.extend(((-B + sq) / (2.0 * A), (-B - sq) / (2.0 * A)))
+        for t in roots:
+            if 0.0 < t < 1.0:
+                mt = 1.0 - t
+                v = (mt * mt * mt * v0 + 3.0 * mt * mt * t * v1
+                     + 3.0 * mt * t * t * v2 + t * t * t * v3)
+                bbox[axis] = min(bbox[axis], v)
+                bbox[axis + 2] = max(bbox[axis + 2], v)
+
+
+def parse_svg_path(d: str, tol: float = 0.5, bbox_out=None):
     """SVG path data -> list of polylines (each a list of (x, y)).
 
     Supports M/L/H/V/C/S/Q/T/A/Z in absolute and relative form; curves are
     flattened at `tol` like the reference's kurbo::flatten(0.5) call
-    (shapes.rs:81)."""
+    (shapes.rs:81).  `bbox_out` (a 4-list [minx, miny, maxx, maxy]) is
+    grown with the EXACT curve extents (cubic/quadratic derivative
+    extrema) like kurbo's pre-flatten bounding_box — the flattened
+    polyline alone undershoots curve bulges by up to `tol`.  Arcs
+    contribute their flattened points (they are emitted as samples, not
+    cubics, here)."""
     toks = list(_svg_tokens(d))
     polylines = []
     current: list = []
@@ -539,9 +573,12 @@ def parse_svg_path(d: str, tol: float = 0.5):
                     current.append(start)
                 if len(current) > 1:
                     polylines.append(current)
-                current = []
                 pos = start if start is not None else pos
-                start = None
+                # SVG spec: a drawing command straight after Z starts a
+                # new subpath AT THE CLOSEPOINT (which also stays the
+                # initial point for a further Z) — kurbo does this; an
+                # empty `current` here dropped the first post-Z segment
+                current = [pos]
                 prev_cubic_ctrl = prev_quad_ctrl = None
                 continue
         elif cmd is None:
@@ -584,6 +621,8 @@ def parse_svg_path(d: str, tol: float = 0.5):
                 )
             p2 = (x2 + ox, y2 + oy)
             p3 = (x + ox, y + oy)
+            if bbox_out is not None:
+                _cubic_bbox_update(bbox_out, pos, p1, p2, p3)
             _flatten_cubic(pos, p1, p2, p3, tol, current)
             pos = p3
             prev_cubic_ctrl, prev_quad_ctrl = p2, None
@@ -599,6 +638,8 @@ def parse_svg_path(d: str, tol: float = 0.5):
                 )
             p3 = (x + ox, y + oy)
             c1, c2 = _quad_to_cubic(pos, q, p3)
+            if bbox_out is not None:
+                _cubic_bbox_update(bbox_out, pos, c1, c2, p3)
             _flatten_cubic(pos, c1, c2, p3, tol, current)
             pos = p3
             prev_quad_ctrl, prev_cubic_ctrl = q, None
@@ -617,8 +658,9 @@ def parse_svg_path(d: str, tol: float = 0.5):
 def parse_custom_shape(name: str, category: str, svg_path_data: str) -> CustomShapeData:
     """Parse + flatten an SVG path into a drawable custom shape
     (shapes.rs:60-120)."""
+    curve_bbox = [float("inf"), float("inf"), float("-inf"), float("-inf")]
     try:
-        polylines = parse_svg_path(svg_path_data)
+        polylines = parse_svg_path(svg_path_data, bbox_out=curve_bbox)
     except SvgPathError:
         raise
     except Exception as e:  # noqa: BLE001 - surface as the reference's error kind
@@ -626,10 +668,13 @@ def parse_custom_shape(name: str, category: str, svg_path_data: str) -> CustomSh
     polylines = [p for p in polylines if len(p) > 1]
     if not polylines:
         raise SvgPathError("SVG path did not produce drawable geometry.")
+    # bounds = flattened vertices grown by the EXACT curve extrema, like
+    # kurbo's pre-flatten bounding_box (the reference computes the scale
+    # mapping from it; flattened-only bounds undershoot curve bulges)
     xs = [x for poly in polylines for x, _ in poly]
     ys = [y for poly in polylines for _, y in poly]
-    x0, x1 = min(xs), max(xs)
-    y0, y1 = min(ys), max(ys)
+    x0, x1 = min(xs + [curve_bbox[0]]), max(xs + [curve_bbox[2]])
+    y0, y1 = min(ys + [curve_bbox[1]]), max(ys + [curve_bbox[3]])
     if not (np.isfinite(x1 - x0) and np.isfinite(y1 - y0)) or x1 - x0 <= 0 or y1 - y0 <= 0:
         raise SvgPathError("SVG path has empty bounds.")
     return CustomShapeData(name, category, svg_path_data, polylines, (x0, y0, x1, y1))

