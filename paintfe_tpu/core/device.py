@@ -28,8 +28,12 @@ class DeviceLayerCache:
     """Keeps layer buffers (pixels + mask) device-resident.
 
     Entries hold the host array they were uploaded from and revalidate by
-    object identity — ops that replace ``layer.pixels`` are caught by the
-    identity check; ops that mutate in place bump ``generation``.  Because
+    object identity.  The document-model invariant making this sound:
+    every op REPLACES ``layer.pixels``/``layer.mask`` with a fresh array,
+    never mutates in place (ops/canvas_ops.py, ops/canvas_transform.py
+    enforce this at each slice-write site) — an in-place writer would
+    silently serve the stale upload forever.  ``generation`` remains for
+    callers that do carry explicit counters.  Because
     the entry pins the host array, a recycled ``id()`` can never alias a
     dead buffer.  A weakref finalizer evicts a layer's entries when the
     layer itself is garbage-collected (renderer.rs frees textures for

@@ -50,10 +50,13 @@ def replace_channel_from_layer(canvas: Canvas, target_idx: int, source_idx: int,
                                target_channel: ImageChannel,
                                source_channel: ImageChannel):
     v = _sample_channel(canvas.layers[source_idx].pixels, ImageChannel(source_channel))
-    target = canvas.layers[target_idx].pixels
     tc = ImageChannel(target_channel)
     c = 3 if tc in (ImageChannel.ALPHA, ImageChannel.LUMINANCE) else tc.value
-    target[..., c] = v
+    # replace, never mutate: the device-layer cache keys on host-array
+    # identity (core/device.py)
+    px = canvas.layers[target_idx].pixels.copy()
+    px[..., c] = v
+    canvas.layers[target_idx].pixels = px
 
 
 def merge_down(canvas: Canvas, layer_idx: int):
@@ -98,7 +101,12 @@ def merge_down_as_mask(canvas: Canvas, layer_idx: int):
     # lerp(255, luma, alpha) truncated to u8, then integer alpha scale
     mask_luma = (f32(255.0) * (f32(1.0) - a) + lum * a + f32(0.5)).astype(np.uint8)
     new_a = below.pixels[..., 3].astype(np.uint32) * mask_luma.astype(np.uint32) // 255
-    below.pixels[..., 3] = new_a.astype(np.uint8)
+    # replace (never mutate in place): the device-layer cache revalidates
+    # by host-array identity (core/device.py) — an in-place write would
+    # keep serving the stale upload
+    px = below.pixels.copy()
+    px[..., 3] = new_a.astype(np.uint8)
+    below.pixels = px
     canvas.layers.pop(layer_idx)
     if canvas.active_layer_index >= layer_idx and canvas.active_layer_index > 0:
         canvas.active_layer_index -= 1
@@ -152,9 +160,13 @@ def apply_layer_mask(canvas: Canvas, layer_idx: int):
         return
     conceal = layer.mask.astype(np.uint32)
     a = layer.pixels[..., 3].astype(np.uint32)
-    layer.pixels[..., 3] = np.where(
+    # replace, never mutate: the device-layer cache keys on host-array
+    # identity (core/device.py)
+    px = layer.pixels.copy()
+    px[..., 3] = np.where(
         conceal > 0, (a * (255 - conceal)) // 255, a
     ).astype(np.uint8)
+    layer.pixels = px
     layer.mask = None
     layer.mask_enabled = True
 

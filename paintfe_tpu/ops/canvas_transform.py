@@ -74,6 +74,9 @@ def _try_transform_selected_region(canvas: Canvas, transform: CanvasTransform) -
     for layer in canvas.layers:
         cutout = np.zeros((region_h, region_w, 4), np.uint8)
         sel = region_mask > 0
+        # fresh array up front: the slice writes below must not mutate the
+        # buffer the device-layer cache revalidates by identity
+        layer.pixels = layer.pixels.copy()
         src_region = layer.pixels[min_y : max_y + 1, min_x : max_x + 1]
         cutout[sel] = src_region[sel]
         src_region[sel] = 0  # clear the original selected pixels

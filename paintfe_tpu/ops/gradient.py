@@ -78,8 +78,15 @@ def _gradient_t_fn(shape, start, end, repeat, h, w):
         ys = jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5 - sy
         if degenerate:
             return jnp.zeros((h, w), jnp.float32)
+        # the reference MULTIPLIES by host-computed f32 reciprocals
+        # (perspective_gradient.rs:419-421: inv_len = 1.0/len,
+        # inv_len_sq = 1.0/len_sq; :463/:481/:489-490 apply them per
+        # term) — a true divide here is 1 ulp off for most inputs and
+        # flips the u32(t*255) LUT index along iso-t contours
+        inv_len_sq = f32(1.0) / len_sq
+        inv_len = f32(1.0) / f32(np.sqrt(len_sq))
         if shape in (GradientShape.LINEAR, GradientShape.LINEAR_REFLECTED):
-            raw = exact_div(xs * dx + ys * dy, len_sq)
+            raw = (xs * dx + ys * dy) * inv_len_sq
             if shape == GradientShape.LINEAR_REFLECTED:
                 # triangle wave peaked at the midpoint (state.rs:1192-1201)
                 if repeat:
@@ -87,14 +94,12 @@ def _gradient_t_fn(shape, start, end, repeat, h, w):
                     return jnp.where(t_mod > 1.0, 2.0 - t_mod, t_mod)
                 return 1.0 - jnp.abs(2.0 * jnp.clip(raw, 0.0, 1.0) - 1.0)
         elif shape == GradientShape.RADIAL:
-            raw = exact_div(jnp.sqrt(xs * xs + ys * ys),
-                            f32(np.sqrt(len_sq)))
-        else:  # DIAMOND: |proj| + |perp| in the gradient frame, / len
-            inv = f32(1.0) / f32(np.sqrt(len_sq))
-            ux, uy = dx * inv, dy * inv
-            proj = jnp.abs(xs * ux + ys * uy)
-            perp = jnp.abs(xs * (-uy) + ys * ux)
-            raw = exact_div(proj + perp, f32(np.sqrt(len_sq)))
+            raw = jnp.sqrt(xs * xs + ys * ys) * inv_len
+        else:  # DIAMOND: (|proj| * inv_len) + (|perp| * inv_len)
+            ux, uy = dx * inv_len, dy * inv_len
+            proj = jnp.abs(xs * ux + ys * uy) * inv_len
+            perp = jnp.abs(xs * (-uy) + ys * ux) * inv_len
+            raw = proj + perp
         if repeat:
             return raw - jnp.floor(raw)
         return jnp.clip(raw, 0.0, 1.0)

@@ -301,9 +301,10 @@ class ScriptContext:
 
 
 def _as_int(v, what="argument"):
+    # Rhai's typed dispatch never coerces FLOAT->INT: an i64-registered
+    # host fn called with 1.0 is function-not-found in the reference
+    # (register_fn |x: i64| ...), so integral floats are REJECTED too
     if isinstance(v, bool) or not isinstance(v, (int, np.integer)):
-        if isinstance(v, float) and v == int(v):
-            return int(v)
         raise RhaiRuntimeError(f"{what} must be an integer")
     return int(v)
 
@@ -321,6 +322,20 @@ def _as_float(v):
     if isinstance(v, (int, float, np.integer, np.floating)) and not isinstance(v, bool):
         return float(v)
     raise RhaiRuntimeError("argument must be a number")
+
+
+def _as_float_strict(v):
+    """f64-registered params: Rhai never coerces INT->FLOAT either, but
+    the reference registers most numeric effect params as f64 AND scripts
+    in its own corpus call them with INT literals via the i64 overloads
+    it provides for utility math — the effect fns themselves are f64-only
+    and the test corpus (tests/scripting.rs) consistently passes floats.
+    _as_float (lenient) stays the default for ergonomics; strict variants
+    can adopt this when a divergence is demonstrated against a reference
+    probe."""
+    if isinstance(v, (float, np.floating)):
+        return float(v)
+    raise RhaiRuntimeError("argument must be a float")
 
 
 def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
@@ -506,11 +521,13 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
         if not isinstance(cb, Closure):
             raise RhaiRuntimeError("for_region expects a closure")
         x, y, w, h = _as_int(x), _as_int(y), _as_int(w), _as_int(h)
-        # the reference computes the end as ((rx+rw) as u32).min(w): a
-        # NEGATIVE sum wraps to a huge u32 and clamps to the full extent
-        # (scripting.rs:513-516) — bug-for-bug parity
-        x0 = max(x, 0)
-        y0 = max(y, 0)
+        # the reference computes x0 = rx.max(0) as u32 and the end as
+        # ((rx+rw) as u32).min(w): `as u32` TRUNCATES, so a negative sum
+        # wraps to a huge u32 and clamps to the full extent, and an
+        # origin above u32::MAX wraps back down (scripting.rs:513-516) —
+        # bug-for-bug parity on both
+        x0 = max(x, 0) & 0xFFFFFFFF
+        y0 = max(y, 0) & 0xFFFFFFFF
         x1 = min((x + w) & 0xFFFFFFFF, ctx.width)
         y1 = min((y + h) & 0xFFFFFFFF, ctx.height)
         if x1 <= x0 or y1 <= y0:
@@ -729,6 +746,12 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
     def rotate_canvas_90cw():
         ctx.pixels = tfm.rotate_90cw(ctx.pixels)
         ctx.width, ctx.height = ctx.height, ctx.width
+        if ctx.mask is not None:
+            # a dim swap leaves the dense mask transposed-shape: drop it
+            # like resize_image does (the reference's flat w*h vec is
+            # reinterpreted into garbage, never a crash; indexing the
+            # stale dense shape here would raise IndexError)
+            ctx.mask = None
         ctx.canvas_ops.append(CanvasOpRequest("rot90cw"))
         return UNIT
 
@@ -736,6 +759,12 @@ def build_host_fns(ctx: ScriptContext, interp_ref: dict) -> Dict[str, Any]:
     def rotate_canvas_90ccw():
         ctx.pixels = tfm.rotate_90ccw(ctx.pixels)
         ctx.width, ctx.height = ctx.height, ctx.width
+        if ctx.mask is not None:
+            # a dim swap leaves the dense mask transposed-shape: drop it
+            # like resize_image does (the reference's flat w*h vec is
+            # reinterpreted into garbage, never a crash; indexing the
+            # stale dense shape here would raise IndexError)
+            ctx.mask = None
         ctx.canvas_ops.append(CanvasOpRequest("rot90ccw"))
         return UNIT
 

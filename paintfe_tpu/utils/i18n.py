@@ -56,7 +56,7 @@ def init():
         translations = {}
         if _LOCALES_DIR.exists():
             for path in _LOCALES_DIR.glob("*.txt"):
-                translations[path.stem] = parse_translations(path.read_text())
+                translations[path.stem] = parse_translations(path.read_text(encoding="utf-8"))
         translations.setdefault("en", {})
         _state["translations"] = translations
 

@@ -75,21 +75,35 @@ class SingleInstance:
         from a stale socket file left by a crash."""
         if self._bind():
             return True
+
+        def _listening() -> bool:
+            probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            try:
+                probe.connect(self.socket_path)
+                return True
+            except (ConnectionRefusedError, FileNotFoundError):
+                return False
+            finally:
+                probe.close()
+
         # bind failed: live primary, or a stale file from a crashed one?
-        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-        try:
-            probe.connect(self.socket_path)
-            probe.close()
-            return False  # someone is listening
-        except (ConnectionRefusedError, FileNotFoundError):
-            pass
-        finally:
-            probe.close()
-        try:  # stale: remove and take one more atomic bind attempt
-            os.unlink(self.socket_path)
-        except FileNotFoundError:
-            pass
-        return self._bind()
+        if _listening():
+            return False
+        # Stale-recovery must serialize: two concurrent starters could
+        # otherwise each probe-refused, then one unlink the OTHER's
+        # freshly-bound socket (two primaries).  An flock around
+        # [re-probe, unlink, bind] makes the loser see the winner.
+        import fcntl
+
+        with open(self.socket_path + ".lock", "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            if _listening():
+                return False  # the lock winner bound while we waited
+            try:
+                os.unlink(self.socket_path)
+            except FileNotFoundError:
+                pass
+            return self._bind()
 
     def _bind(self) -> bool:
         server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)

@@ -178,6 +178,58 @@ def test_flood_tolerance_f32_chain():
     assert "f32(tolerance) * f32(2.55)" in src
 
 
+def test_device_cache_sees_layer_mask_bake():
+    """apply_layer_mask (and every other document op) must REPLACE the
+    pixel array — the device cache revalidates by host-array identity, so
+    an in-place write would serve the stale upload forever."""
+    from paintfe_tpu.core.device import DeviceLayerCache
+    from paintfe_tpu.ops.canvas_ops import apply_layer_mask
+
+    c = Canvas.new(8, 8, (100, 100, 100, 255))
+    c.layers[0].mask = np.full((8, 8), 255, np.uint8)  # conceal all
+    cache = DeviceLayerCache()
+    before = np.asarray(cache.get(c.layers[0]))
+    assert before[..., 3].min() == 255
+    apply_layer_mask(c, 0)
+    after = np.asarray(cache.get(c.layers[0]))
+    assert after[..., 3].max() == 0, "cache served the stale upload"
+
+
+def test_script_rotate_drops_selection_mask():
+    """rotate_canvas_90cw on a non-square canvas with a selection used to
+    crash later selection ops with IndexError (dense mask kept the old
+    shape); the mask now drops like resize_image's."""
+    px = np.zeros((4, 8, 4), np.uint8)  # 8 wide, 4 tall
+    out = execute_script_sync(
+        "select_rect(0, 0, 3, 3); rotate_canvas_90cw(); "
+        "fill_selected(255, 0, 0, 255); print_line(`${has_selection()}`);",
+        px, 8, 4, None)
+    assert out[3] == ["false"]  # mask dropped; fill became a no-op-ish
+
+
+def test_strict_int_typing():
+    """Rhai's typed dispatch never coerces FLOAT->INT: i64-registered
+    host fns called with 1.0 must error like the reference."""
+    px = np.zeros((4, 4, 4), np.uint8)
+    with pytest.raises(ScriptError, match="integer"):
+        execute_script_sync("get_pixel(1.0, 2);", px, 4, 4, None)
+    with pytest.raises(ScriptError, match="integer"):
+        execute_script_sync("apply_median(2.0);", px, 4, 4, None)
+    execute_script_sync("apply_median(2);", px, 4, 4, None)  # INT fine
+
+
+def test_for_region_origin_u32_wrap():
+    """Origins wrap through `as u32` like the reference (scripting.rs:513):
+    rx = 2^32 truncates to 0, so columns 0..10 process."""
+    px = np.zeros((4, 16, 4), np.uint8)
+    out, _, _, console, _ = execute_script_sync(
+        "let n = 0; for_region(4294967296, 0, 10, 4, "
+        "|x, y, r, g, b, a| { n += 1; [255, g, b, 255] }); "
+        "print_line(`${n}`);", px, 16, 4, None)
+    assert console == [f"{10 * 4}"]
+    assert (out[:, :10, 0] == 255).all() and (out[:, 10:, 0] == 0).all()
+
+
 def test_warped_glyphs_land_on_anchor():
     """A 90-degree rotated glyph must render near its path anchor (the
     old fixed width//4 offset displaced it by ~pad/2)."""
