@@ -90,6 +90,58 @@ class RhaiRange:
         return iter(range(self.lo, hi))
 
 
+class StepRange:
+    """Rhai's `range(from, to, step)` (BasicIteratorPackage): iterates
+    from `lo` toward `hi` (exclusive) by `step`, which may be negative;
+    INT and FLOAT variants share this one class."""
+
+    def __init__(self, lo, hi, step):
+        if step == 0:
+            raise RhaiRuntimeError("range(): step cannot be zero")
+        self.lo = lo
+        self.hi = hi
+        self.step = step
+
+    def __iter__(self):
+        v = self.lo
+        if self.step > 0:
+            while v < self.hi:
+                yield v
+                v += self.step
+        else:
+            while v > self.hi:
+                yield v
+                v += self.step
+
+
+class Timestamp:
+    """Rhai's `timestamp()` (BasicTimePackage): an opaque monotonic
+    instant; `elapsed` and timestamp differences are f64 seconds."""
+
+    def __init__(self, t=None):
+        import time
+
+        self.t = time.monotonic() if t is None else t
+
+    def __eq__(self, other):
+        return isinstance(other, Timestamp) and self.t == other.t
+
+    def __lt__(self, other):
+        return self.t < other.t
+
+    def __le__(self, other):
+        return self.t <= other.t
+
+    def __gt__(self, other):
+        return self.t > other.t
+
+    def __ge__(self, other):
+        return self.t >= other.t
+
+    def __hash__(self):
+        return hash(self.t)
+
+
 def to_display(v) -> str:
     """Rhai value -> string (for print/template interpolation)."""
     if v is UNIT or v is None:
@@ -125,12 +177,55 @@ def _debug_display(v) -> str:
     return to_display(v)
 
 
+def _to_json(v) -> str:
+    """Map.to_json(): compact JSON, key-sorted (BTreeMap iteration), unit
+    as null, floats in Rhai display form (1.0 keeps its .0)."""
+    import json
+
+    if v is UNIT or v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return to_display(v)
+    if isinstance(v, str):
+        return json.dumps(v)
+    if isinstance(v, list):
+        return "[" + ",".join(_to_json(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(
+            f"{json.dumps(k)}:{_to_json(v[k])}" for k in sorted(v)) + "}"
+    return json.dumps(to_display(v))
+
+
 # Rhai string methods that mutate the receiver in place and return ().
-_STRING_INPLACE = frozenset({"trim", "make_upper", "make_lower", "replace", "truncate"})
+_STRING_INPLACE = frozenset({"trim", "make_upper", "make_lower", "replace",
+                             "truncate", "crop", "pad", "clear", "remove"})
+
+# In-place string methods that ALSO return a value (string_more's pop).
+_STRING_INPLACE_RET = frozenset({"pop"})
+
+
+def _str_span(s: str, args):
+    """(start[, len]) or (range) -> python slice bounds on a string, with
+    Rhai's negative-start-counts-from-the-end and clamping rules."""
+    if args and isinstance(args[0], RhaiRange):
+        lo = max(int(args[0].lo), 0)
+        hi = int(args[0].hi) + (1 if args[0].inclusive else 0)
+        hi = min(max(hi, lo), len(s))
+        lo = min(lo, len(s))
+        return lo, hi
+    start = int(args[0]) if args else 0
+    if start < 0:
+        start = max(len(s) + start, 0)
+    start = min(start, len(s))
+    n = max(int(args[1]), 0) if len(args) > 1 else len(s) - start
+    return start, min(start + n, len(s))
 
 
 def _string_inplace(s: str, name: str, args) -> str:
-    need = {"replace": 2, "truncate": 1}.get(name, 0)
+    need = {"replace": 2, "truncate": 1, "crop": 1,
+            "pad": 2, "remove": 1}.get(name, 0)
     if len(args) < need:
         sig = ", ".join(["string"] + [_type_of(a) for a in args])
         raise RhaiRuntimeError(f"function not found: {name} ({sig})")
@@ -144,6 +239,41 @@ def _string_inplace(s: str, name: str, args) -> str:
         return s.replace(args[0], args[1])
     if name == "truncate":
         return s[: max(int(args[0]), 0)]
+    if name == "crop":
+        lo, hi = _str_span(s, args)
+        return s[lo:hi]
+    if name == "pad":
+        # string_more pad: append the char/string until len >= target
+        # (a multi-char pad may overshoot, like the reference)
+        target = int(args[0])
+        fill = args[1]
+        if not isinstance(fill, str) or not fill:
+            raise RhaiRuntimeError("pad(): expected a char or string pad")
+        while len(s) < target:
+            s += fill
+        return s
+    if name == "clear":
+        return ""
+    if name == "remove":
+        # remove ALL occurrences of a char/substring
+        sub = args[0]
+        if not isinstance(sub, str):
+            raise RhaiRuntimeError("remove(): expected a char or string")
+        return s.replace(sub, "") if sub else s
+    raise RhaiRuntimeError(f"unknown in-place string method '{name}'")
+
+
+def _string_inplace_ret(s: str, name: str, args):
+    """Mutating string methods with a return value -> (new_string, ret)."""
+    if name == "pop":
+        if not args:
+            if not s:
+                return s, UNIT
+            return s[:-1], s[-1]
+        n = int(args[0])
+        if n <= 0:
+            return s, ""
+        return s[:-n] if n < len(s) else "", s[-n:] if n < len(s) else s
     raise RhaiRuntimeError(f"unknown in-place string method '{name}'")
 
 
@@ -157,7 +287,15 @@ _STD_MIN_ARITY = {
     "truncate": 1, "chop": 1, "extract": 1, "append": 1, "pad": 2,
     "get": 1, "set": 2, "mixin": 1, "starts_with": 1, "ends_with": 1,
     "sub_string": 1, "replace": 2, "parse_int": 0, "parse_float": 0,
+    "reduce_rev": 1, "find_map": 1, "fill_with": 1, "crop": 1,
 }
+
+# Numeric names valid in property-getter style (`x.floor`, `n.is_odd`):
+# Rhai's std registers these as both methods and getters.
+_NUM_PROPS = frozenset({
+    "floor", "ceiling", "round", "int", "fraction",
+    "is_nan", "is_finite", "is_infinite", "is_zero", "is_odd", "is_even",
+})
 
 
 def _truthy(v):
@@ -184,8 +322,10 @@ def _type_of(v) -> str:
         return "map"
     if isinstance(v, (Closure, FnPtr)):
         return "Fn"
-    if isinstance(v, RhaiRange):
+    if isinstance(v, (RhaiRange, StepRange)):
         return "range"
+    if isinstance(v, Timestamp):
+        return "timestamp"
     return type(v).__name__
 
 
@@ -273,6 +413,97 @@ def _int_like(v) -> bool:
     if isinstance(v, (int, np.integer)):
         return True
     return isinstance(v, np.ndarray) and v.dtype.kind in "iu"
+
+
+def _f64fn(ufunc):
+    """Wrap a numpy ufunc as a Rhai f64 math function: scalars come back
+    as python floats, domain errors yield NaN (Rust f64 semantics — these
+    functions never raise), arrays pass through for the bulk vectorizer."""
+
+    def f(x):
+        if isinstance(x, np.ndarray):
+            with np.errstate(all="ignore"):
+                return ufunc(x)
+        with np.errstate(all="ignore"):
+            return float(ufunc(float(x)))
+
+    return f
+
+
+def _std_log(x, base=None):
+    if base is None:
+        return _f64fn(np.log10)(x)
+    b = float(base)
+    with np.errstate(all="ignore"):
+        v = float(np.log(float(x)))
+        d = float(np.log(b))
+    return v / d if d != 0 else float("nan")
+
+
+def _std_atan(y, x=None):
+    if x is None:
+        return _f64fn(np.arctan)(y)
+    return float(np.arctan2(float(y), float(x)))
+
+
+# Rhai 1.25 standard-package functions the reference's engine exposes on
+# top of its own registered API (scripting.rs:284-317 builds a default
+# Engine, so BasicMathPackage etc. are all present).  Merged UNDER the
+# host API at Interpreter init: a host registration always wins.
+_STD_HOST_FNS = {
+    "exp": _f64fn(np.exp),
+    "ln": _f64fn(np.log),
+    "log": _std_log,
+    "hypot": lambda x, y: float(np.hypot(float(x), float(y))),
+    "atan": _std_atan,
+    "sinh": _f64fn(np.sinh),
+    "cosh": _f64fn(np.cosh),
+    "tanh": _f64fn(np.tanh),
+    "asin": _f64fn(np.arcsin),
+    "acos": _f64fn(np.arccos),
+    "asinh": _f64fn(np.arcsinh),
+    "acosh": _f64fn(np.arccosh),
+    "atanh": _f64fn(np.arctanh),
+    "E": lambda: float(np.e),
+}
+
+
+_NOMATCH = object()
+
+
+def _std_free_call(interp, name, args):
+    """Rhai std free functions that need interpreter state or construct
+    engine types; shared by the tree-walker and the compiled tier's _cn.
+    Returns _NOMATCH when `name` isn't one of them."""
+    if name == "range":
+        vals = list(args)
+        if len(vals) == 2:
+            ok = all(isinstance(v, int) and not isinstance(v, bool)
+                     for v in vals)
+            if ok:
+                return RhaiRange(vals[0], vals[1], False)
+        elif len(vals) == 3:
+            ok = all((isinstance(v, int) and not isinstance(v, bool))
+                     or isinstance(v, float) for v in vals)
+            if ok:
+                return StepRange(vals[0], vals[1], vals[2])
+        sig = ", ".join(_type_of(a) for a in args)
+        raise RhaiRuntimeError(f"function not found: range ({sig})")
+    if name == "timestamp" and not args:
+        return Timestamp()
+    if name == "is_def_fn":
+        if (len(args) == 2 and isinstance(args[0], str)
+                and isinstance(args[1], int) and not isinstance(args[1], bool)):
+            uf = interp.user_fns.get(args[0])
+            if uf is not None:
+                return len(uf[0]) == args[1]
+            cf = interp.compiled_fns.get(args[0])
+            if cf is not None:
+                return cf.__code__.co_argcount == args[1]
+            return False
+    if name == "to_debug" and len(args) == 1:
+        return _debug_display(args[0])
+    return _NOMATCH
 
 
 class _PredicationUnsupported(Exception):
@@ -377,7 +608,11 @@ class Interpreter:
     evaluated args; may also accept Closure values)."""
 
     def __init__(self, host_fns: Dict[str, Any], max_operations: int = MAX_OPERATIONS):
-        self.host_fns = host_fns
+        # std package fns sit UNDER the host API (a host registration of
+        # the same name wins, like Rhai's later-registration precedence)
+        merged = dict(_STD_HOST_FNS)
+        merged.update(host_fns)
+        self.host_fns = merged
         self.ops = 0
         self.max_operations = max_operations
         self.globals: Dict[str, Any] = {}
@@ -476,7 +711,7 @@ class Interpreter:
             return UNIT
         if kind == "for":
             iterable = self.eval(stmt[2], scopes)
-            if isinstance(iterable, RhaiRange):
+            if isinstance(iterable, (RhaiRange, StepRange)):
                 it = iterable
             elif isinstance(iterable, list):
                 # Rhai's for-in yields cloned VALUES over a snapshot:
@@ -700,6 +935,18 @@ class Interpreter:
                 # and return (); Python strings are immutable so write back.
                 self._assign(e[1], "=", _string_inplace(obj, e[2], args), scopes)
                 return UNIT
+            if (
+                args is not None
+                and isinstance(obj, str)
+                and e[2] in _STRING_INPLACE_RET
+                and (e[1][0] in ("var", "index")
+                     or (e[1][0] == "method" and e[1][3] is None))
+            ):
+                # pop() both mutates the receiver and returns the removed
+                # character(s)
+                ns, ret = _string_inplace_ret(obj, e[2], args)
+                self._assign(e[1], "=", ns, scopes)
+                return ret
             return self._method(obj, e[2], args, scopes)
         raise RhaiRuntimeError(f"unknown expression {kind}")
 
@@ -791,6 +1038,23 @@ class Interpreter:
             return cf(*args)
         fn = self.host_fns.get(name)
         if fn is None:
+            r = _std_free_call(self, name, args)
+            if r is not _NOMATCH:
+                return r
+            if name == "is_def_var":
+                if len(args) == 1 and isinstance(args[0], str):
+                    return any(args[0] in s for s in scopes)
+            # Rhai's unified call notation: `f(x, y)` falls back to the
+            # method `x.f(y)` (so parse_int("7"), to_upper(s), push(a, v)
+            # all resolve).  ndarray first-args keep the strict path for
+            # the vectorizer's bail semantics.
+            if args and not isinstance(args[0], np.ndarray):
+                try:
+                    return self._method(args[0], name, list(args[1:]), scopes)
+                except RhaiRuntimeError as me:
+                    if not str(me).startswith(
+                            ("unknown method", "unknown property")):
+                        raise
             # Rhai-style signature with ARG TYPES ("fx (i64, i64)"), which
             # the friendly categorizer shows verbatim (scripting.rs:115-124)
             sig = ", ".join(_type_of(a) for a in args)
@@ -840,6 +1104,20 @@ class Interpreter:
             isinstance(r, int) and not isinstance(r, bool)
         )
         if op in ("+", "-", "*", "/", "%", "**"):
+            if isinstance(l, Timestamp) or isinstance(r, Timestamp):
+                # BasicTimePackage arithmetic: ts - ts -> f64 seconds;
+                # ts +/- seconds -> timestamp.  Anything else is
+                # ErrorFunctionNotFound like every other type mismatch.
+                if (op == "-" and isinstance(l, Timestamp)
+                        and isinstance(r, Timestamp)):
+                    return float(l.t - r.t)
+                if (op in ("+", "-") and isinstance(l, Timestamp)
+                        and isinstance(r, (int, float))
+                        and not isinstance(r, bool)):
+                    d = float(r) if op == "+" else -float(r)
+                    return Timestamp(l.t + d)
+                raise RhaiRuntimeError(
+                    f"function not found: {op} ({_type_of(l)}, {_type_of(r)})")
             if op == "+":
                 if isinstance(l, str) or isinstance(r, str):
                     return (l + r
@@ -999,7 +1277,7 @@ class Interpreter:
             return ~e if isinstance(e, np.ndarray) else not e
         if op in ("<", "<=", ">", ">="):
             cl = _cmp_class(l)
-            if cl != _cmp_class(r) or cl not in ("num", "str"):
+            if cl != _cmp_class(r) or cl not in ("num", "str", "timestamp"):
                 # Rhai defines ordering only for numerics and strings;
                 # anything else is ErrorFunctionNotFound
                 raise RhaiRuntimeError(
@@ -1056,6 +1334,18 @@ class Interpreter:
         if len(args) < n:
             sig = ", ".join([_type_of(obj)] + [_type_of(a) for a in args])
             raise RhaiRuntimeError(f"function not found: {name} ({sig})")
+
+    def _arr_span(self, length, args):
+        """Array span from (start[, len]) ints or a (range) argument —
+        Rhai 1.25's std array methods accept both forms."""
+        if args and isinstance(args[0], RhaiRange):
+            lo = max(int(args[0].lo), 0)
+            hi = int(args[0].hi) + (1 if args[0].inclusive else 0)
+            hi = min(max(hi, lo), length)
+            lo = min(lo, length)
+            return lo, hi - lo
+        return self._std_range(
+            length, args[0], args[1] if len(args) > 1 else length)
 
     @staticmethod
     def _std_range(length, start, n):
@@ -1117,6 +1407,19 @@ class Interpreter:
                 if name == "len":
                     return len(obj)
                 raise RhaiRuntimeError(f"map has no property '{name}'")
+            if name == "bytes" and isinstance(obj, str):
+                return len(obj.encode("utf-8"))
+            if name == "is_empty" and isinstance(obj, (list, str)):
+                return len(obj) == 0
+            if name == "elapsed" and isinstance(obj, Timestamp):
+                import time
+
+                return time.monotonic() - obj.t
+            if (isinstance(obj, (int, float)) and not isinstance(obj, bool)
+                    and name in _NUM_PROPS):
+                # Rhai registers the numeric classifiers/parts as getters
+                # too: `x.floor`, `n.is_odd` are property-style calls
+                return self._method(obj, name, [])
             raise RhaiRuntimeError(f"unknown property '{name}'")
         if isinstance(obj, list):
             if name == "len":
@@ -1224,8 +1527,7 @@ class Interpreter:
                          else removed).append(v)
                     obj[:] = kept
                     return removed
-                start, n = self._std_range(
-                    len(obj), args[0], args[1] if len(args) > 1 else len(obj))
+                start, n = self._arr_span(len(obj), args)
                 removed = obj[:start] + obj[start + n:]
                 obj[:] = obj[start:start + n]
                 return removed
@@ -1239,14 +1541,18 @@ class Interpreter:
                          else kept).append(v)
                     obj[:] = kept
                     return removed
-                start, n = self._std_range(
-                    len(obj), args[0], args[1] if len(args) > 1 else len(obj))
+                start, n = self._arr_span(len(obj), args)
                 removed = obj[start:start + n]
                 del obj[start:start + n]
                 return removed
             if name == "splice":
-                start, n = self._std_range(len(obj), args[0], args[1])
-                repl = args[2] if len(args) > 2 else []
+                if isinstance(args[0], RhaiRange):
+                    start, n = self._arr_span(len(obj), args)
+                    repl = args[1]
+                else:
+                    self._need(args, 3, "splice", obj)
+                    start, n = self._std_range(len(obj), args[0], args[1])
+                    repl = args[2]
                 if not isinstance(repl, list):
                     raise RhaiRuntimeError("splice() replacement must be an array")
                 obj[start:start + n] = repl  # args were cloned on entry
@@ -1325,9 +1631,65 @@ class Interpreter:
                     del obj[: len(obj) - keep]
                 return UNIT
             if name == "extract":
-                start, n = self._std_range(
-                    len(obj), args[0], args[1] if len(args) > 1 else len(obj))
+                start, n = self._arr_span(len(obj), args)
                 return [_rhai_copy(x) for x in obj[start:start + n]]
+            if name == "reduce_rev":
+                fn = args[0]
+                acc = args[1] if len(args) > 1 else UNIT
+                want = self._cb_arity(fn)
+                for i in range(len(obj) - 1, -1, -1):
+                    self.tick()
+                    v = obj[i]
+                    acc = self._cb(fn, [acc, v, i] if want == 3 else [acc, v],
+                                   scopes)
+                return acc
+            if name == "find_map":
+                fn = args[0]
+                start = int(args[1]) if len(args) > 1 else 0
+                if start < 0:
+                    start = max(len(obj) + start, 0)
+                want = self._cb_arity(fn)
+                for i in range(start, len(obj)):
+                    self.tick()
+                    r = self._cb(fn, [obj[i], i] if want == 2 else [obj[i]],
+                                 scopes)
+                    if r is not UNIT:
+                        return r
+                return UNIT
+            if name == "dedup":
+                # remove CONSECUTIVE duplicates (Vec::dedup), comparing with
+                # Rhai == (or the supplied two-arg predicate)
+                fn = args[0] if args else None
+                out = []
+                for v in obj:
+                    self.tick()
+                    if out:
+                        if fn is not None:
+                            same = _truthy(self._cb(fn, [out[-1], v], scopes))
+                        else:
+                            e = _rhai_eq(out[-1], v)
+                            if isinstance(e, np.ndarray):
+                                raise _PredicationUnsupported()
+                            same = bool(e)
+                        if same:
+                            continue
+                    out.append(v)
+                obj[:] = out
+                return UNIT
+            if name == "split":
+                # split the array at an index: receiver keeps the head,
+                # the cut-off tail is returned
+                self._need(args, 1, "split", obj)
+                if isinstance(args[0], bool) or not isinstance(args[0], int):
+                    raise RhaiRuntimeError(
+                        f"function not found: split (array, {_type_of(args[0])})")
+                at = int(args[0])
+                if at < 0:
+                    at = max(len(obj) + at, 0)
+                at = min(at, len(obj))
+                tail = obj[at:]
+                del obj[at:]
+                return tail
             if name == "append":
                 if not isinstance(args[0], list):
                     raise RhaiRuntimeError("append() expects an array")
@@ -1360,6 +1722,15 @@ class Interpreter:
                     raise RhaiRuntimeError("mixin() expects a map")
                 obj.update(args[0])  # rhs wins, like the '+' merge
                 return UNIT
+            if name == "fill_with":
+                # like mixin but only fills in MISSING keys
+                if not isinstance(args[0], dict):
+                    raise RhaiRuntimeError("fill_with() expects a map")
+                for k, v in args[0].items():
+                    obj.setdefault(k, v)
+                return UNIT
+            if name == "to_json":
+                return _to_json(obj)
             if name == "clear":
                 obj.clear()
                 return UNIT
@@ -1384,12 +1755,28 @@ class Interpreter:
                 start = int(args[1]) if len(args) > 1 else 0
                 return obj.find(args[0], start)
             if name == "sub_string":
+                if isinstance(args[0], RhaiRange):
+                    lo, hi = _str_span(obj, args)
+                    return obj[lo:hi]
                 start = int(args[0])
                 if start < 0:
                     start = max(len(obj) + start, 0)
                 if len(args) > 1:
                     return obj[start : start + max(int(args[1]), 0)]
                 return obj[start:]
+            if name == "chars":
+                # iterator over chars; (start[, len]) restricts the span.
+                # Returned as an array of 1-char strings (this engine's
+                # char model), which the for loop iterates.
+                if args:
+                    lo, hi = _str_span(obj, args)
+                    return list(obj[lo:hi])
+                return list(obj)
+            if name == "to_chars":
+                return list(obj)
+            if name == "to_int" and len(obj) == 1:
+                # char -> unicode codepoint (chars are 1-char strings here)
+                return ord(obj)
             if name == "split":
                 if not args:
                     return obj.split()
@@ -1436,17 +1823,57 @@ class Interpreter:
                         f"Error parsing floating-point number '{obj}'")
             if name in _STRING_INPLACE:
                 # receiver was a temporary (not a variable): mutate the
-                # copy and discard, like Rhai
+                # copy and discard, like Rhai — but still arity-check
+                _string_inplace(obj, name, args)
                 return UNIT
+            if name in _STRING_INPLACE_RET:
+                # temporaries: the mutation is discarded, the value kept
+                return _string_inplace_ret(obj, name, args)[1]
         if isinstance(obj, float) or isinstance(obj, int):
             if name == "abs":
                 if isinstance(obj, int) and obj == _I64_MIN:
                     raise RhaiRuntimeError(f"integer overflow: abs({obj})")
                 return abs(obj)
             if name == "floor":
-                return math.floor(obj)
-            if name == "ceil":
-                return math.ceil(obj)
+                # f64::floor returns f64 (reference registers floor(f64)->f64
+                # at scripting.rs:1283; Rhai std's floor is float-typed too);
+                # INT receivers keep the permissive int pass-through
+                return float(math.floor(obj)) if isinstance(obj, float) else obj
+            if name in ("ceil", "ceiling"):
+                return float(math.ceil(obj)) if isinstance(obj, float) else obj
+            if name == "int":
+                # integral part, as float (f64::trunc)
+                return float(math.trunc(obj)) if isinstance(obj, float) else obj
+            if name == "fraction":
+                if isinstance(obj, float):
+                    return obj - float(math.trunc(obj))
+                return 0 if isinstance(obj, int) else obj
+            if name == "to_degrees":
+                return math.degrees(float(obj))
+            if name == "to_radians":
+                return math.radians(float(obj))
+            if name == "is_nan":
+                return isinstance(obj, float) and obj != obj
+            if name == "is_infinite":
+                return isinstance(obj, float) and math.isinf(obj)
+            if name == "is_finite":
+                return not isinstance(obj, float) or math.isfinite(obj)
+            if name == "is_zero":
+                return obj == 0
+            if name == "sign":
+                # sign as INT: -1/0/+1 (NaN compares false on both sides -> 0)
+                return -1 if obj < 0 else (1 if obj > 0 else 0)
+            if isinstance(obj, int) and not isinstance(obj, bool):
+                if name == "is_odd":
+                    return obj % 2 != 0
+                if name == "is_even":
+                    return obj % 2 == 0
+                if name in ("to_hex", "to_octal", "to_binary"):
+                    # Rust {:x}/{:o}/{:b} on i64 format the two's-complement
+                    # bit pattern for negatives
+                    v = obj & _I64_MASK if obj < 0 else obj
+                    spec = {"to_hex": "x", "to_octal": "o", "to_binary": "b"}
+                    return format(v, spec[name])
             if name == "round":
                 # f64::round, half away from zero — via the EXACT fraction
                 # (x - floor(x) is exact in f64); floor(x+0.5) rounds up
@@ -1479,4 +1906,30 @@ class Interpreter:
             return to_display(obj)
         if name == "type_of":
             return _type_of(obj)
+        if name == "to_debug":
+            return _debug_display(obj)
+        if isinstance(obj, Timestamp) and name == "elapsed":
+            import time
+
+            return time.monotonic() - obj.t
+        # Rhai treats method-call and function-call styles as one notation:
+        # `x.f(y)` falls back to the native function `f(x, y)` (host fns
+        # only — script fns bind `this` instead of the first parameter).
+        # ndarray receivers keep the strict path so the bulk vectorizer's
+        # bail-to-scalar semantics are unchanged.
+        if not isinstance(obj, np.ndarray):
+            fn = self.host_fns.get(name)
+            if fn is not None:
+                call_args = [obj] + list(args if args is not None else [])
+                try:
+                    return fn(*call_args)
+                except TypeError as e:
+                    import inspect
+
+                    try:
+                        inspect.signature(fn).bind(*call_args)
+                    except TypeError:
+                        pass  # wrong arity: report unknown-method below
+                    else:
+                        raise e
         raise RhaiRuntimeError(f"unknown method '{name}' on {type(obj).__name__}")

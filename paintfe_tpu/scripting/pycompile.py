@@ -528,6 +528,9 @@ class _Compiler:
             return f"_ix({ot}, {it})"
         if kind == "call":
             name = e[1]
+            if name == "is_def_var":
+                # needs a live scope walk only the tree-walker has
+                raise TranspileUnsupported("is_def_var")
             args = self.arglist(e[2])
             py = self.resolve(name)
             if py is not None:
@@ -626,6 +629,21 @@ class _Compiler:
             self.emit(f"{res} = _si({ot}, {name!r}, {args})")
             self.compile_assign_value(obj_e, res)
             self.emit(f"{out} = UNIT")
+            self.indent -= 1
+            self.emit("else:")
+            self.indent += 1
+            self.emit(f"{out} = _mc({ot}, {name!r}, {args})")
+            self.indent -= 1
+            return out
+        if name in I._STRING_INPLACE_RET and writable:
+            # pop(): mutates the receiver AND returns the removed chars
+            out = self.tmp()
+            self.emit(f"if isinstance({ot}, str):")
+            self.indent += 1
+            res = self.tmp()
+            self.emit(f"{res} = _sir({ot}, {name!r}, {args})")
+            self.compile_assign_value(obj_e, f"{res}[0]")
+            self.emit(f"{out} = {res}[1]")
             self.indent -= 1
             self.emit("else:")
             self.indent += 1
@@ -824,7 +842,7 @@ def _make_env(rt: _Runtime) -> dict:
         raise I.RhaiRuntimeError(f"variable '{name}' not found")
 
     def _forit(v):
-        if isinstance(v, I.RhaiRange):
+        if isinstance(v, (I.RhaiRange, I.StepRange)):
             return v
         if isinstance(v, list):
             # Rhai for-in yields cloned values over a snapshot (matches
@@ -881,6 +899,18 @@ def _make_env(rt: _Runtime) -> dict:
             return f(*args)
         hf = host.get(name)
         if hf is None:
+            r = I._std_free_call(interp, name, args)
+            if r is not I._NOMATCH:
+                return r
+            # unified call notation fallback, mirroring interp.call_function
+            # (is_def_var never reaches here: the compiler bails on it)
+            if args and not isinstance(args[0], I.np.ndarray):
+                try:
+                    return interp._method(args[0], name, list(args[1:]))
+                except I.RhaiRuntimeError as me:
+                    if not str(me).startswith(
+                            ("unknown method", "unknown property")):
+                        raise
             sig = ", ".join(I._type_of(a) for a in args)
             raise I.RhaiRuntimeError(f"function not found: {name} ({sig})")
         try:
@@ -949,6 +979,7 @@ def _make_env(rt: _Runtime) -> dict:
         "_UNB": _UNBOUND,
         "_mc": _mc,
         "_si": I._string_inplace,
+        "_sir": I._string_inplace_ret,
         "UNIT": I.UNIT,
         "RhaiRange": I.RhaiRange,
         "RhaiRuntimeError": I.RhaiRuntimeError,
@@ -1090,6 +1121,7 @@ def _closure_env(closure, interp) -> dict:
         "_cv": _cv,
         "_mc": _mc,
         "_si": I._string_inplace,
+        "_sir": I._string_inplace_ret,
         "_uerr": _uerr,
         "UNIT": I.UNIT,
         "RhaiRange": I.RhaiRange,
@@ -1129,7 +1161,7 @@ def _closure_env(closure, interp) -> dict:
         raise I.RhaiRuntimeError("property assignment needs a map")
 
     def _forit(v):
-        if isinstance(v, I.RhaiRange):
+        if isinstance(v, (I.RhaiRange, I.StepRange)):
             return v
         if isinstance(v, list):
             # Rhai for-in yields cloned values over a snapshot (matches

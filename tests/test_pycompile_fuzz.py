@@ -87,10 +87,78 @@ class Gen:
                   '"abc"', '"+9"', '"101"', '"9223372036854775808"',
                   '"3.5"', '"1e3"', '"inf"', '"NaN"', '"2.5e2"', '"-0"']
 
+    def std5_stmt(self):
+        """Round-5 std-package closure: dedup/split/reduce_rev, range(),
+        radix formatting, parity/sign, string pop/crop/pad/remove, and
+        the unified call notation — all closure-free so the compiled
+        tier must take the whole program."""
+        r = self.r.random()
+        v = f"sb_{self.pick(NAMES)}"
+        arr = ", ".join(self.int_lit() for _ in range(self.r.randint(1, 4)))
+        if r < 0.12:
+            return (f"let {v} = [{arr}, {arr}]; {v}.dedup(); "
+                    f"print_line(`${{{v}}}`);")
+        if r < 0.24:
+            at = self.r.randint(-3, 4)
+            return (f"let {v} = [{arr}]; let t_{v} = {v}.split({at}); "
+                    f"print_line(`${{{v}}} ${{t_{v}}}`);")
+        if r < 0.34 and self.fns2:
+            fn = self.pick(self.fns2)
+            init = "" if self.r.random() < 0.5 else f", {self.int_lit()}"
+            return (f"let {v} = [{arr}]; "
+                    f'print_line(`${{{v}.reduce_rev(Fn("{fn}"){init})}}`);')
+        if r < 0.46:
+            step = self.pick(["1", "2", "3", "-1", "-2"])
+            lo, hi = self.r.randint(-2, 3), self.r.randint(-2, 6)
+            return (f"let rs_{v} = 0; "
+                    f"for rv in range({lo}, {hi}, {step}) "
+                    f"{{ rs_{v} += rv; }} print_line(`${{rs_{v}}}`);")
+        if r < 0.58:
+            n = self.pick(["255", "-1", "0", "5", "1000", "-77"])
+            m = self.pick(["to_hex", "to_octal", "to_binary"])
+            return (f"print_line(`${{({n}).{m}()}} ${{({n}).is_odd}} "
+                    f"${{({n}).sign()}}`);")
+        if r < 0.72:
+            s = self.pick(['"abcdef"', '"xy"', '""', '"banana"'])
+            m = self.r.random()
+            if m < 0.3:
+                npop = "" if self.r.random() < 0.5 else f"({self.r.randint(0, 8)})"
+                return (f"let ss_{v} = {s}; "
+                        f"let pc_{v} = ss_{v}.pop{npop or '()'}; "
+                        f"print_line(`${{pc_{v}}}|${{ss_{v}}}`);")
+            if m < 0.6:
+                a, b = self.r.randint(-2, 4), self.r.randint(0, 4)
+                return (f"let ss_{v} = {s}; ss_{v}.crop({a}, {b}); "
+                        f"print_line(`[${{ss_{v}}}]`);")
+            if m < 0.8:
+                return (f"let ss_{v} = {s}; "
+                        f"ss_{v}.pad({self.r.randint(0, 7)}, \"*\"); "
+                        f"print_line(ss_{v});")
+            return (f"let ss_{v} = {s}; ss_{v}.remove(\"a\"); "
+                    f"print_line(`[${{ss_{v}}}]`);")
+        if r < 0.84:
+            # unified call notation: f(x, y) <-> x.f(y), both directions,
+            # including a mutating method called function-style
+            w = self.r.random()
+            if w < 0.35:
+                return (f"let {v} = [{arr}]; push({v}, {self.int_lit()}); "
+                        f"sort({v}); print_line(`${{{v}}}`);")
+            if w < 0.7:
+                return (f"print_line(`${{({self.int_lit()}).min("
+                        f"{self.int_lit()})}} ${{to_upper(\"a\" + \"{self.pick(NAMES)}\")}}`);")
+            s = self.pick(self.PARSE_POOL)
+            return f"print_line(`${{parse_int({s}, 16)}}`);"
+        m = self.pick(["floor", "ceiling", "round", "int", "fraction"])
+        f = self.pick(["1.75", "-2.25", "0.5", "3.0", "-0.75"])
+        return (f"print_line(`${{({f}).{m}}} ${{({f}).{m}()}} "
+                f"${{({f}).is_finite}}`);")
+
     def stdlib_stmt(self, d=0):
         """Std array package + parse conversions + two-binding for: every
         construct lands in BOTH engines (Fn pointers, never closures —
         the compiled tier must accept the whole program)."""
+        if self.r.random() < 0.3:
+            return self.std5_stmt()
         r = self.r.random()
         v = f"sa_{self.pick(NAMES)}"
         arr = ", ".join(self.int_lit() for _ in range(self.r.randint(1, 4)))

@@ -176,6 +176,96 @@ WORKING = [
     ('let m = #{ a: 1 }; m.clear(); print_line(`${m.is_empty()} '
      '${[].is_empty()} ${"".is_empty()} ${[1].is_empty()}`);',
      ["true true true false"]),
+    # -- round-5 std-package closure (VERDICT r4 item 3 follow-through) ----
+    # array package: reduce_rev / find_map / dedup / split / range args
+    ('let s = [1, 2, 3].reduce_rev(|acc, x| `${acc}${x}`, ""); '
+     'print_line(s);', ["321"]),
+    ('let v = [#{a: 1}, #{a: 2}].find_map(|m| if m.a > 1 { m.a } else { () }); '
+     'print_line(`${v}`);', ["2"]),
+    ('let a = [1, 1, 2, 2, 1]; a.dedup(); print_line(`${a}`);', ["[1, 2, 1]"]),
+    ('let a = [1, 2, 3, 9]; a.dedup(|x, y| y - x < 2); print_line(`${a}`);',
+     ["[1, 3, 9]"]),
+    ('let a = [1, 2, 3, 4]; let b = a.split(2); print_line(`${a} ${b}`);',
+     ["[1, 2] [3, 4]"]),
+    ('let a = [1, 2, 3, 4]; a.splice(1..3, [9]); print_line(`${a}`);',
+     ["[1, 9, 4]"]),
+    ('print_line(`${[1, 2, 3, 4].extract(1..3)} '
+     '${[1, 2, 3, 4].extract(1..=2)}`);', ["[2, 3] [2, 3]"]),
+    ('let a = [1, 2, 3, 4]; let d = a.drain(1..3); print_line(`${d} ${a}`);',
+     ["[2, 3] [1, 4]"]),
+    ('let a = [1, 2, 3, 4]; let r = a.retain(1..3); print_line(`${r} ${a}`);',
+     ["[1, 4] [2, 3]"]),
+    # string package: crop/pad/pop/clear/remove/chars/to_chars/bytes
+    ('let s = "hello"; s.crop(1, 3); let t = "hello"; t.crop(1..3); '
+     'print_line(`${s} ${t}`);', ["ell el"]),
+    ('let s = "ab"; s.pad(5, "*"); print_line(s);', ["ab***"]),
+    ('let s = "abc"; let c = s.pop(); print_line(`${c} ${s}`);', ["c ab"]),
+    ('let t = "abcdef"; let r = t.pop(2); print_line(`${r} ${t}`);',
+     ["ef abcd"]),
+    ('let s = "abc"; s.clear(); print_line(`${s.is_empty()}`);', ["true"]),
+    ('let s = "banana"; s.remove("a"); print_line(s);', ["bnn"]),
+    ('let s = ""; for c in "abc".chars() { s += c + "."; } print_line(s);',
+     ["a.b.c."]),
+    ('print_line(`${"abc".to_chars()}`);', ['["a", "b", "c"]']),
+    # bytes = UTF-8 length; len = chars (é is 2 bytes)
+    ('print_line(`${"héllo".bytes} ${"héllo".len()}`);', ["6 5"]),
+    ('print_line(`${"hello".sub_string(1..3)}`);', ["el"]),
+    ("print_line(`${'a'.to_int()}`);", ["97"]),  # char -> codepoint
+    # int package: radix formatting (two's complement for negatives, like
+    # Rust {:x}), parity/zero getters, sign
+    ('print_line(`${255.to_hex()} ${(-1).to_hex()} ${8.to_octal()} '
+     '${5.to_binary()}`);', ["ff ffffffffffffffff 10 101"]),
+    ('print_line(`${3.is_odd} ${4.is_even} ${0.is_zero} ${3.is_even}`);',
+     ["true true true false"]),
+    ('print_line(`${(-5).sign()} ${0.sign()} ${7.sign()}`);', ["-1 0 1"]),
+    # float package: part getters are property-style too and float-typed
+    # (f64::floor -> f64, reference scripting.rs:1283)
+    ('print_line(`${1.7.floor} ${1.2.ceiling} ${1.5.round} ${1.7.int} '
+     '${1.75.fraction}`);', ["1.0 2.0 2.0 1.0 0.75"]),
+    ('print_line(`${floor(1.5)} ${type_of(1.5.floor())}`);', ["1.0 f64"]),
+    ('let x = 0.0 / 0.0; print_line(`${x.is_nan} ${(1.0/0.0).is_infinite} '
+     '${1.0.is_finite}`);', ["true true true"]),
+    ('print_line(`${3.141592653589793.to_degrees()} '
+     '${180.0.to_radians() == PI()}`);', ["180.0 true"]),
+    # math package frees: exp/ln/log/hypot/atan(y,x)/E; f64 domain errors
+    # are NaN values (Rust), never host exceptions
+    ('print_line(`${exp(0.0)} ${ln(1.0)} ${log(100.0)} ${log(8.0, 2.0)}`);',
+     ["1.0 0.0 2.0 3.0"]),
+    ('print_line(`${hypot(3.0, 4.0)} ${atan(1.0, 1.0) == PI() / 4} '
+     '${E() > 2.7}`);', ["5.0 true true"]),
+    ('print_line(`${asin(2.0)} ${acosh(0.5)}`);', ["NaN NaN"]),
+    # map package: fill_with fills only missing keys; to_json is compact
+    # and key-sorted
+    ('let m = #{ a: 1 }; m.fill_with(#{ a: 9, b: 2 }); '
+     'print_line(`${m.a} ${m.b}`);', ["1 2"]),
+    ('print_line(#{ b: [1, 2], a: "x", c: (), d: 1.0, e: true }.to_json());',
+     ['{"a":"x","b":[1,2],"c":null,"d":1.0,"e":true}']),
+    # iterator package: range(from, to[, step]) incl. negative steps
+    ('let s = ""; for i in range(0, 10, 3) { s += `${i},`; } print_line(s);',
+     ["0,3,6,9,"]),
+    ('let s = ""; for i in range(3, 0, -1) { s += `${i},`; } print_line(s);',
+     ["3,2,1,"]),
+    ('let s = ""; for i in range(2, 4) { s += `${i},`; } print_line(s);',
+     ["2,3,"]),
+    ('let s = ""; for x in range(0.0, 1.0, 0.25) { s += `${x} `; } '
+     'print_line(s);', ["0.0 0.25 0.5 0.75 "]),
+    # time package: timestamps are opaque; differences/elapsed are f64 s
+    ('let t = timestamp(); print_line(`${type_of(t)} ${t.elapsed >= 0.0} '
+     '${type_of(timestamp() - t)}`);', ["timestamp true f64"]),
+    # language-core introspection
+    ('let x = 1; print_line(`${is_def_var("x")} ${is_def_var("y")}`);',
+     ["true false"]),
+    ('fn foo(a) {} print_line(`${is_def_fn("foo", 1)} ${is_def_fn("foo", 0)}`);',
+     ["true false"]),
+    ('print_line(`${to_debug("a")} ${to_debug(1.0)} ${to_debug([1, "b"])}`);',
+     ['"a" 1.0 [1, "b"]']),
+    # unified call notation: x.f(y) <-> f(x, y) for native functions
+    ('print_line(`${2.0.pow(3.0)} ${7.min(3)} ${(4.0).sqrt()}`);',
+     ["8.0 3 2.0"]),
+    ('print_line(`${to_upper("ab")} ${len("abc")} ${parse_int("ff", 16)} '
+     '${parse_float("2.5")}`);', ["AB 3 255 2.5"]),
+    ('let a = [3, 1]; push(a, 2); sort(a); print_line(`${a}`);',
+     ["[1, 2, 3]"]),
 ]
 
 
@@ -226,6 +316,10 @@ TARGETED_ERRORS = [
     ("let m = (0 - 4611686018427387904) * 2; let y = m / -1;",
      "integer overflow"),
     ("let x = (1.0e30).to_int();", "integer overflow"),
+    # round-5 std closure: targeted errors for the new surface
+    ("for i in range(0, 5, 0) {}", "step cannot be zero"),
+    ('let a = [1]; a.split("x");', "function not found: split (array, string)"),
+    ('let a = [1, 2.0]; a.sort();', "must all be the same type"),
 ]
 
 
