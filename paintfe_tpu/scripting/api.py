@@ -54,6 +54,9 @@ _PURE_HOST_FNS = frozenset({
     "abs", "min", "max", "abs_i", "min_i", "max_i", "min_f", "max_f",
     "floor", "ceil", "round", "sqrt", "pow", "sin", "cos", "tan", "atan2",
     "PI", "rgb_to_hsl", "hsl_to_rgb",
+    # std math package (interp._STD_HOST_FNS): pure, array-capable
+    "exp", "ln", "log", "hypot", "atan", "sinh", "cosh", "tanh",
+    "asin", "acos", "asinh", "acosh", "atanh", "E",
 })
 
 # Std array methods that invoke a function-valued argument (closure or Fn
@@ -62,17 +65,19 @@ _PURE_HOST_FNS = frozenset({
 _HIGHER_ORDER_METHODS = frozenset({
     "map", "filter", "reduce", "for_each", "sort", "retain", "drain",
     "index_of", "find", "some", "all", "none",
+    "reduce_rev", "find_map", "dedup",
 })
 
 _MUTATING_METHODS = frozenset({
     "push", "pop", "clear", "remove",
     # std array package methods that mutate the receiver
     "sort", "reverse", "retain", "drain", "splice", "insert", "shift",
-    "chop", "append", "pad",
+    "chop", "append", "pad", "dedup", "split",
     # std map package mutators
-    "set", "mixin",
-    # in-place string methods (interp._STRING_INPLACE)
+    "set", "mixin", "fill_with",
+    # in-place string methods (interp._STRING_INPLACE/_RET)
     "trim", "make_upper", "make_lower", "replace", "truncate",
+    "crop",
 })
 
 

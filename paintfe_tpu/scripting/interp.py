@@ -998,10 +998,39 @@ class Interpreter:
             return FnPtr(args[0])
         if name == "type_of" and len(args) == 1 and "type_of" not in self.host_fns:
             return _type_of(args[0])
-        if name == "eval":
+        if name == "eval" and not deref_vars:
+            # via a function pointer there is no lexical scope to inject
+            # into (and the compiled tier compiles scopes away entirely)
             raise RhaiRuntimeError(
-                "unsupported Rhai feature 'eval': runtime script evaluation "
-                "is not available in PaintFE scripts")
+                "eval is not available through function pointers")
+        if name == "eval":
+            # Rhai's infamous eval is ENABLED in the reference (Engine::new
+            # at scripting.rs:284 never disable_symbol's it): the snippet
+            # runs in the CURRENT scope — new `let`s persist into the
+            # innermost block scope — and the last statement's value is
+            # returned.  Function definitions are rejected (Rhai forbids fn
+            # defs inside eval); parse errors are catchable runtime errors.
+            if len(args) != 1 or not isinstance(args[0], str):
+                raise RhaiRuntimeError("eval expects one string argument")
+            from paintfe_tpu.scripting.rhai_ast import (RhaiSyntaxError,
+                                                        parse as _parse)
+
+            self.depth += 1
+            if self.depth > MAX_CALL_DEPTH:
+                self.depth -= 1
+                raise RhaiSystemError("maximum call depth exceeded")
+            try:
+                try:
+                    ast = _parse(args[0])
+                except RhaiSyntaxError as ex:
+                    raise RhaiRuntimeError(f"eval: syntax error: {ex}")
+                for st in ast[1]:
+                    if st[0] == "fn":
+                        raise RhaiRuntimeError(
+                            "cannot define functions inside eval")
+                return self.exec_block(ast, scopes)
+            finally:
+                self.depth -= 1
         if name in self.user_fns:
             params, body = self.user_fns[name]
             if len(params) != len(args):

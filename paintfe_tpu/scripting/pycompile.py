@@ -528,9 +528,9 @@ class _Compiler:
             return f"_ix({ot}, {it})"
         if kind == "call":
             name = e[1]
-            if name == "is_def_var":
-                # needs a live scope walk only the tree-walker has
-                raise TranspileUnsupported("is_def_var")
+            if name in ("is_def_var", "eval"):
+                # these need a live scope only the tree-walker has
+                raise TranspileUnsupported(name)
             args = self.arglist(e[2])
             py = self.resolve(name)
             if py is not None:
@@ -888,9 +888,10 @@ def _make_env(rt: _Runtime) -> dict:
         if name == "type_of" and len(args) == 1 and "type_of" not in host:
             return I._type_of(args[0])
         if name == "eval":
+            # only reachable via Fn("eval"): direct eval calls bail to the
+            # tree-walker at compile time (compile_call)
             raise I.RhaiRuntimeError(
-                "unsupported Rhai feature 'eval': runtime script evaluation "
-                "is not available in PaintFE scripts")
+                "eval is not available through function pointers")
         f = fns.get(name)
         if f is not None:
             if f.__code__.co_argcount != len(args):

@@ -6,9 +6,10 @@ language subset its effect scripts use: let/const, fn, closures, if/else
 with `${}` interpolation, throw/try-catch, bitwise + shift operators with
 Rust precedence, function pointers (Fn/curry), and method-call sugar.
 Constructs Rhai supports but this engine deliberately omits (modules,
-eval, `this`) raise targeted "unsupported Rhai feature" diagnostics with
+`this`) raise targeted "unsupported Rhai feature" diagnostics with
 line/column, per the reference's error-message contract
-(scripting.rs:88-216).
+(scripting.rs:88-216).  `eval` IS supported (current-scope execution,
+tree-walker tier; see interp.call_function).
 """
 
 from __future__ import annotations

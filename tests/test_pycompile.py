@@ -279,9 +279,10 @@ def test_tier_attribution_corpus(monkeypatch):
             compiled += 1
         else:
             walked += 1
-            # is_def_var needs a live scope walk: the compiler bails on it
-            # by design (pycompile.compile_call), like closures
-            assert _has_closure(src) or "is_def_var" in src, (
+            # is_def_var/eval need a live scope: the compiler bails on
+            # them by design (pycompile.compile_call), like closures
+            assert (_has_closure(src) or "is_def_var" in src
+                    or "eval" in src), (
                 f"closure-free script fell back to the tree-walker:\n{src}")
     assert compiled >= 100  # the corpus is overwhelmingly compiled-tier
     for src in CLOSURE_CASES:

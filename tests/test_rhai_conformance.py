@@ -266,6 +266,15 @@ WORKING = [
      '${parse_float("2.5")}`);', ["AB 3 255 2.5"]),
     ('let a = [3, 1]; push(a, 2); sort(a); print_line(`${a}`);',
      ["[1, 2, 3]"]),
+    # eval: ENABLED in the reference (Engine::new, scripting.rs:284 —
+    # never disable_symbol'd).  Runs in the CURRENT scope: lets persist,
+    # assignments hit enclosing variables, last value is returned.
+    ('print_line(`${eval("40 + 2")}`);', ["42"]),
+    ('eval("let ev = 41;"); ev += 1; print_line(`${ev}`);', ["42"]),
+    ('let x = 1; { eval("x = 5; let y = 2;"); print_line(`${x + y}`); } '
+     'print_line(`${x}`);', ["7", "5"]),
+    ('try { eval("throw 9;"); } catch (e) { print_line(`${e}`); }', ["9"]),
+    ('try { eval("let = ;"); } catch { print_line("synerr"); }', ["synerr"]),
 ]
 
 
@@ -285,7 +294,10 @@ TARGETED_ERRORS = [
     ("private fn f() {}", "unsupported Rhai feature 'private'"),
     ("global::x", "unsupported Rhai feature 'global'"),
     ("fn f() { this + 1 }", "unsupported Rhai feature 'this'"),
-    ('eval("1 + 1");', "unsupported Rhai feature 'eval'"),
+    ('eval("fn f() { 1 }");', "cannot define functions inside eval"),
+    ('eval("let x = ;");', "syntax error"),
+    ('let f = Fn("eval"); f.call("1");',
+     "eval is not available through function pointers"),
     ("let match = 3;", "reserved keyword"),
     ("let async = 1;", "reserved keyword"),
     ("try { throw 1; }", "expected 'catch'"),
