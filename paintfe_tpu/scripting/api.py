@@ -220,9 +220,11 @@ def closure_is_pure(cb: Closure, user_fns=frozenset()) -> bool:
             scan_block(e, loc)
         elif kind == "switch":
             scan_expr(e[1], loc)
-            for pats, body in e[2]:
-                for p in pats:
+            for pats, guard, body in e[2]:
+                for p in (pats or ()):
                     scan_expr(p, loc)
+                if guard is not None:
+                    scan_expr(guard, loc)
                 (scan_block if body[0] == "block" else scan_expr)(body, loc)
             if e[3] is not None:
                 (scan_block if e[3][0] == "block" else scan_expr)(e[3], loc)

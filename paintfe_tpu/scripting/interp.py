@@ -470,6 +470,26 @@ _STD_HOST_FNS = {
 
 _NOMATCH = object()
 
+# Scope-dict key prefix marking a binding as `const` (NUL can never start
+# a script identifier, so markers are invisible to variable lookup).
+_CONST_MARK = "\x00const:"
+
+
+def _string_index_set(s, idx, op, value, binop):
+    """`s[i] = ch` on a string: returns the rebuilt string (strings are
+    immutable host-side; callers write it back to the receiver)."""
+    n = len(s)
+    i = int(idx)
+    j = i + n if i < 0 else i
+    if j < 0 or j >= n:
+        raise RhaiRuntimeError(f"index error: string index {idx} out of range")
+    if op != "=":
+        value = binop(op[:-1], s[j], value)
+    if not isinstance(value, str) or len(value) != 1:
+        raise RhaiRuntimeError(
+            f"string index assignment needs a char, got {_type_of(value)}")
+    return s[:j] + value + s[j + 1:]
+
 
 def _std_free_call(interp, name, args):
     """Rhai std free functions that need interpreter state or construct
@@ -661,6 +681,14 @@ class Interpreter:
         kind = stmt[0]
         if kind in ("let", "const"):
             scopes[-1][stmt[1]] = _rhai_copy(self.eval(stmt[2], scopes))
+            # const-ness attaches to the BINDING (a later `let` of the same
+            # name shadows it away); the marker key can never collide with
+            # a script identifier
+            ck = _CONST_MARK + stmt[1]
+            if kind == "const":
+                scopes[-1][ck] = True
+            else:
+                scopes[-1].pop(ck, None)
             return UNIT
         if kind == "fn":
             self.user_fns[stmt[1]] = (stmt[2], stmt[3])
@@ -774,6 +802,10 @@ class Interpreter:
             name = target[1]
             for scope in reversed(scopes):
                 if name in scope:
+                    if (_CONST_MARK + name) in scope:
+                        # Rhai's ErrorAssignmentToConstant
+                        raise RhaiRuntimeError(
+                            f"cannot assign to constant '{name}'")
                     if op != "=":
                         value = self._binop(op[:-1], scope[name], value)
                     scope[name] = value
@@ -787,6 +819,17 @@ class Interpreter:
                     value = self._binop(op[:-1], obj.get(idx, UNIT), value)
                 obj[idx] = value
                 return
+            if isinstance(obj, str):
+                # Rhai strings support char set-by-index; Python strings
+                # are immutable, so rebuild and write back to the base
+                # (temporaries are not assignable, same error as below)
+                if (target[1][0] in ("var", "index")
+                        or (target[1][0] == "method"
+                            and target[1][3] is None)):
+                    ns = _string_index_set(obj, idx, op, value, self._binop)
+                    return self._assign(target[1], "=", ns, scopes)
+                raise RhaiRuntimeError(
+                    "indexed assignment needs an array or map")
             if not isinstance(obj, list):
                 raise RhaiRuntimeError("indexed assignment needs an array or map")
             if op != "=":
@@ -830,27 +873,40 @@ class Interpreter:
         if kind == "switch":
             _, subj_e, arms, default = e
             subject = self.eval(subj_e, scopes)
-            for pats, body in arms:
-                for pat in pats:
-                    m = self.eval(pat, scopes)
-                    if isinstance(m, RhaiRange):
-                        hi = m.hi + 1 if m.inclusive else m.hi
-                        hit = (
-                            isinstance(subject, int)
-                            and not isinstance(subject, bool)
-                            and m.lo <= subject < hi
-                        )
-                    else:
-                        # Rhai case match = same-type equality (1 never
-                        # matches true); array subjects (vectorized
-                        # closures) bail to the scalar loop
-                        hit = _rhai_eq(m, subject)
-                        if isinstance(hit, np.ndarray):
-                            raise _PredicationUnsupported()
-                    if hit:
-                        if body[0] == "block":
-                            return self.exec_block(body, scopes + [{}])
-                        return self.eval(body, scopes)
+            for pats, guard, body in arms:
+                if pats is None:  # guarded `_` arm: always pattern-matches
+                    hit = True
+                else:
+                    hit = False
+                    for pat in pats:
+                        m = self.eval(pat, scopes)
+                        if isinstance(m, RhaiRange):
+                            hi = m.hi + 1 if m.inclusive else m.hi
+                            hit = (
+                                isinstance(subject, int)
+                                and not isinstance(subject, bool)
+                                and m.lo <= subject < hi
+                            )
+                        else:
+                            # Rhai case match = same-type equality (1 never
+                            # matches true); array subjects (vectorized
+                            # closures) bail to the scalar loop
+                            hit = _rhai_eq(m, subject)
+                            if isinstance(hit, np.ndarray):
+                                raise _PredicationUnsupported()
+                        if hit:
+                            break
+                if hit and guard is not None:
+                    # case condition: evaluated only when the pattern
+                    # matched; false falls through to the NEXT arm
+                    g = self.eval(guard, scopes)
+                    if isinstance(g, np.ndarray):
+                        raise _PredicationUnsupported()
+                    hit = _truthy(g)
+                if hit:
+                    if body[0] == "block":
+                        return self.exec_block(body, scopes + [{}])
+                    return self.eval(body, scopes)
             if default is not None:
                 if default[0] == "block":
                     return self.exec_block(default, scopes + [{}])

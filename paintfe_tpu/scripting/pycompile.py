@@ -64,6 +64,7 @@ class _Compiler:
         self.fn_assigned: Optional[set] = None  # outer pynames written in fn
         self.dowhile_direct = 0    # compiling a dowhile's direct body?
         self.closure_mode = closure_mode
+        self.const_py: set = set()  # pynames currently bound by `const`
 
     @staticmethod
     def copy_free(e) -> bool:
@@ -136,6 +137,18 @@ class _Compiler:
         for s in ast[1]:
             if s[0] in ("let", "const") and s[1] not in self.toplevel:
                 self.toplevel[s[1]] = self.mangle(s[1])
+        # record top-level consts BEFORE fn bodies compile (hoisted fns
+        # assigning a const global must raise like the tree-walker); a
+        # later top-level `let` of the same name un-consts it in source
+        # order via compile_stmt.  A name that is BOTH const and re-let at
+        # top level is time-dependent (const-ness at the fn CALL site):
+        # statically undecidable here, so fn-body writes to it bail.
+        const_names = {s[1] for s in ast[1] if s[0] == "const"}
+        let_names = {s[1] for s in ast[1] if s[0] == "let"}
+        self.const_ambiguous = {self.toplevel[n]
+                                for n in const_names & let_names}
+        for n in const_names - let_names:
+            self.const_py.add(self.toplevel[n])
         # hoist top-level fn declarations (interp.run does the same)
         fn_stmts = [s for s in ast[1] if s[0] == "fn"]
         for s in fn_stmts:
@@ -165,6 +178,12 @@ class _Compiler:
         if kind in ("let", "const"):
             val = self.expr(s[2])
             py = self.declare(s[1])
+            # const-ness attaches to the binding; a re-let (same pyname at
+            # top level) un-consts it, in source order
+            if kind == "const":
+                self.const_py.add(py)
+            else:
+                self.const_py.discard(py)
             if self.copy_free(s[2]):
                 self.emit(f"{py} = {val}")
             else:
@@ -393,6 +412,14 @@ class _Compiler:
                 else:
                     self.emit(f"_nf({target[1]!r})")
                 return
+            if self.fn_depth and py in getattr(self, "const_ambiguous", ()):
+                # const-ness of this global depends on WHEN the fn is
+                # called (const + re-let at top level): only the
+                # tree-walker tracks that
+                raise TranspileUnsupported("assignment to sometimes-const")
+            if py in self.const_py:
+                self.emit(f"_cerr({target[1]!r})")
+                return
             self.note_assign(py)
             if op == "=":
                 if py in self.toplevel.values():
@@ -414,7 +441,26 @@ class _Compiler:
             ot = self.tmp()
             self.emit(f"{ot} = {obj}")
             idx = self.expr(target[2])
-            self.emit(f"_ai({ot}, {idx}, {op!r}, {val})")
+            it = self.tmp()
+            self.emit(f"{it} = {idx}")
+            writable = (target[1][0] in ("var", "index")
+                        or (target[1][0] == "method"
+                            and target[1][3] is None))
+            if writable:
+                # strings support char set-by-index (Rhai); immutable
+                # host-side, so rebuild and write back to the base
+                self.emit(f"if isinstance({ot}, str):")
+                self.indent += 1
+                res = self.tmp()
+                self.emit(f"{res} = _ssi({ot}, {it}, {op!r}, {val})")
+                self.compile_assign_value(target[1], res)
+                self.indent -= 1
+                self.emit("else:")
+                self.indent += 1
+                self.emit(f"_ai({ot}, {it}, {op!r}, {val})")
+                self.indent -= 1
+            else:
+                self.emit(f"_ai({ot}, {it}, {op!r}, {val})")
             return
         if target[0] == "method" and target[3] is None:
             obj = self.expr(target[1])
@@ -577,17 +623,28 @@ class _Compiler:
         self.emit(f"{out} = UNIT")
         done = self.tmp()
         self.emit(f"{done} = False")
-        for pats, body in arms:
+        for pats, guard, body in arms:
             # patterns are evaluated lazily in order until one matches
             self.emit(f"if not {done}:")
             self.indent += 1
             hit = self.tmp()
-            self.emit(f"{hit} = False")
-            for pat in pats:
-                self.emit(f"if not {hit}:")
+            if pats is None:  # guarded `_` arm: always pattern-matches
+                self.emit(f"{hit} = True")
+            else:
+                self.emit(f"{hit} = False")
+                for pat in pats:
+                    self.emit(f"if not {hit}:")
+                    self.indent += 1
+                    pv = self.expr(pat)
+                    self.emit(f"{hit} = _swm({st}, {pv})")
+                    self.indent -= 1
+            if guard is not None:
+                # case condition: evaluated only when the pattern matched;
+                # false falls through to the NEXT arm (mirrors the interp)
+                self.emit(f"if {hit}:")
                 self.indent += 1
-                pv = self.expr(pat)
-                self.emit(f"{hit} = _swm({st}, {pv})")
+                gv = self.expr(guard)
+                self.emit(f"{hit} = _T({gv})")
                 self.indent -= 1
             self.emit(f"if {hit}:")
             self.indent += 1
@@ -711,6 +768,11 @@ def _swm(subject, m):
                 and not isinstance(subject, bool)
                 and m.lo <= subject < hi)
     return I._rhai_eq(m, subject)
+
+
+def _cerr(name):
+    """Assignment to a const binding (Rhai ErrorAssignmentToConstant)."""
+    raise I.RhaiRuntimeError(f"cannot assign to constant '{name}'")
 
 
 def _uerr(ex):
@@ -981,6 +1043,8 @@ def _make_env(rt: _Runtime) -> dict:
         "_mc": _mc,
         "_si": I._string_inplace,
         "_sir": I._string_inplace_ret,
+        "_ssi": (lambda s, i, op, v: I._string_index_set(s, i, op, v, B)),
+        "_cerr": _cerr,
         "UNIT": I.UNIT,
         "RhaiRange": I.RhaiRange,
         "RhaiRuntimeError": I.RhaiRuntimeError,
@@ -1084,6 +1148,9 @@ def _closure_env(closure, interp) -> dict:
     def _dynset(name, op, value):
         for scope in reversed(chain):
             if name in scope:
+                if (I._CONST_MARK + name) in scope:
+                    raise I.RhaiRuntimeError(
+                        f"cannot assign to constant '{name}'")
                 if op != "=":
                     value = B(op[:-1], scope[name], value)
                 scope[name] = value
@@ -1123,6 +1190,8 @@ def _closure_env(closure, interp) -> dict:
         "_mc": _mc,
         "_si": I._string_inplace,
         "_sir": I._string_inplace_ret,
+        "_ssi": (lambda s, i, op, v: I._string_index_set(s, i, op, v, B)),
+        "_cerr": _cerr,
         "_uerr": _uerr,
         "UNIT": I.UNIT,
         "RhaiRange": I.RhaiRange,

@@ -641,9 +641,20 @@ class Parser:
             while not self.at_punct("}"):
                 if self.peek().kind == "ident" and self.peek().value == "_":
                     self.next()
-                    self.expect("punct", "=>")
-                    body = self.parse_block() if self.at_punct("{") else self.parse_expr()
-                    default = body
+                    if self.at_kw("if"):
+                        # guarded default: an always-matching arm whose
+                        # guard decides (later arms still get a chance)
+                        self.next()
+                        guard = self.parse_expr()
+                        self.expect("punct", "=>")
+                        body = (self.parse_block() if self.at_punct("{")
+                                else self.parse_expr())
+                        arms.append((None, guard, body))
+                    else:
+                        self.expect("punct", "=>")
+                        body = (self.parse_block() if self.at_punct("{")
+                                else self.parse_expr())
+                        default = body
                 else:
                     # patterns parse BELOW the bitor level so `1 | 2 =>`
                     # stays two alternatives, not a bitwise-or expression
@@ -651,9 +662,15 @@ class Parser:
                     while self.at_punct("|"):
                         self.next()
                         pats.append(self.parse_switch_pattern())
+                    guard = None
+                    if self.at_kw("if"):
+                        # Rhai case condition: `pattern if guard =>`
+                        self.next()
+                        guard = self.parse_expr()
                     self.expect("punct", "=>")
-                    body = self.parse_block() if self.at_punct("{") else self.parse_expr()
-                    arms.append((pats, body))
+                    body = (self.parse_block() if self.at_punct("{")
+                            else self.parse_expr())
+                    arms.append((pats, guard, body))
                 if self.at_punct(","):
                     self.next()
             self.expect("punct", "}")

@@ -92,8 +92,30 @@ class Gen:
         radix formatting, parity/sign, string pop/crop/pad/remove, and
         the unified call notation — all closure-free so the compiled
         tier must take the whole program."""
-        r = self.r.random()
         v = f"sb_{self.pick(NAMES)}"
+        rr = self.r.random()
+        if rr < 0.08:
+            # string char set-by-index (negative wraps; OOB is catchable)
+            s = self.pick(['"abcdef"', '"xy"', '"banana"'])
+            i = self.r.randint(-7, 7)
+            return (f"let si_{v} = {s}; "
+                    f"try {{ si_{v}[{i}] = 'Q'; }} "
+                    f"catch (e) {{ print_line(`e${{e}}`); }} "
+                    f"print_line(si_{v});")
+        if rr < 0.16:
+            # switch case conditions incl. guarded-default fall-through
+            x = self.int_lit()
+            return (f"let sw_{v} = {x}; print_line(`${{switch sw_{v} {{ "
+                    f'0..=2 if sw_{v} > 1 => "a", 0..=2 => "b", '
+                    f'_ if sw_{v} > 100 => "c", _ => "d" }}}}`);')
+        if rr < 0.24:
+            # const bindings: assignment errors are catchable; a later
+            # let un-consts the name
+            return (f"const K_{v} = {self.int_lit()}; "
+                    f"try {{ K_{v} += 1; }} "
+                    f"catch (e) {{ print_line(`c${{e}}`); }} "
+                    f"let K_{v} = 7; K_{v} += 1; print_line(`${{K_{v}}}`);")
+        r = self.r.random()
         arr = ", ".join(self.int_lit() for _ in range(self.r.randint(1, 4)))
         if r < 0.12:
             return (f"let {v} = [{arr}, {arr}]; {v}.dedup(); "

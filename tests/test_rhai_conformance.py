@@ -275,6 +275,24 @@ WORKING = [
      'print_line(`${x}`);', ["7", "5"]),
     ('try { eval("throw 9;"); } catch (e) { print_line(`${e}`); }', ["9"]),
     ('try { eval("let = ;"); } catch { print_line("synerr"); }', ["synerr"]),
+    # const-ness attaches to the binding; a later `let` shadows it away
+    ('const C = 1; let C = 2; C = 3; print_line(`${C}`);', ["3"]),
+    ('const C = 1; try { C = 2; } catch (e) { print_line(e); } '
+     'print_line(`${C}`);', ["cannot assign to constant 'C'", "1"]),
+    # strings support char set-by-index (negative counts from the end),
+    # including through container chains
+    ('let s = "abc"; s[1] = \'X\'; s[-1] = \'Z\'; print_line(s);', ["aXZ"]),
+    ('let m = #{ k: "abc" }; m.k[0] = \'Q\'; print_line(m.k);', ["Qbc"]),
+    # switch case conditions: guard runs only on a pattern match; a false
+    # guard falls through to the NEXT arm (including a guarded `_`)
+    ('let x = 5; print_line(switch x { 1 | 2 => "low", '
+     '5 if x > 4 => "big5", _ => "other" });', ["big5"]),
+    ('let x = 5; print_line(switch x { 5 if x > 9 => "no", '
+     '5 => "plain5", _ => "other" });', ["plain5"]),
+    ('let x = 5; print_line(switch x { _ if x > 4 => "gdef", '
+     '_ => "def" });', ["gdef"]),
+    ('let x = 1; print_line(switch x { _ if x > 4 => "gdef", '
+     '_ => "def" });', ["def"]),
 ]
 
 
