@@ -39,7 +39,11 @@ class _Throw(Exception):
 
 
 class _Break(Exception):
-    pass
+    """`break` / `break value` — the value becomes the result of the
+    enclosing loop expression (None here means unit)."""
+
+    def __init__(self, value=None):
+        self.value = value
 
 
 class _Continue(Exception):
@@ -705,8 +709,8 @@ class Interpreter:
                 self.tick()
                 try:
                     self.exec_block(stmt[2], scopes + [{}])
-                except _Break:
-                    break
+                except _Break as b:
+                    return UNIT if b.value is None else b.value
                 except _Continue:
                     continue
             return UNIT
@@ -715,19 +719,18 @@ class Interpreter:
                 self.tick()
                 try:
                     self.exec_block(stmt[1], scopes + [{}])
-                except _Break:
-                    break
+                except _Break as b:
+                    return UNIT if b.value is None else b.value
                 except _Continue:
                     continue
-            return UNIT
         if kind == "dowhile":
             _, cond, body, is_until = stmt
             while True:
                 self.tick()
                 try:
                     self.exec_block(body, scopes + [{}])
-                except _Break:
-                    break
+                except _Break as b:
+                    return UNIT if b.value is None else b.value
                 except _Continue:
                     pass
                 done = _truthy(self.eval(cond, scopes))
@@ -759,8 +762,8 @@ class Interpreter:
                     try:
                         self.exec_block(stmt[3],
                                         scopes + [{vname: v, iname: idx}])
-                    except _Break:
-                        break
+                    except _Break as b:
+                        return UNIT if b.value is None else b.value
                     except _Continue:
                         continue
                 return UNIT
@@ -768,13 +771,14 @@ class Interpreter:
                 self.tick()
                 try:
                     self.exec_block(stmt[3], scopes + [{var: v}])
-                except _Break:
-                    break
+                except _Break as b:
+                    return UNIT if b.value is None else b.value
                 except _Continue:
                     continue
             return UNIT
         if kind == "break":
-            raise _Break()
+            raise _Break(None if len(stmt) < 2 or stmt[1] is None
+                         else self.eval(stmt[1], scopes))
         if kind == "continue":
             raise _Continue()
         if kind == "return":
@@ -972,6 +976,9 @@ class Interpreter:
             return UNIT
         if kind == "block":
             return self.exec_block(e, scopes + [{}])
+        if kind == "stmtexpr":
+            # loop expression: value = break value (or () on normal exit)
+            return self.exec_stmt(e[1], scopes)
         if kind == "closure":
             return Closure(e[1], e[2], scopes)
         if kind == "call":

@@ -52,6 +52,27 @@ class TranspileUnsupported(Exception):
 # ---------------------------------------------------------------------------
 
 
+_LOOP_KINDS = ("while", "loop", "dowhile", "for")
+
+
+def _loop_carries_value(stmt) -> bool:
+    """True when a loop statement contains a `break value` that binds to
+    THIS loop (not to a nested one, closure, or fn)."""
+
+    def walk(n):
+        if not isinstance(n, (tuple, list)):
+            return False
+        if isinstance(n, tuple) and n:
+            if n[0] == "break":
+                return len(n) > 1 and n[1] is not None
+            if n[0] in _LOOP_KINDS or n[0] in ("closure", "fn", "stmtexpr"):
+                return False  # inner breaks bind to the inner construct
+        return any(walk(x) for x in n)
+
+    body_idx = {"while": 2, "loop": 1, "dowhile": 2, "for": 3}[stmt[0]]
+    return walk(stmt[body_idx])
+
+
 class _Compiler:
     def __init__(self, closure_mode: bool = False):
         self.lines: List[str] = []
@@ -263,6 +284,12 @@ class _Compiler:
             self.scopes.pop()
             return
         if kind == "break":
+            if len(s) > 1 and s[1] is not None:
+                # break VALUE: in statement position the loop's value is
+                # discarded, but the expression's side effects must run
+                # (value-position loops bail to the tree-walker entirely)
+                v = self.expr(s[1])
+                self.emit(f"_void = {v}")
             self.emit("raise _Break()" if self.dowhile_direct else "break")
             return
         if kind == "continue":
@@ -344,6 +371,13 @@ class _Compiler:
                 v = self.expr(st[1])
                 self.emit(f"{out_py} = {v}")
             else:
+                if (i == len(stmts) - 1
+                        and st[0] in ("while", "loop", "dowhile", "for")
+                        and _loop_carries_value(st)):
+                    # a trailing loop whose break CARRIES a value makes it
+                    # the block's value — only the tree-walker threads
+                    # that (value-less trailing loops yield UNIT in both)
+                    raise TranspileUnsupported("loop value")
                 self.compile_stmt(st)
         self.scopes.pop()
 

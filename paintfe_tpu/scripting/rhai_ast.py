@@ -377,9 +377,16 @@ class Parser:
                 return ("for", var, iterable, body)
             if t.value == "break":
                 self.next()
+                if (self.at_punct(";") or self.at_punct("}")
+                        or self.peek().kind == "eof"):
+                    expr = None
+                else:
+                    # `break value` makes the value the enclosing loop
+                    # expression's result (Rhai loop expressions)
+                    expr = self.parse_expr()
                 if self.at_punct(";"):
                     self.next()
-                return ("break",)
+                return ("break", expr)
             if t.value == "continue":
                 self.next()
                 if self.at_punct(";"):
@@ -610,6 +617,10 @@ class Parser:
 
     def parse_primary(self):
         t = self.peek()
+        if t.kind == "kw" and t.value in ("loop", "while", "do", "for"):
+            # Rhai loop EXPRESSIONS: `let x = loop { ...; break v; };`
+            # evaluates to the break value (or () on normal exit)
+            return ("stmtexpr", self.parse_stmt())
         if t.kind == "int":
             self.next()
             return ("int", t.value)

@@ -273,17 +273,29 @@ def test_tier_attribution_corpus(monkeypatch):
     only surface as skipped parametrizations), and only closure scripts
     may tree-walk."""
     monkeypatch.setenv("PAINTFE_SCRIPT_COMPILE", "auto")
+    from paintfe_tpu.scripting.pycompile import (TranspileUnsupported,
+                                                 _compile_source)
+
+    # constructs the compiler bails on BY DESIGN (live-scope needs, loop
+    # expressions): a fallback for any other reason is a regression
+    allowed_bails = {"closure", "fn inside closure", "is_def_var", "eval",
+                     "loop value", "expression stmtexpr"}
     compiled = walked = 0
     for src in ([s for s, _ in WORKING] + DIVERGENCE_PRONE):
         if try_compile(src) is not None:
             compiled += 1
         else:
             walked += 1
-            # is_def_var/eval need a live scope: the compiler bails on
-            # them by design (pycompile.compile_call), like closures
-            assert (_has_closure(src) or "is_def_var" in src
-                    or "eval" in src), (
-                f"closure-free script fell back to the tree-walker:\n{src}")
+            try:
+                _compile_source(src)
+                reason = "<compiled?>"
+            except TranspileUnsupported as e:
+                reason = str(e)
+            except Exception as e:  # pragma: no cover - regression guard
+                reason = f"<{type(e).__name__}: {e}>"
+            assert reason in allowed_bails or _has_closure(src), (
+                f"closure-free script fell back to the tree-walker "
+                f"({reason}):\n{src}")
     assert compiled >= 100  # the corpus is overwhelmingly compiled-tier
     for src in CLOSURE_CASES:
         assert _has_closure(src)  # documented tree-walker-resident cases

@@ -293,6 +293,21 @@ WORKING = [
      '_ => "def" });', ["gdef"]),
     ('let x = 1; print_line(switch x { _ if x > 4 => "gdef", '
      '_ => "def" });', ["def"]),
+    # loop EXPRESSIONS: value = `break value` (or () on normal exit),
+    # uniformly for loop/while/do/for, through blocks and fn returns
+    ('let v = loop { break 42; }; print_line(`${v}`);', ["42"]),
+    ('let i = 0; let v = while true { i += 1; '
+     'if i > 3 { break i * 10; } }; print_line(`${v}`);', ["40"]),
+    ('let v = for x in 0..9 { if x == 4 { break x; } }; '
+     'print_line(`${v}`);', ["4"]),
+    ('let v = while false {}; print_line(`[${v}]`);', ["[]"]),
+    ('let i = 0; let v = do { i += 1; if i == 2 { break "two"; } } '
+     'while i < 9; print_line(v);', ["two"]),
+    ('let v = { loop { break 7; } }; print_line(`${v}`);', ["7"]),
+    ('fn f() { loop { break 5; } } print_line(`${f()}`);', ["5"]),
+    # statement position: the value is discarded but its effects run
+    ('let i = 0; while i < 5 { i += 1; if i == 3 { break i + 100; } } '
+     'print_line(`${i}`);', ["3"]),
 ]
 
 
