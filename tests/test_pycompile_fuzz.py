@@ -115,6 +115,13 @@ class Gen:
                     f"try {{ K_{v} += 1; }} "
                     f"catch (e) {{ print_line(`c${{e}}`); }} "
                     f"let K_{v} = 7; K_{v} += 1; print_line(`${{K_{v}}}`);")
+        if rr < 0.30:
+            # statement-position break VALUE: discarded, but its side
+            # effects must run in both engines
+            n = self.r.randint(1, 7)
+            return (f"let wv_{v} = 0; while wv_{v} < 6 {{ wv_{v} += 1; "
+                    f"if wv_{v} == {n} {{ break wv_{v} * 10 + "
+                    f"{self.int_lit()}; }} }} print_line(`${{wv_{v}}}`);")
         r = self.r.random()
         arr = ", ".join(self.int_lit() for _ in range(self.r.randint(1, 4)))
         if r < 0.12:
