@@ -518,6 +518,9 @@ def _std_free_call(interp, name, args):
     if name == "is_def_fn":
         if (len(args) == 2 and isinstance(args[0], str)
                 and isinstance(args[1], int) and not isinstance(args[1], bool)):
+            ov = interp.user_fn_overloads.get(args[0])
+            if ov:
+                return args[1] in ov
             uf = interp.user_fns.get(args[0])
             if uf is not None:
                 return len(uf[0]) == args[1]
@@ -641,6 +644,8 @@ class Interpreter:
         self.max_operations = max_operations
         self.globals: Dict[str, Any] = {}
         self.user_fns: Dict[str, Any] = {}
+        # Rhai script fns overload by ARITY: name -> {nargs: (params, body)}
+        self.user_fn_overloads: Dict[str, Dict[int, Any]] = {}
         # populated by pycompile's runtime with the transpiled script fns
         # (name -> python callable), so FnPtr resolution inside std array
         # callbacks (map(Fn("f"))) works in the compiled tier too
@@ -667,11 +672,16 @@ class Interpreter:
         for stmt in ast[1]:
             if stmt[0] == "fn":
                 self.user_fns[stmt[1]] = (stmt[2], stmt[3])
+                self.user_fn_overloads.setdefault(
+                    stmt[1], {})[len(stmt[2])] = (stmt[2], stmt[3])
         try:
             self.exec_block(ast, [self.globals])
         except _Throw as t:
             # uncaught `throw` terminates the script (Rhai ErrorRuntime)
             raise RhaiRuntimeError(f"Runtime error: {to_display(t.value)}")
+        except _Return:
+            # `return` at global level legally terminates the script
+            pass
         return None
 
     def exec_block(self, block, scopes: List[dict]):
@@ -696,6 +706,8 @@ class Interpreter:
             return UNIT
         if kind == "fn":
             self.user_fns[stmt[1]] = (stmt[2], stmt[3])
+            self.user_fn_overloads.setdefault(
+                stmt[1], {})[len(stmt[2])] = (stmt[2], stmt[3])
             return UNIT
         if kind == "assign":
             self._assign(stmt[1], stmt[2],
@@ -1096,7 +1108,15 @@ class Interpreter:
                 self.depth -= 1
         if name in self.user_fns:
             params, body = self.user_fns[name]
+            ov = self.user_fn_overloads.get(name)
+            if ov is not None and len(args) in ov:
+                # Rhai script fns overload by arity; exact match wins
+                params, body = ov[len(args)]
             if len(params) != len(args):
+                if ov is not None and len(ov) > 1:
+                    sig = ", ".join(_type_of(a) for a in args)
+                    raise RhaiRuntimeError(
+                        f"function not found: {name} ({sig})")
                 raise RhaiRuntimeError(f"function '{name}' expects {len(params)} args")
             self.depth += 1
             if self.depth > MAX_CALL_DEPTH:
@@ -1107,11 +1127,12 @@ class Interpreter:
                 # globals scope); array args keep the tree-walker for the
                 # bulk vectorizer's benefit
                 if not any(isinstance(a, np.ndarray) for a in args):
-                    shim = self._fn_shims.get(name)
+                    shim_key = (name, len(params))
+                    shim = self._fn_shims.get(shim_key)
                     if (shim is None or shim.body is not body
                             or shim.params is not params):
                         shim = Closure(params, body, [self.globals])
-                        self._fn_shims[name] = shim
+                        self._fn_shims[shim_key] = shim
                     fast = _closure_fast(shim, self)
                     if fast is not None:
                         return fast(self, args)
@@ -1876,6 +1897,14 @@ class Interpreter:
                     at = args[0]
                     return [obj[:at], obj[at:]]
                 return obj.split(args[0])
+            if name == "split_rev":
+                # segments from the END of the string (string_more)
+                self._need(args, 1, "split_rev", obj)
+                if not isinstance(args[0], str):
+                    raise RhaiRuntimeError(
+                        f"function not found: split_rev (string, "
+                        f"{_type_of(args[0])})")
+                return list(reversed(obj.split(args[0])))
             if name == "parse_int":
                 # Rust i64::from_str_radix semantics (Rhai's parse_int):
                 # optional sign then digits of the radix — no whitespace,

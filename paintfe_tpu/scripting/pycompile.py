@@ -172,6 +172,12 @@ class _Compiler:
             self.const_py.add(self.toplevel[n])
         # hoist top-level fn declarations (interp.run does the same)
         fn_stmts = [s for s in ast[1] if s[0] == "fn"]
+        arities: dict = {}
+        for s in fn_stmts:
+            if len(s[2]) != arities.setdefault(s[1], len(s[2])):
+                # Rhai script fns overload by ARITY; `_fns` here is keyed
+                # by name only, so such programs keep the tree-walker
+                raise TranspileUnsupported("fn arity overload")
         for s in fn_stmts:
             self.compile_fn(s)
         self.emit("try:")
@@ -188,6 +194,8 @@ class _Compiler:
         self.indent -= 1
         self.emit("except _Throw as _unc:")
         self.emit("    raise RhaiRuntimeError('Runtime error: ' + _D(_unc.value))")
+        self.emit("except _Return:")
+        self.emit("    pass  # global-level return ends the script (Rhai)")
         self.emit("except (UnboundLocalError, NameError) as _unb:")
         self.emit("    raise _uerr(_unb)")
         return "\n".join(self.lines)

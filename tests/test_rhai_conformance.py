@@ -308,6 +308,17 @@ WORKING = [
     # statement position: the value is discarded but its effects run
     ('let i = 0; while i < 5 { i += 1; if i == 3 { break i + 100; } } '
      'print_line(`${i}`);', ["3"]),
+    # script fns overload by ARITY (Rhai); is_def_fn sees every overload
+    ('fn f(a) { a * 2 } fn f(a, b) { a + b } '
+     'print_line(`${f(3)} ${f(3, 4)} ${is_def_fn("f", 1)} '
+     '${is_def_fn("f", 3)}`);', ["6 7 true false"]),
+    ('fn h() { 10 } fn h(x) { x } print_line(`${h()} ${h(5)}`);', ["10 5"]),
+    # `return` at global level legally terminates the script
+    ('print_line("before"); return; print_line("after");', ["before"]),
+    ('fn f() { return 1; } print_line(`${f()}`); return 9; '
+     'print_line("no");', ["1"]),
+    # split_rev: segments from the end
+    ('print_line(`${"a,b,c".split_rev(",")}`);', ['["c", "b", "a"]']),
 ]
 
 
